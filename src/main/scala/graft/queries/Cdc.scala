@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+
+/** Changelog / CDC semantics over the `events` table, interpreted as a
+  * keyed change stream: key = user_id, order = event_id (offset order),
+  * `event_type = 'error'` acts as a tombstone marker.
+  *
+  * These mirror the reference's topic-state semantics: latest-per-key
+  * compaction (reference: topic/KafkaTopic.java:193-205), tombstone
+  * deletes (filter/BaseFilter.java:149-160), and FK-flip regrouping
+  * (index/Indices.java:224-233 — a key leaving its old group and
+  * joining the new one).
+  */
+object Cdc {
+
+  private def t(spark: SparkSession, dir: String)(name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Latest record per key by offset order — the A3 compaction. */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    events.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  private val latestOracle =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |       value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q-LATEST: latest-per-key compaction of a keyed change stream.
+    "q_latest" -> QueryDef(
+      "latest-per-key compaction of the events changelog",
+      latestOracle + " ORDER BY user_id") { (spark, dir) =>
+      latestPerKey(t(spark, dir)("events"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // Q-TOMBSTONE: a tombstone as the latest change deletes the key.
+    "q_tombstone" -> QueryDef(
+      "tombstone semantics: keys whose latest change is a delete marker vanish",
+      s"""SELECT user_id, last_event_id, last_event_type, last_value
+         |FROM ($latestOracle) x
+         |WHERE last_event_type <> 'error' ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      latestPerKey(t(spark, dir)("events"))
+        .where(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // Q-FKFLIP: group membership follows the key's latest FK value.
+    "q_fkflip" -> QueryDef(
+      "FK-flip: each key belongs only to the group of its latest change",
+      s"""SELECT last_event_type AS group_key,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS members
+         |FROM ($latestOracle) x
+         |GROUP BY last_event_type ORDER BY group_key""".stripMargin) { (spark, dir) =>
+      latestPerKey(t(spark, dir)("events"))
+        .groupBy(col("event_type").as("group_key"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("user_id"))),
+            x => x.cast(StringType)), ",").as("members"))
+        .orderBy("group_key")
+    },
+
+    // Streaming-style tumbling-window aggregation (batch equivalent).
+    "q_window_agg" -> QueryDef(
+      "tumbling 1-hour window aggregation over the event stream",
+      """SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin) {
+      (spark, dir) =>
+        t(spark, dir)("events")
+          // `div` = integer division — ts is epoch nanos (~1.7e18),
+          // beyond double's exact range, so no float division here.
+          .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .orderBy("hour_bucket", "event_type")
+    })
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Relation, Tables}
+import graft.functions.CanonicalKey.canonicalPk
+import graft.operators.{Denormalize, Filters}
+
+/** Relational + denormalization queries over the TPC-H-ish testdata.
+  *
+  * These cover the reference's declared-query contract (SURVEY §2.8):
+  * the hierarchical LEFT OUTER join trees (flat / multi-child / deep /
+  * diamond), child-array ordering by canonical PK, and per-entity
+  * record filtering — each with a DuckDB oracle. Aggregates are
+  * computed in exact decimal arithmetic and cast to double at the end
+  * so Spark and DuckDB agree bitwise regardless of summation order.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String)(name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private val dec = DecimalType(18, 2)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q1_agg" -> QueryDef(
+      "TPC-H Q1-style grouped aggregation with exact decimal sums",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      val li = t(spark, dir)("lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(BigDecimal(1)).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q_topk" -> QueryDef(
+      "top-3 orders by total price per market segment (rank window)",
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val c = t(spark, dir)("customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast(LongType))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("c_mktsegment", "rnk")
+    },
+
+    // Q-DENORM-FLAT: 2-level tree orders ⟕ customer.
+    "q_denorm_flat" -> QueryDef(
+      "2-level denormalization: orders left-join customer",
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val c = t(spark, dir)("customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // Q-DENORM-MULTI: customer → nation (N:1) + orders (1:N array).
+    "q_denorm_multi" -> QueryDef(
+      "root with N:1 and 1:N children: customer → nation, orders",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  coalesce(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey), '') AS order_keys,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |              LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, n_name ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val c = t(spark, dir)("customer")
+      val n = t(spark, dir)("nation")
+      val o = t(spark, dir)("orders")
+      val oagg = o.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders"),
+        array_join(transform(sort_array(collect_list(col("o_orderkey"))),
+          x => x.cast(StringType)), ",").as("order_keys"),
+        sum(col("o_totalprice").cast(dec)).as("ts"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left_outer")
+        .join(oagg, c("c_custkey") === oagg("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("order_keys"), lit("")).as("order_keys"),
+          coalesce(col("ts"), lit(BigDecimal(0))).cast(DoubleType).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // Q-DENORM-DEEP: 3-level nesting orders → lineitem → part.
+    "q_denorm_deep" -> QueryDef(
+      "3-level denormalization: orders → lineitem → part",
+      """SELECT o_orderkey,
+        |  CAST(count(l_orderkey) AS BIGINT) AS n_items,
+        |  coalesce(string_agg(CASE WHEN l_orderkey IS NOT NULL THEN coalesce(p_name, '?') END, ',' ORDER BY l_linenumber, coalesce(p_name, '?')), '') AS part_names,
+        |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |            LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val li = t(spark, dir)("lineitem")
+      val p = t(spark, dir)("part")
+      val lag = li.join(p, li("l_partkey") === p("p_partkey"), "left_outer")
+        .groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("n_items"),
+          array_join(transform(sort_array(collect_list(struct(col("l_linenumber"),
+            coalesce(col("p_name"), lit("?")).as("pn")))), x => x("pn")), ",").as("part_names"),
+          sum(col("l_quantity").cast(dec)).as("sq"))
+      o.join(lag, o("o_orderkey") === lag("l_orderkey"), "left_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          coalesce(col("part_names"), lit("")).as("part_names"),
+          coalesce(col("sq"), lit(BigDecimal(0))).cast(DoubleType).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // Q-DENORM-DIAMOND: nation reused via customer and via supplier.
+    "q_denorm_diamond" -> QueryDef(
+      "diamond tree: orders → customer → nation and → lineitem → supplier → nation",
+      """WITH sn0 AS (
+        |  SELECT DISTINCT l_orderkey, n_name
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey),
+        |sn AS (SELECT l_orderkey, string_agg(n_name, ',' ORDER BY n_name) AS supp_nations
+        |       FROM sn0 GROUP BY l_orderkey)
+        |SELECT o_orderkey, n_name AS cust_nation, coalesce(supp_nations, '') AS supp_nations
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |            LEFT JOIN nation ON c_nationkey = n_nationkey
+        |            LEFT JOIN sn ON o_orderkey = sn.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val c = t(spark, dir)("customer")
+      val n1 = t(spark, dir)("nation")
+      val n2 = t(spark, dir)("nation")
+      val li = t(spark, dir)("lineitem")
+      val s = t(spark, dir)("supplier")
+      val sn = li.join(s, li("l_suppkey") === s("s_suppkey"))
+        .join(n2, s("s_nationkey") === n2("n_nationkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(array_sort(collect_set(n2("n_name"))), ",").as("supp_nations"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+        .join(n1, c("c_nationkey") === n1("n_nationkey"), "left_outer")
+        .join(sn, o("o_orderkey") === sn("l_orderkey"), "left_outer")
+        .select(col("o_orderkey"), n1("n_name").as("cust_nation"),
+          coalesce(col("supp_nations"), lit("")).as("supp_nations"))
+        .orderBy("o_orderkey")
+    },
+
+    // Q-ORDER: child arrays sorted by canonical composite PK bytes.
+    "q_order" -> QueryDef(
+      "child ordering by canonical composite PK encoding (lineitem per order)",
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_order
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (spark, dir) =>
+      val li = t(spark, dir)("lineitem")
+      // Genuine canonical-PK sort: composite key fields name-sorted
+      // (l_linenumber, l_orderkey), unsigned-lexicographic byte order.
+      li.select(col("l_orderkey"),
+          struct(canonicalPk(col("l_linenumber"), col("l_orderkey")).as("pk"),
+            col("l_linenumber").cast(StringType).as("ln")).as("pd"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(transform(sort_array(collect_list(col("pd"))), x => x("ln")), ",")
+          .as("line_order"))
+        .orderBy("l_orderkey")
+    },
+
+    // Q-FILTER: per-entity record filter applied before the join.
+    "q_filter" -> QueryDef(
+      "pre-join per-entity record filter (DELETE customers with negative balance)",
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal >= 0) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val c = Filters.applySnapshot(t(spark, dir)("customer"), "customer",
+        Filters.deleteWhere("customer", col("c_acctbal") < 0))
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    },
+
+    // Full nested {Record, Children} document assembly (reference
+    // Southpaw.java:326-358); JSON-shape parity is golden-tested in
+    // DenormalizeSpec — no SQL oracle (nested JSON not ANSI-expressible).
+    "q_denorm_docs" -> QueryDef.noOracle(
+      "nested denormalized documents for orders → (customer → nation, lineitem → part)") {
+      (spark, dir) =>
+        val tree = Relation.root("DenormalizedOrders", "orders",
+          Relation.child("customer", "c_custkey", "o_custkey",
+            Relation.child("nation", "n_nationkey", "c_nationkey")),
+          Relation.child("lineitem", "l_orderkey", "o_orderkey",
+            Relation.child("part", "p_partkey", "l_partkey")))
+        Denormalize.documents(tree, t(spark, dir), Tables.primaryKeys)
+          .select(hex(col("__pk")).as("pk_hex"), col("doc_json"))
+          .orderBy("pk_hex")
+    })
+}
