@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{QueryDef, Relation, Tables}
+import graft.streaming.IncrementalDenormalizer
 
 /** Changelog / CDC semantics over the `events` table, interpreted as a
   * keyed change stream: key = user_id, order = event_id (offset order),
@@ -75,6 +76,45 @@ object Cdc {
           array_join(transform(sort_array(collect_list(col("user_id"))),
             x => x.cast(StringType)), ",").as("members"))
         .orderBy("group_key")
+    },
+
+    // Q-INCR: chunked incremental replay through the IVM engine must
+    // equal a from-scratch batch join — verified against a plain SQL
+    // oracle that never saw the incremental path.
+    "q_incr" -> QueryDef(
+      "incremental view maintenance over a chunked changelog ≡ batch join",
+      """SELECT o_orderkey, c_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val c = t(spark, dir)("customer")
+      val tree = Relation.root("DenormalizedOrder", "orders",
+        Relation.child("customer", "c_custkey", "o_custkey"))
+      val engine = new IncrementalDenormalizer(spark, Seq(tree),
+        Map("orders" -> Seq("o_orderkey"), "customer" -> Seq("c_custkey")),
+        Map("orders" -> o.schema, "customer" -> c.schema))
+      def changelog(df: org.apache.spark.sql.DataFrame, keyCol: String) = df.select(
+        col(keyCol).as("offset"),
+        struct(col(keyCol)).as("key"),
+        struct(df.columns.map(col): _*).as("value"))
+      // 4 insert chunks interleaved across both entities…
+      (0 until 4).foreach { i =>
+        engine.processBatch(Map(
+          "orders" -> changelog(o.where(pmod(col("o_orderkey"), lit(4)) === i), "o_orderkey"),
+          "customer" -> changelog(c.where(pmod(col("c_custkey"), lit(4)) === i), "c_custkey")))
+      }
+      // …then a tombstone batch deleting every 97th order.
+      val tomb = o.where(col("o_orderkey") % 97 === 0).select(
+        col("o_orderkey").as("offset"),
+        struct(col("o_orderkey")).as("key"),
+        lit(null).cast(o.schema).as("value"))
+      engine.processBatch(Map("orders" -> tomb))
+      engine.docs("DenormalizedOrder").where(!col("__deleted"))
+        .select(
+          get_json_object(col("doc_json"), "$.Record.o_orderkey").cast(LongType).as("o_orderkey"),
+          get_json_object(col("doc_json"), "$.Children.customer[0].Record.c_name").as("c_name"))
+        .orderBy("o_orderkey")
     },
 
     // Streaming-style tumbling-window aggregation (batch equivalent).

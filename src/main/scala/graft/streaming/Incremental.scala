@@ -1,0 +1,297 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Relation
+import graft.functions.CanonicalKey.canonicalPk
+import graft.operators.{Compaction, Denormalize, Filters}
+import graft.operators.Filters.{FilterMode, RecordFilter}
+
+/** Queueing strategy hook — decides rebuild priority per
+  * (denormalized name, triggering entity); NONE drops the rebuild
+  * entirely (load shedding). Parity with the reference's
+  * strategy/QueueingStrategy.java:13-31 and the NONE-drop semantics of
+  * Southpaw.java:618-637.
+  */
+trait QueueingStrategy extends Serializable {
+  import QueueingStrategy._
+  def priority(denormalizedName: String, entity: String): Priority
+}
+
+object QueueingStrategy {
+  sealed trait Priority
+  case object None extends Priority
+  case object Low extends Priority
+  case object Medium extends Priority
+  case object High extends Priority
+
+  /** Default: everything rebuilds (reference default MEDIUM). */
+  val allMedium: QueueingStrategy = (_: String, _: String) => Medium
+}
+
+/** Incremental view maintenance for relation trees — the Spark-native
+  * re-expression of the reference's continuous build loop
+  * (reference: Southpaw.java:253-284,563-637, index/Indices.java).
+  *
+  * Instead of per-record RocksDB point lookups, each micro-batch is
+  * processed set-at-a-time with keyed state DataFrames:
+  *
+  *  - entity snapshots: latest record per canonical PK (the `-data`
+  *    keyspaces, topic/KafkaTopic.java:193-205);
+  *  - per-edge link tables `childPK → joinKey` (the join index J2,
+  *    index/Indices.java:214-234 — reverse lookup gives the OLD
+  *    foreign key when a child's FK flips);
+  *  - per-edge rootmap tables `joinKey → rootPK` (the parent index J3,
+  *    index/Indices.java:244-260) — populated lazily from document
+  *    assembly exactly like the reference (Southpaw.java:342), scrubbed
+  *    for a root before its rebuild (J5, Indices.java:189-205);
+  *  - per-tree document state `rootPK → doc_json` (null = tombstone).
+  *
+  * A batch: fold changes into snapshots (filter-aware, offset order),
+  * compute the dirty root set per tree by joining old+new join keys
+  * against rootmaps (J4, Southpaw.java:563-594) subject to the
+  * queueing strategy (NONE drops), then rebuild ONLY dirty roots with
+  * the batch compiler ([[Denormalize]]) and upsert documents.
+  *
+  * All state lives in checkpointed DataFrames keyed by canonical PK —
+  * on a cluster these map to bucketed storage or the state store, and
+  * every step below is a keyed join/aggregation that shuffles on the
+  * state key, so the pipeline scales horizontally with key count.
+  * Incremental ≡ batch by construction for clean runs (Q-INCR): the
+  * same compiler assembles documents in both modes.
+  */
+final class IncrementalDenormalizer(
+    spark: SparkSession,
+    trees: Seq[Relation],
+    keyFields: Map[String, Seq[String]],
+    valueSchemas: Map[String, StructType],
+    filter: RecordFilter = Compaction.passThrough,
+    strategy: QueueingStrategy = QueueingStrategy.allMedium) {
+
+  import IncrementalDenormalizer._
+
+  /** One edge of one tree: path of relations from root (inclusive) down
+    * to the edge's parent node, plus the child relation. */
+  private case class Edge(id: String, tree: Relation, path: Seq[Relation], child: Relation)
+
+  private val allEntities: Set[String] = trees.flatMap(_.entities).toSet
+
+  private def collectEdges(tree: Relation): Seq[Edge] = {
+    def walk(node: Relation, path: Seq[Relation]): Seq[Edge] =
+      node.children.flatMap { c =>
+        val id = (path.map(_.entity) :+ node.entity :+ c.entity)
+          .mkString(tree.denormalizedName.get + "|", "/", "") + "@" + c.joinKey.get
+        Edge(id, tree, path :+ node, c) +: walk(c, path :+ node)
+      }
+    walk(tree, Nil)
+  }
+
+  private val edges: Seq[Edge] = trees.flatMap(collectEdges)
+
+  /** First edge in a tree whose child entity matches — reference
+    * RelationHelper.getRelation takes the first match. */
+  private def firstEdgeFor(tree: Relation, entity: String): Option[Edge] =
+    edges.find(e => e.tree == tree && e.child.entity == entity)
+
+  // ---- mutable state (checkpointed DataFrames) -----------------------
+
+  /** entity → (__pk binary, value struct) */
+  private var snapshots: Map[String, DataFrame] =
+    allEntities.map { e =>
+      e -> emptyDf(spark, StructType(Seq(
+        StructField("__pk", BinaryType),
+        StructField("value", valueSchemas(e)))))
+    }.toMap
+
+  /** edge id → (__cpk binary childPK, __jk binary) */
+  private var links: Map[String, DataFrame] =
+    edges.map(e => e.id -> emptyDf(spark, linkSchema)).toMap
+
+  /** edge id → (__jk binary, __rpk binary rootPK) */
+  private var rootmaps: Map[String, DataFrame] =
+    edges.map(e => e.id -> emptyDf(spark, rootmapSchema)).toMap
+
+  /** tree name → (__pk binary, doc_json string nullable, __deleted) */
+  private var docState: Map[String, DataFrame] =
+    trees.map(t => t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
+
+  def docs(rootName: String): DataFrame = docState(rootName)
+  def snapshot(entity: String): DataFrame = snapshots(entity).select(col("value.*"))
+
+  // ---- batch processing ---------------------------------------------
+
+  /** Process one micro-batch of changelog DataFrames per entity
+    * (columns: offset Long, key struct, value struct|null). */
+  def processBatch(changes: Map[String, DataFrame]): Unit = {
+    // 1. fold each entity's changes against prior state (filter-aware).
+    val deltas: Map[String, DataFrame] = changes.collect {
+      case (entity, df) if allEntities.contains(entity) =>
+        entity -> foldDelta(entity, df).localCheckpoint(true)
+    }
+
+    // 2. dirty roots per tree — uses PRE-batch links for old FKs.
+    val dirtySets: Map[String, DataFrame] = trees.map { tree =>
+      val name = tree.denormalizedName.get
+      val parts: Seq[DataFrame] = deltas.toSeq.flatMap { case (entity, delta) =>
+        if (tree.entity == entity) {
+          if (strategy.priority(name, entity) == QueueingStrategy.None) None
+          else Some(delta.select(col("__pk").as("__rpk")))
+        } else firstEdgeFor(tree, entity).flatMap { edge =>
+          if (strategy.priority(name, entity) == QueueingStrategy.None) None
+          else {
+            val jkField = edge.child.joinKey.get
+            val newJks = delta.where(col("value").isNotNull)
+              .select(canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
+            val oldJks = delta.join(links(edge.id),
+              delta("__pk") === links(edge.id)("__cpk"), "inner")
+              .select(col("__jk"))
+            val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
+            Some(rootmaps(edge.id).join(jks, "__jk").select(col("__rpk")))
+          }
+        }
+      }
+      val dirty =
+        if (parts.isEmpty) emptyDf(spark, StructType(Seq(StructField("__rpk", BinaryType))))
+        else parts.reduce(_ union _).distinct().localCheckpoint(true)
+      name -> dirty
+    }.toMap
+
+    // 3. apply deltas: snapshots and link tables.
+    deltas.foreach { case (entity, delta) =>
+      val snap = snapshots(entity)
+      val changedKeys = delta.select(col("__pk"))
+      val kept = snap.join(changedKeys, Seq("__pk"), "left_anti")
+      val updated = kept.unionByName(
+        delta.where(col("value").isNotNull).select(col("__pk"), col("value")))
+      snapshots = snapshots.updated(entity, updated.localCheckpoint(true))
+
+      edges.filter(_.child.entity == entity).foreach { edge =>
+        val jkField = edge.child.joinKey.get
+        val newLinks = delta.where(col("value").isNotNull)
+          .select(col("__pk").as("__cpk"),
+            canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
+          .where(col("__jk").isNotNull)
+        val keptLinks = links(edge.id).join(
+          delta.select(col("__pk").as("__cpk")), Seq("__cpk"), "left_anti")
+        links = links.updated(edge.id,
+          keptLinks.unionByName(newLinks).localCheckpoint(true))
+      }
+    }
+
+    // 4. rebuild dirty roots per tree.
+    trees.foreach { tree =>
+      val name = tree.denormalizedName.get
+      val dirty = dirtySets(name)
+      if (!dirty.isEmpty) rebuild(tree, dirty)
+    }
+  }
+
+  /** Fold one entity's batch changes into a per-key delta:
+    * (__pk, value|null) — value null means the key's state after the
+    * batch is deleted. Consults the record filter per change in offset
+    * order, seeded with the pre-batch snapshot value (reference
+    * semantics: filter sees the previous state,
+    * filter/BaseFilter.java:88). */
+  private def foldDelta(entity: String, changes: DataFrame): DataFrame = {
+    val valueSchema = valueSchemas(entity)
+    val kf = keyFields(entity)
+    val prepared = changes.select(
+      canonicalPk(kf.map(f => col("key").getField(f))).as("__pk"),
+      struct(col("offset"), col("value")).as("__ov"))
+      .groupBy("__pk")
+      .agg(sort_array(collect_list(col("__ov"))).as("__ovs"))
+      .join(snapshots(entity).withColumnRenamed("value", "__old"), Seq("__pk"), "left_outer")
+    val outSchema = StructType(Seq(
+      StructField("__pk", BinaryType),
+      StructField("value", valueSchema)))
+    val f = filter
+    val e = entity
+    prepared.map { row =>
+      var state: Option[Row] = Option(row.getAs[Row]("__old"))
+      row.getAs[Seq[Row]]("__ovs").foreach { ov =>
+        Option(ov.getAs[Row]("value")) match {
+          case scala.None => state = scala.None // tombstone
+          case Some(v) => f.filter(e, v, state) match {
+            case FilterMode.Update => state = Some(v)
+            case FilterMode.Skip =>
+            case FilterMode.Delete => state = scala.None
+          }
+        }
+      }
+      Row(row.getAs[Array[Byte]]("__pk"), state.orNull)
+    }(Encoders.row(outSchema))
+  }
+
+  /** Rebuild the documents for a set of dirty root PKs: scrub rootmaps,
+    * re-assemble via the batch compiler restricted to the dirty set,
+    * re-register rootmap entries from the assembly paths, upsert docs
+    * (missing roots ⇒ null doc tombstones, Southpaw.java:335,379-380). */
+  private def rebuild(tree: Relation, dirty: DataFrame): Unit = {
+    val name = tree.denormalizedName.get
+
+    // J5 scrub: drop dirty roots from every rootmap of this tree.
+    edges.filter(_.tree == tree).foreach { edge =>
+      rootmaps = rootmaps.updated(edge.id,
+        rootmaps(edge.id).join(dirty, Seq("__rpk"), "left_anti"))
+    }
+
+    // Restrict the root entity to dirty PKs; assemble with the SAME
+    // compiler as batch mode (Q-INCR equivalence by construction).
+    val rootSnap = snapshots(tree.entity)
+    val restrictedRoot = rootSnap.join(dirty, rootSnap("__pk") === dirty("__rpk"),
+      "left_semi").select(col("value.*"))
+    val tables: String => DataFrame = e =>
+      if (e == tree.entity) restrictedRoot else snapshot(e)
+    val assembled = Denormalize.documents(tree, tables, keyFields)
+      .select(col("__pk"), col("doc_json")).localCheckpoint(true)
+
+    // J3 re-register: for each edge, walk the path root→parent with
+    // inner joins over live snapshots (a node registers only if its
+    // record exists — lazy parent index, Southpaw.java:342).
+    edges.filter(_.tree == tree).foreach { edge =>
+      var cur = restrictedRoot
+        .withColumn("__rpk", canonicalPk(keyFields(tree.entity).map(col)))
+      // walk down path (path.head is the root node itself)
+      edge.path.zip(edge.path.drop(1)).foreach { case (parent, childNode) =>
+        val childSnap = snapshot(childNode.entity)
+        val pk = canonicalPk(Seq(cur(childNode.parentKey.get)))
+        val jk = canonicalPk(Seq(childSnap(childNode.joinKey.get)))
+        cur = cur.select(col("__rpk"), pk.as("__join"))
+          .join(childSnap.withColumn("__cjk", jk), col("__join") === col("__cjk"))
+          .drop("__join", "__cjk")
+      }
+      val parentNode = edge.path.last
+      val regs = cur.select(col("__rpk"),
+        canonicalPk(Seq(cur(edge.child.parentKey.get))).as("__jk"))
+        .where(col("__jk").isNotNull).distinct()
+      rootmaps = rootmaps.updated(edge.id,
+        rootmaps(edge.id).unionByName(regs.select(col("__jk"), col("__rpk")))
+          .distinct().localCheckpoint(true))
+    }
+
+    // Upsert document state; dirty roots with no assembled doc get a
+    // null-document tombstone.
+    val newDocs = dirty.join(assembled, dirty("__rpk") === assembled("__pk"), "left_outer")
+      .select(col("__rpk").as("__pk"), col("doc_json"),
+        col("doc_json").isNull.as("__deleted"))
+    val kept = docState(name).join(dirty.withColumnRenamed("__rpk", "__pk"),
+      Seq("__pk"), "left_anti")
+    docState = docState.updated(name,
+      kept.unionByName(newDocs).localCheckpoint(true))
+  }
+}
+
+object IncrementalDenormalizer {
+  private val linkSchema = StructType(Seq(
+    StructField("__cpk", BinaryType), StructField("__jk", BinaryType)))
+  private val rootmapSchema = StructType(Seq(
+    StructField("__jk", BinaryType), StructField("__rpk", BinaryType)))
+  private val docSchema = StructType(Seq(
+    StructField("__pk", BinaryType), StructField("doc_json", StringType),
+    StructField("__deleted", BooleanType)))
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.core.Relation
+import graft.operators.{Compaction, Denormalize}
+import graft.streaming.{IncrementalDenormalizer, QueueingStrategy}
+import ReferenceFixtures._
+
+/** Incremental-engine parity against the reference's end-to-end run:
+  * replay all 8 topic fixtures one record per entity per pass
+  * (SouthpawEndToEndTest.java:133-146) through the IVM engine with the
+  * reference's TestQueueingStrategy (user_tag → NONE for the playlist
+  * tree — load-shed, so those docs intentionally go stale), and
+  * compare every tree's final documents to the reference goldens.
+  *
+  * Also proves Q-INCR: with the default strategy (no shedding), the
+  * incremental final state equals a from-scratch batch run.
+  */
+class IncrementalGoldenSpec extends SparkSpec {
+
+  /** TestQueueingStrategy semantics
+    * (src/test/.../strategy/TestQueueingStrategy.java:14-31). */
+  val testStrategy: QueueingStrategy = (denormName: String, entity: String) =>
+    if (denormName == "DenormalizedPlaylist") entity match {
+      case "media" => QueueingStrategy.High
+      case "user_tag" => QueueingStrategy.None
+      case "playlist_custom_params" => QueueingStrategy.Low
+      case _ => QueueingStrategy.Medium
+    } else QueueingStrategy.Medium
+
+  lazy val trees: Seq[Relation] =
+    Seq("relations.sample.json", "relations2.sample.json", "relations3.sample.json")
+      .flatMap(f => Relation.parseFile(s"$root/$f"))
+
+  /** Per-entity changelog rows, materialized once. */
+  lazy val logs: Map[String, Array[Row]] =
+    valueSchemas.keys.map { e =>
+      e -> changelog(spark, e).orderBy("offset").collect()
+    }.toMap
+
+  def replay(strategy: QueueingStrategy): IncrementalDenormalizer = {
+    val engine = new IncrementalDenormalizer(
+      spark, trees, keyFields, valueSchemas, testFilter, strategy)
+    val passes = logs.values.map(_.length).max
+    (0 until passes).foreach { pass =>
+      val batch = logs.collect { case (e, rows) if pass < rows.length =>
+        e -> spark.createDataFrame(
+          java.util.Arrays.asList(rows(pass)), changelog(spark, e).schema)
+      }
+      engine.processBatch(batch)
+    }
+    engine
+  }
+
+  def docsOf(engine: IncrementalDenormalizer, name: String): Map[Long, Option[String]] =
+    engine.docs(name).collect().map { r =>
+      BigInt(1, r.getAs[Array[Byte]]("__pk")).toLong ->
+        Option(r.getAs[String]("doc_json"))
+    }.toMap
+
+  lazy val goldenEngine: IncrementalDenormalizer = replay(testStrategy)
+
+  def checkGolden(name: String): Unit = {
+    val got = docsOf(goldenEngine, name)
+    val golden = goldenDocs(name)
+    assert(got.keySet == golden.keySet,
+      s"$name keys differ: extra=${got.keySet.diff(golden.keySet)} missing=${golden.keySet.diff(got.keySet)}")
+    golden.foreach { case (k, expected) =>
+      (expected, got(k)) match {
+        case (None, None) =>
+        case (Some(e), Some(g)) =>
+          assert(normalizeJson(g) == normalize(e), s"$name/$k:\n got: $g\n exp: $e")
+        case other => fail(s"$name/$k tombstone mismatch: $other")
+      }
+    }
+  }
+
+  test("incremental replay matches DenormalizedPlayer golden") {
+    checkGolden("DenormalizedPlayer")
+  }
+
+  test("incremental replay matches DenormalizedMedia golden") {
+    checkGolden("DenormalizedMedia")
+  }
+
+  test("incremental replay matches DenormalizedPlaylist golden (incl. NONE-priority shedding)") {
+    checkGolden("DenormalizedPlaylist")
+  }
+
+  test("Q-INCR: incremental with default strategy converges to batch result") {
+    val engine = replay(QueueingStrategy.allMedium)
+    val snapshots: Map[String, DataFrame] = valueSchemas.keys.map { e =>
+      e -> Compaction.snapshot(
+        Compaction.compact(changelog(spark, e), e, keyFields(e), testFilter))
+    }.toMap
+    trees.foreach { tree =>
+      val name = tree.denormalizedName.get
+      val batchDocs = Denormalize.documents(tree, snapshots, keyFields)
+        .select(col("__pk"), col("doc_json")).collect()
+        .map(r => BigInt(1, r.getAs[Array[Byte]]("__pk")).toLong ->
+          r.getAs[String]("doc_json")).toMap
+      val incrDocs = docsOf(engine, name).collect { case (k, Some(j)) => k -> j }
+      assert(incrDocs.keySet == batchDocs.keySet,
+        s"$name live keys differ: incr=${incrDocs.keySet} batch=${batchDocs.keySet}")
+      incrDocs.foreach { case (k, j) =>
+        assert(normalizeJson(j) == normalizeJson(batchDocs(k)), s"$name/$k diverged")
+      }
+    }
+  }
+}
