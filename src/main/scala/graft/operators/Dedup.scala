@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact hashing,
+  * n-gram Jaccard similarity join, MinHash+LSH, and SimHash.
+  *
+  * Design for 100 TB: exact dedup is a single hash-keyed aggregation;
+  * the Jaccard join uses guaranteed-complete prefix filtering (a hot
+  * gram contributes O(df²) candidate pairs, but globally-frequent
+  * grams never rank into any document's prefix, so the candidate
+  * shuffle stays bounded as the corpus grows); MinHash replaces the
+  * gram join entirely with fixed-size signatures + banded LSH buckets,
+  * making candidate generation O(docs × bands) — the probabilistic
+  * scale path. All hashing is md5-derived and deterministic so the
+  * DuckDB oracle replicates results bit-for-bit.
+  */
+object Dedup {
+
+  /** Prime modulus for MinHash permutations (fits 31 bits so that
+    * a*h+b stays within exact Long range). */
+  val P: Long = 1000000007L
+
+  /** Deterministic permutation constants (LCG from a fixed seed). */
+  val numPerms = 32
+  val perms: Seq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def next(): Long = { // xorshift64
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      math.floorMod(x, P - 1) + 1
+    }
+    Seq.fill(numPerms)((next(), next()))
+  }
+  val numBands = 8
+  val rowsPerBand: Int = numPerms / numBands
+
+  /** Base integer hash of a string: first 15 hex digits of md5 → Long
+    * (same computable in DuckDB: ('0x' || substr(md5(g),1,15))::BIGINT). */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Exact duplicate groups by content hash. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-Jaccard near-duplicate pairs over distinct n-grams with
+    * PREFIX FILTERING (ppjoin-style), which is guaranteed complete:
+    * rank every doc's grams by a global (document-frequency, gram)
+    * order; a pair with J ≥ τ must share a gram inside both docs'
+    * prefixes of length n - ceil(τ·n) + 1, so the candidate join runs
+    * only on prefix grams — globally-hot shingles never rank into a
+    * prefix, bounding join fan-out as the corpus grows. The threshold
+    * is the rational tauNum/tauDen so prefix lengths, size filters,
+    * and the final J ≥ τ test are exact integer arithmetic (bit-equal
+    * in any engine).
+    *
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, J ≥ τ
+    */
+  def ngramJaccardPairs(
+      grams: DataFrame, // (id, gram) distinct
+      idCol: String,
+      tauNum: Long,
+      tauDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = grams.select(col(idCol).as("id"), col("gram"))
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    // prefix length = n - ceil(tau*n) + 1; ceil(a/b) = (a + b - 1) div b
+    val ranked = g.join(dfs, "gram")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "id")
+      .where(col("rk") <=
+        col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
+      .select(col("id"), col("gram"), col("n"))
+    val a = ranked.select(col("id").as("doc_a"), col("gram"), col("n").as("na"))
+    val b = ranked.select(col("id").as("doc_b"), col("gram"), col("n").as("nb"))
+    // count filter (ppjoin-style): the full intersection is at most
+    // (shared prefix grams) + min(suffix sizes), where each doc's
+    // suffix size is ceil(τ·n) - 1; J ≥ τ needs intersection
+    // ≥ ceil(τ/(1+τ)·(na+nb)), i.e. ≥ num·(na+nb)/(num+den). All
+    // integer arithmetic — candidates drop from O(pairs sharing any
+    // rare gram) to nearly the true pair count before verification.
+    val alphaNum = tauNum
+    val alphaDen = tauNum + tauDen
+    val suffix = (n: Column) =>
+      floor((n * tauNum + (tauDen - 1)) / tauDen) - 1
+    val cands = a.join(b, Seq("gram"))
+      .where(col("doc_a") < col("doc_b") &&
+        // size filter: J ≥ τ requires τ·na ≤ nb and τ·nb ≤ na
+        col("nb") * tauDen >= col("na") * tauNum &&
+        col("na") * tauDen >= col("nb") * tauNum)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("cnt"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .where((col("cnt") + least(suffix(col("na")), suffix(col("nb")))) * alphaDen >=
+        (col("na") + col("nb")) * alphaNum)
+      .select("doc_a", "doc_b")
+    jaccardVerify(cands, g, sizes, tauNum, tauDen)
+  }
+
+  /** Exact Jaccard of candidate pairs from full gram sets; the ≥ τ
+    * test is integer-exact: i/(na+nb-i) ≥ num/den ⟺
+    * i·den ≥ num·(na+nb-i). */
+  private[operators] def jaccardVerify(
+      cands: DataFrame, // (doc_a, doc_b)
+      g: DataFrame, // (id, gram)
+      sizes: DataFrame, // (id, n)
+      tauNum: Long,
+      tauDen: Long): DataFrame = {
+    val ga = g.select(col("id").as("doc_a"), col("gram"))
+    val gb = g.select(col("id").as("doc_b"), col("gram"))
+    val inter = cands.join(ga, "doc_a").join(gb, Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val sa = sizes.select(col("id").as("doc_a"), col("n").as("na"))
+    val sb = sizes.select(col("id").as("doc_b"), col("n").as("nb"))
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .where(col("i") * tauDen >= (col("na") + col("nb") - col("i")) * tauNum)
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: per doc, per permutation i, min over grams of
+    * (a_i * (H(gram) mod P) + b_i) mod P. Output: (id, s0..s31). */
+  def minhashSignatures(grams: DataFrame, idCol: String): DataFrame = {
+    val h = grams.withColumn("__h", baseHash(col("gram")) % P)
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % P).as(s"s$i")
+    }
+    h.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: same md5-hashed band signature in any band,
+    * then exact-Jaccard verification ≥ tau on full gram sets. */
+  def minhashPairs(
+      grams: DataFrame,
+      idCol: String,
+      tauNum: Long,
+      tauDen: Long): DataFrame = {
+    val sigs = minhashSignatures(grams, idCol)
+    val bandCols = (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("_", parts: _*)).as("bh")).as(s"b$bnd")
+    }
+    val banded = sigs.select(col(idCol).as("id"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = banded.select(col("id").as("doc_a"), col("band"), col("bh"))
+    val r = banded.select(col("id").as("doc_b"), col("band"), col("bh"))
+    val cands = l.join(r, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .withColumnRenamed(idCol, "id")
+    jaccardVerify(cands, grams.withColumnRenamed(idCol, "id"), sizes, tauNum, tauDen)
+  }
+
+  /** 32-bit SimHash from gram hashes: bit j set iff the count of grams
+    * with bit j set exceeds half (majority vote, expressed as
+    * sum(±1) > 0). */
+  def simhash(grams: DataFrame, idCol: String): DataFrame = {
+    val h = grams.withColumn("__h32",
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast(LongType))
+    val bitSum = (j: Int) =>
+      sum(when(shiftright(col("__h32"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val simhashExpr = (0 until 32).map { j =>
+      when(bitSum(j) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    h.groupBy(col(idCol)).agg(simhashExpr.as("simhash"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, heuristic language ID,
+  * character-shingle extraction, and min-hash document fingerprints.
+  *
+  * Everything is built from codegen'd `functions._` columns — no UDFs —
+  * so whole-stage codegen covers the hot path and the same semantics
+  * are expressible as ANSI SQL for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** GPT2-flavored pre-tokenizer pattern (no lookahead — portable
+    * between Java regex and RE2): space-prefixed letter runs, digit
+    * runs, and punctuation runs. */
+  val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
+
+  /** Distinct character n-grams with 1-based positions; short texts
+    * yield a single (possibly shorter) gram. Exploded form:
+    * (id, gram). */
+  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
+          .as("__pos"),
+        col(textCol))
+      .select(col(idCol), substring(col(textCol), col("__pos"), lit(n)).as("gram"))
+      .distinct()
+
+  /** Per-language marker words for the language heuristic (latin
+    * scripts score by stopword-token membership; zh by CJK marker-char
+    * occurrences since it has no space-separated tokens). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "et", "une", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of tokens belonging to a marker set. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Argmax language with deterministic first-wins tiebreak (order of
+    * [[langMarkers]]); "und" (undetermined) when no marker hit. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores: Seq[(String, Column)] = langMarkers.map {
+      case ("zh", ms) =>
+        "zh" -> size(regexp_extract_all(text, lit(s"[${ms.mkString}]"), lit(0)))
+      case (l, ms) => l -> markerHits(toks, ms)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, l).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+
+/** Text-analysis + deduplication queries over the `documents` table.
+  * Oracle SQL mirrors every deterministic hash (md5-derived) so DuckDB
+  * reproduces results exactly; the MinHash/SimHash oracles are
+  * generated from the same permutation constants as the Spark code.
+  */
+object Text {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private val stopList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB CTE for distinct 5-grams (mirrors TextAnalysis.grams n=5). */
+  private val gramsCte =
+    """g AS (
+      |  SELECT DISTINCT doc_id, substr(text, g, 5) AS gram
+      |  FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text)-3, 2))) AS g
+      |        FROM documents))""".stripMargin
+
+  /** Generated MinHash oracle pieces (same constants as Dedup.perms). */
+  private val sigSelects: String = Dedup.perms.zipWithIndex.map {
+    case ((a, b), i) => s"min(($a * h + $b) % ${Dedup.P}) AS s$i"
+  }.mkString(",\n    ")
+  private val bandSelects: String = (0 until Dedup.numBands).map { bnd =>
+    val parts = (0 until Dedup.rowsPerBand)
+      .map(r => s"s${bnd * Dedup.rowsPerBand + r}").mkString(", ")
+    s"SELECT doc_id, $bnd AS band, md5(concat_ws('_', $parts)) AS bh FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+  private val simhashTerms: String = (0 until 32).map { j =>
+    s"CASE WHEN sum(CASE WHEN (h32 >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" +\n    ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q_text_stats" -> QueryDef(
+      "per-document token/stopword/quality statistics",
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(t, x -> x IN ($stopList))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_filter(t, x -> x IN ($stopList))) AS DOUBLE) / nullif(len(t), 0) AS stop_ratio,
+         |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / nullif(len(t), 0) AS avg_token_len,
+         |  round(least(1.0, len(t) / 100.0) *
+         |        (1.0 - CAST(len(list_filter(t, x -> x IN ($stopList))) AS DOUBLE) / nullif(len(t), 0)), 6) AS quality
+         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      val stops = filter(col("__t"), t => t.isInCollection(TextAnalysis.stopwords))
+      docs(spark, dir).select(col("doc_id"), toks.as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast(LongType).as("n_tokens"),
+          size(stops).cast(LongType).as("n_stop"),
+          (size(stops).cast(DoubleType) /
+            nullif(size(col("__t")), lit(0))).as("stop_ratio"),
+          (aggregate(transform(col("__t"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast(DoubleType) /
+            nullif(size(col("__t")), lit(0))).as("avg_token_len"))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("stop_ratio")), 6))
+        .orderBy("doc_id")
+    },
+
+    "q_lang_id" -> QueryDef(
+      "heuristic marker-word language identification",
+      {
+        val latin = TextAnalysis.langMarkers.filter(_._1 != "zh").map { case (l, ms) =>
+          s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS s_$l"
+        }.mkString(",\n    ")
+        val zhChars = TextAnalysis.langMarkers.toMap.apply("zh").mkString
+        val langs = TextAnalysis.langMarkers.map(_._1)
+        val whens = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+        s"""SELECT doc_id, CASE $whens ELSE 'und' END AS pred_lang FROM (
+           |  SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+           |    greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS best
+           |  FROM (SELECT doc_id,
+           |    $latin,
+           |    len(regexp_extract_all(text, '[$zhChars]')) AS s_zh
+           |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           |        FROM documents)))
+           |ORDER BY doc_id""".stripMargin
+      }) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    "q_token_count" -> QueryDef(
+      "BPE-style pre-tokenizer token counting",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.bpePattern}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast(LongType).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "q_fingerprint" -> QueryDef(
+      "min-hash document fingerprint over 5-gram shingles",
+      s"""WITH $gramsCte
+         |SELECT doc_id, min(md5(gram)) AS fingerprint,
+         |       CAST(count(*) AS BIGINT) AS n_grams
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5)
+        .groupBy("doc_id")
+        .agg(min(md5(col("gram"))).as("fingerprint"),
+          count(lit(1)).as("n_grams"))
+        .orderBy("doc_id")
+    },
+
+    "q_dedup_exact" -> QueryDef(
+      "exact duplicate grouping by content hash",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin) { (spark, dir) =>
+      Dedup.exactGroups(docs(spark, dir), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+
+    "q_dedup_ngram" -> QueryDef(
+      "exact n-gram Jaccard near-dup pairs (complete prefix filtering)",
+      s"""WITH $gramsCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         |pref AS (SELECT doc_id, gram, rk, n FROM (
+         |    SELECT g.doc_id, g.gram, sz.n,
+         |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfs.df, g.gram) AS rk
+         |    FROM g JOIN dfs USING (gram) JOIN sz USING (doc_id))
+         |  WHERE rk <= n - ((n * 3 + 4) // 5) + 1),
+         |cand AS (SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt,
+         |      any_value(a.n) AS na, any_value(b.n) AS nb
+         |    FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |    WHERE b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
+         |    GROUP BY 1, 2)
+         |  WHERE (cnt + least((na * 3 + 4) // 5, (nb * 3 + 4) // 5) - 1) * 8 >= (na + nb) * 3),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS i
+         |          FROM cand JOIN g x ON x.doc_id = doc_a
+         |                    JOIN g y ON y.doc_id = doc_b AND y.gram = x.gram
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE i * 5 >= (sa.n + sb.n - i) * 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      Dedup.ngramJaccardPairs(
+        TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "q_dedup_minhash" -> QueryDef(
+      "MinHash+LSH near-dup pairs, exact-Jaccard verified",
+      s"""WITH $gramsCte,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % ${Dedup.P} AS h FROM g),
+         |sig AS (SELECT doc_id,
+         |    $sigSelects
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS i
+         |          FROM cand JOIN g x ON x.doc_id = doc_a
+         |                    JOIN g y ON y.doc_id = doc_b AND y.gram = x.gram
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE i * 5 >= (sa.n + sb.n - i) * 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      Dedup.minhashPairs(
+        TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "q_dedup_simhash" -> QueryDef(
+      "32-bit SimHash per document",
+      s"""WITH $gramsCte,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h32 FROM g)
+         |SELECT doc_id,
+         |  CAST($simhashTerms AS BIGINT) AS simhash
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Dedup.simhash(
+        TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    "q_multimodal_meta" -> QueryDef(
+      "binary payload plumbing with (stubbed) per-batch media decode",
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha,
+        |  CAST(16 + (ascii(substr(text, 1, 1)) % 16) * 4 AS BIGINT) AS width,
+        |  CAST(16 + (ascii(substr(text, 2, 1)) % 16) * 4 AS BIGINT) AS height,
+        |  CAST(strlen(text) % 7 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val withPayload = docs(spark, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      Multimodal.decodeFeatures(withPayload, "doc_id").orderBy("doc_id")
+    })
+}

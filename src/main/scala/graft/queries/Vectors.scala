@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.Similarity
+
+/** Similarity-search queries over the `embeddings` table
+  * (64-dim float vectors). Cosines are computed in double precision
+  * and rounded to 6 decimals on both engines — the rounding absorbs
+  * last-ulp accumulation differences while keeping ranking exact
+  * (deterministic id tiebreaks).
+  */
+object Vectors {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"),
+        col("label"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q_ann_topk" -> QueryDef(
+      "exact brute-force cosine top-10 neighbors for probe vectors",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT * FROM d WHERE vec_id < 8),
+        |s AS (SELECT p.vec_id AS qid, d.vec_id AS nid,
+        |        round(list_cosine_similarity(p.v, d.v), 6) AS cos
+        |      FROM p JOIN d ON p.vec_id <> d.vec_id),
+        |r AS (SELECT qid, nid, cos,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT qid, rank, nid, cos FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("vec"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+      Similarity.bruteForceTopK(probes, corpus, 10).orderBy("qid", "rank")
+    },
+
+    "q_embed_dup" -> QueryDef(
+      "embedding-cosine near-duplicate pairs (exact all-pairs)",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      Similarity.cosinePairs(corpus, 0.45).orderBy("id_a", "id_b")
+    },
+
+    // Approximate variant: same output shape as q_ann_topk but probes
+    // only compare within their random-hyperplane LSH bucket — the
+    // scale path (keyed join instead of cross join). Approximation ⇒
+    // no SQL oracle; recall vs brute force is asserted in SimilaritySpec.
+    "q_ann_lsh" -> QueryDef.noOracle(
+      "LSH-bucketed approximate cosine top-10 (random hyperplanes)") { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("vec"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+      // 4 planes → 16 buckets: sized so buckets stay populated at the
+      // test corpus sizes; at real scale raise planes with corpus size.
+      Similarity.lshTopK(probes, corpus, 64, 10, numPlanes = 4).orderBy("qid", "rank")
+    })
+}

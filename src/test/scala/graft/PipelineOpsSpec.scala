@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit tests for the training-data pipeline operators: dedup finds
+  * planted duplicates, LSH similarity search agrees with brute force,
+  * language ID recognizes handcrafted multilingual samples, and the
+  * multimodal stub decode is deterministic.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val planted = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog again and again"), // near dup of 0
+    (3L, "completely different content about spark query engines entirely"),
+    (4L, "entirely unrelated words describing benchmark pipelines tonight"))
+
+  lazy val docs = planted.toDF("doc_id", "text")
+  lazy val grams = TextAnalysis.grams(docs, "doc_id", "text", 5)
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .where(col("n_copies") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("canonical_id") == 0L)
+    assert(groups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram Jaccard finds planted near-dup pair and nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(grams, "doc_id", 3, 5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $pairs")
+  }
+
+  test("minhash+LSH finds the planted near-dup pairs") {
+    val pairs = Dedup.minhashPairs(grams, "doc_id", 3, 5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $pairs")
+  }
+
+  test("simhash: identical docs hash equal; unrelated docs differ") {
+    val sh = Dedup.simhash(grams, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(3L))
+    // near-dup has small hamming distance
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) <= 8)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(3L)) > 8)
+  }
+
+  test("LSH top-k results are a subset of brute-force ranking universe") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val probes = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("vec"))
+    val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+    val bf = Similarity.bruteForceTopK(probes, corpus, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Double]("cos"))).toSet
+    val lsh = Similarity.lshTopK(probes, corpus, 64, 10, numPlanes = 3).collect()
+    assert(lsh.nonEmpty)
+    // every LSH result's cosine must equal the brute-force cosine for
+    // that (qid, nid) — the bucket restricts candidates, never alters
+    // scores; and per-probe candidates never exceed k.
+    val bfMap = Similarity.bruteForceTopK(probes, corpus, 1000).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cos")).toMap
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(bfMap(key) == r.getAs[Double]("cos"), s"score mismatch at $key")
+    }
+  }
+
+  test("language ID recognizes handcrafted samples") {
+    val samples = Seq(
+      ("en", "the cat and the dog of the house is in it"),
+      ("es", "el perro y la casa de que los gatos"),
+      ("fr", "le chien et les chats une maison des arbres"),
+      ("de", "der hund und die katze das haus ist hier"),
+      ("zh", "我在这里的房子是了")).toDF("truth", "text")
+    val got = samples.select(col("truth"), TextAnalysis.langId(col("text")).as("pred"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"langId(${r.getString(0)}) predicted ${r.getString(1)}"))
+  }
+
+  test("multimodal stub decode is deterministic and correct") {
+    val withPayload = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.decodeFeatures(withPayload, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val text0 = planted.head._2
+    val f0 = feats(0L)
+    assert(f0.getAs[Long]("byte_len") == text0.getBytes("UTF-8").length.toLong)
+    val (w, h, n) = Multimodal.decodeStub(text0.getBytes("UTF-8"))
+    assert(f0.getAs[Long]("width") == w && f0.getAs[Long]("height") == h &&
+      f0.getAs[Long]("n_frames") == n)
+    // exact dup payloads share sha
+    assert(feats(0L).getAs[String]("sha") == feats(1L).getAs[String]("sha"))
+    assert(feats(0L).getAs[String]("sha") != feats(3L).getAs[String]("sha"))
+  }
+}
