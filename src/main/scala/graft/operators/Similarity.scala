@@ -22,9 +22,11 @@ object Similarity {
 
   def norm2(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
-  /** Cosine similarity, computed as dot/sqrt(|a|²·|b|²). */
+  /** Cosine similarity, computed as dot/sqrt(|a|²·|b|²) — fused into a
+    * single codegen'd pass (see [[graft.functions.CosineSimExpr]];
+    * numerically identical to the composed column form). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+    graft.functions.CosineSimExpr.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors of each probe vector.
     *
