@@ -48,6 +48,28 @@ object Filters {
     }
   }
 
+  /** Field-wise record equality minus ignored columns — the
+    * changed-record suppression helper (reference:
+    * filter/BaseFilter.java:118-139). */
+  def isEqual(a: Row, b: Row, ignoredFields: Set[String] = Set.empty): Boolean = {
+    def fields(r: Row): Map[String, Any] =
+      r.schema.fieldNames.filterNot(ignoredFields)
+        .map(f => f -> r.getAs[Any](f)).toMap
+    fields(a) == fields(b)
+  }
+
+  /** Skip-if-unchanged filter: SKIP any record equal to the stored
+    * state modulo the ignored fields (a common reference filter
+    * pattern built on isEqual). */
+  def skipUnchanged(ignoredFields: Set[String] = Set.empty): RecordFilter =
+    new RecordFilter {
+      override def filter(entity: String, record: Row, old: Option[Row]): FilterMode =
+        old match {
+          case Some(o) if isEqual(record, o, ignoredFields) => FilterMode.Skip
+          case _ => FilterMode.Update
+        }
+    }
+
   /** Apply a filter to a snapshot (no history): SKIP and DELETE both
     * remove the row — with no prior state, a skipped record never
     * entered the snapshot (reference: BaseFilter.java:106-108). */

@@ -117,14 +117,93 @@ final class IncrementalDenormalizer(
   private var docState: Map[String, DataFrame] =
     trees.map(t => t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
 
+  /** Documents changed by the most recent batch, per tree (for sinks). */
+  private var lastChanged: Map[String, DataFrame] =
+    trees.map(t => t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
+
+  def session: SparkSession = spark
   def docs(rootName: String): DataFrame = docState(rootName)
+  def changedDocs(rootName: String): DataFrame = lastChanged(rootName)
   def snapshot(entity: String): DataFrame = snapshots(entity).select(col("value.*"))
+
+  /** Point lookup of the latest record for a primary key — the
+    * reference's `readByPK` (topic/KafkaTopic.java:390-398). Key values
+    * must be in key-field order (sorted by name for composites). */
+  def readByPk(entity: String, keyValues: Seq[Any]): Option[Row] = {
+    val pk = graft.functions.CanonicalKey.encodeComposite(keyValues)
+    snapshots(entity).where(col("__pk") === lit(pk))
+      .select(col("value")).collect().headOption.map(_.getAs[Row]("value"))
+  }
+
+  /** Engine counters, computed on demand from state (the reference
+    * reports JMX metrics, metric/Metrics.java; here the state tables
+    * are the source of truth). */
+  def metrics: Map[String, Long] = Map(
+    "entities" -> allEntities.size.toLong,
+    "trees" -> trees.size.toLong,
+    "snapshot_rows" -> snapshots.values.map(_.count()).sum,
+    "link_rows" -> links.values.map(_.count()).sum,
+    "rootmap_rows" -> rootmaps.values.map(_.count()).sum,
+    "docs_live" -> docState.values.map(_.where(!col("__deleted")).count()).sum,
+    "docs_tombstoned" -> docState.values.map(_.where(col("__deleted")).count()).sum)
+
+  /** The link table (join index, childPK → joinKey) for the first edge
+    * matching (child entity, join key) in any tree — test/debug API,
+    * mirrors the reference's `JK|entity|joinKeyField` index naming. */
+  def linkTable(childEntity: String, joinKey: String): Option[DataFrame] =
+    edges.find(e => e.child.entity == childEntity && e.child.joinKey.contains(joinKey))
+      .map(e => links(e.id))
+
+  private def safeName(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** All state tables by stable name (for [[StateOps]] backup). */
+  def stateTables: Map[String, DataFrame] =
+    snapshots.map { case (e, df) => s"snapshot__$e" -> df } ++
+      links.map { case (id, df) => s"links__${safeName(id)}" -> df } ++
+      rootmaps.map { case (id, df) => s"rootmap__${safeName(id)}" -> df } ++
+      docState.map { case (n, df) => s"docs__$n" -> df }
+
+  /** Replace state tables from a backup (names as in [[stateTables]]);
+    * missing tables keep their current (usually empty) content. */
+  def loadStateTables(tables: Map[String, DataFrame]): Unit = {
+    snapshots = snapshots.map { case (e, old) =>
+      e -> tables.get(s"snapshot__$e").map(_.localCheckpoint(true)).getOrElse(old)
+    }
+    links = links.map { case (id, old) =>
+      id -> tables.get(s"links__${safeName(id)}").map(_.localCheckpoint(true)).getOrElse(old)
+    }
+    rootmaps = rootmaps.map { case (id, old) =>
+      id -> tables.get(s"rootmap__${safeName(id)}").map(_.localCheckpoint(true)).getOrElse(old)
+    }
+    docState = docState.map { case (n, old) =>
+      n -> tables.get(s"docs__$n").map(_.localCheckpoint(true)).getOrElse(old)
+    }
+  }
+
+  /** Index-invariant checks (the reference's --verify-state,
+    * index/Index.java:366-414): link child PKs must reference live
+    * child snapshot rows; rootmap root PKs must reference live root
+    * snapshot rows (scrub-on-rebuild guarantees this). */
+  def indexInvariantViolations(): Seq[String] =
+    edges.flatMap { edge =>
+      val childSnap = snapshots(edge.child.entity).select(col("__pk").as("__cpk"))
+      val orphanLinks = links(edge.id).join(childSnap, Seq("__cpk"), "left_anti").count()
+      val rootSnap = snapshots(edge.tree.entity).select(col("__pk").as("__rpk"))
+      val orphanRoots = rootmaps(edge.id).join(rootSnap, Seq("__rpk"), "left_anti").count()
+      Seq(
+        if (orphanLinks > 0) Some(s"${edge.id}: $orphanLinks link rows reference dead child PKs") else None,
+        if (orphanRoots > 0) Some(s"${edge.id}: $orphanRoots rootmap rows reference dead root PKs") else None
+      ).flatten
+    }
 
   // ---- batch processing ---------------------------------------------
 
   /** Process one micro-batch of changelog DataFrames per entity
     * (columns: offset Long, key struct, value struct|null). */
   def processBatch(changes: Map[String, DataFrame]): Unit = {
+    // reset per-batch change tracking
+    lastChanged = trees.map(t =>
+      t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
     // 1. fold each entity's changes against prior state (filter-aware).
     val deltas: Map[String, DataFrame] = changes.collect {
       case (entity, df) if allEntities.contains(entity) =>
@@ -278,8 +357,10 @@ final class IncrementalDenormalizer(
         col("doc_json").isNull.as("__deleted"))
     val kept = docState(name).join(dirty.withColumnRenamed("__rpk", "__pk"),
       Seq("__pk"), "left_anti")
+    val newDocsCp = newDocs.localCheckpoint(true)
+    lastChanged = lastChanged.updated(name, newDocsCp)
     docState = docState.updated(name,
-      kept.unionByName(newDocs).localCheckpoint(true))
+      kept.unionByName(newDocsCp).localCheckpoint(true))
   }
 }
 

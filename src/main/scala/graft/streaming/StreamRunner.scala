@@ -38,6 +38,29 @@ import graft.operators.Compaction
   */
 object StreamRunner {
 
+  /** Per-batch document sinks — the reference's output-topic
+    * implementations (Kafka/console/black-hole,
+    * topic/{KafkaTopic,ConsoleTopic,BlackHoleTopic}.java). Each
+    * receives (tree name, changed docs: __pk/doc_json/__deleted);
+    * a null doc_json row is a tombstone. */
+  type DocSink = (String, org.apache.spark.sql.DataFrame) => Unit
+
+  object DocSinks {
+    /** Print changed docs (reference ConsoleTopic.java:65-73). */
+    val console: DocSink = (name, docs) =>
+      docs.select(hex(col("__pk")).as("pk"), col("doc_json"))
+        .collect().foreach(r => println(s"[$name] ${r.get(0)} -> ${r.get(1)}"))
+    /** Discard (reference BlackHoleTopic.java:63-65). */
+    val noop: DocSink = (_, _) => ()
+    /** Append changed docs to parquet, one dir per tree. */
+    def parquet(root: String): DocSink = (name, docs) =>
+      docs.select(hex(col("__pk")).as("pk"), col("doc_json"), col("__deleted"))
+        .write.mode("append").parquet(s"$root/$name")
+    /** Kafka producer sink (drop-in; requires the Kafka connector):
+      * docs.selectExpr("__pk AS key", "doc_json AS value")
+      *   .write.format("kafka").option(...).save() */
+  }
+
   /** Unified changelog schema for streaming sources. */
   val changelogSchema: StructType = StructType(Seq(
     StructField("entity", StringType),
@@ -63,6 +86,7 @@ object StreamRunner {
       filter: RecordFilter = Compaction.passThrough,
       strategy: QueueingStrategy = QueueingStrategy.allMedium,
       checkpointDir: Option[String] = None,
+      sink: DocSink = DocSinks.noop,
       onBatch: (IncrementalDenormalizer, Long) => Unit = (_, _) => ())
       : (IncrementalDenormalizer, StreamingQuery) = {
     val engine = new IncrementalDenormalizer(
@@ -80,7 +104,13 @@ object StreamRunner {
               from_json(col("key_json"), keySchemas(e)).as("key"),
               from_json(col("value_json"), valueSchemas(e)).as("value")))
           }.toMap
-          if (perEntity.nonEmpty) engine.processBatch(perEntity)
+          if (perEntity.nonEmpty) {
+            engine.processBatch(perEntity)
+            trees.flatMap(_.denormalizedName).foreach { name =>
+              val changed = engine.changedDocs(name)
+              if (!changed.isEmpty) sink(name, changed)
+            }
+          }
           onBatch(engine, batchId)
         } finally cached.unpersist()
       }

@@ -89,6 +89,59 @@ class IncrementalGoldenSpec extends SparkSpec {
     checkGolden("DenormalizedPlaylist")
   }
 
+  test("join indices match the reference's golden JK fixtures") {
+    import graft.functions.CanonicalKey
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def enc(n: com.fasterxml.jackson.databind.JsonNode): Array[Byte] =
+      if (n.isObject) {
+        import scala.jdk.CollectionConverters._
+        val fields = n.properties().asScala.map(e => e.getKey -> e.getValue).toSeq.sortBy(_._1)
+        CanonicalKey.encodeComposite(fields.map(_._2.asLong()))
+      } else CanonicalKey.encodeValue(n.asLong())
+
+    val indexDir = new java.io.File(s"$root/index")
+    val jkFiles = indexDir.listFiles().filter(_.getName.startsWith("JK."))
+    assert(jkFiles.nonEmpty)
+    jkFiles.foreach { f =>
+      val Array(_, entity, joinKey, _) = f.getName.split("\\.", 4)
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val expected: Map[Seq[Byte], Set[Seq[Byte]]] = (0 until lines.size() / 2).map { i =>
+        val fk = enc(mapper.readTree(lines.get(2 * i)).get("fk")).toSeq
+        val pks = mapper.readTree(lines.get(2 * i + 1)).get("pks")
+        import scala.jdk.CollectionConverters._
+        fk -> pks.elements().asScala.map(n => enc(n).toSeq).toSet
+      }.filter(_._2.nonEmpty).toMap
+      val linkDf = goldenEngine.linkTable(entity, joinKey)
+        .getOrElse(fail(s"no edge for JK.$entity.$joinKey"))
+      val got = linkDf.collect()
+        .groupBy(_.getAs[Array[Byte]]("__jk").toSeq)
+        .map { case (jk, rows) =>
+          jk -> rows.map(_.getAs[Array[Byte]]("__cpk").toSeq).toSet
+        }
+      assert(got == expected, s"JK.$entity.$joinKey mismatch")
+    }
+  }
+
+  test("state backup/restore round-trips and invariants hold") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state").toString
+    try {
+      assert(graft.streaming.StateOps.verifyState(goldenEngine).isEmpty)
+      graft.streaming.StateOps.backup(goldenEngine, tmp)
+      val fresh = new graft.streaming.IncrementalDenormalizer(
+        spark, trees, keyFields, valueSchemas, testFilter, testStrategy)
+      graft.streaming.StateOps.restore(fresh, tmp)
+      trees.flatMap(_.denormalizedName).foreach { name =>
+        assert(docsOf(fresh, name) == docsOf(goldenEngine, name), s"$name docs diverged")
+      }
+      // point lookup against restored state
+      val rec = fresh.readByPk("user", Seq(1234L))
+      assert(rec.exists(_.getAs[String]("user_name") == "Suzy"))
+      assert(fresh.readByPk("user", Seq(999999L)).isEmpty)
+      val m = fresh.metrics
+      assert(m("docs_live") > 0 && m("snapshot_rows") > 0)
+    } finally graft.streaming.StateOps.deleteState(tmp)
+  }
+
   test("Q-INCR: incremental with default strategy converges to batch result") {
     val engine = replay(QueueingStrategy.allMedium)
     val snapshots: Map[String, DataFrame] = valueSchemas.keys.map { e =>
