@@ -75,11 +75,40 @@ object CanonicalKey {
   def canonicalPk(col: Column, cols: Column*): Column = canonicalPk(col +: cols)
 }
 
+/** Runtime helpers callable from generated code (one static call per
+  * child — no boxing/iterator overhead in the hot path). */
+object CanonicalKeyRT {
+  def encodeInt(v: Int): Array[Byte] = CanonicalKey.encodeValue(v)
+  def encodeLong(v: Long): Array[Byte] = CanonicalKey.encodeValue(v)
+  def encodeBool(v: Boolean): Array[Byte] = CanonicalKey.encodeValue(v)
+  def encodeUtf8(v: UTF8String): Array[Byte] = v.getBytes
+  def composite(parts: Array[Array[Byte]]): Array[Byte] = {
+    var size = 0
+    var i = 0
+    while (i < parts.length) {
+      val len = parts(i).length
+      if (len > 255) throw new IllegalStateException(
+        s"composite key element exceeds 255 bytes: $len")
+      size += len + 1; i += 1
+    }
+    val out = new Array[Byte](size)
+    var pos = 0
+    i = 0
+    while (i < parts.length) {
+      out(pos) = parts(i).length.toByte; pos += 1
+      System.arraycopy(parts(i), 0, out, pos, parts(i).length)
+      pos += parts(i).length; i += 1
+    }
+    out
+  }
+}
+
 /** Catalyst expression computing the canonical PK bytes of its children
   * (children must already be in field-name-sorted order for composites).
+  * Generates code via [[CanonicalKeyRT]] static calls so whole-stage
+  * codegen spans stay unbroken around key encoding.
   */
-case class CanonicalPkExpr(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+case class CanonicalPkExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -110,6 +139,49 @@ case class CanonicalPkExpr(children: Seq[Expression])
         i += 1
       }
       out.toByteArray
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val rt = "graft.functions.CanonicalKeyRT"
+    def encCall(dt: DataType, v: String): String = dt match {
+      case IntegerType | ShortType | ByteType => s"$rt.encodeInt((int)$v)"
+      case LongType => s"$rt.encodeLong($v)"
+      case BooleanType => s"$rt.encodeBool($v)"
+      case StringType => s"$rt.encodeUtf8($v)"
+      case BinaryType => v
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+    val evals = children.map(_.genCode(ctx))
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    if (children.size == 1) {
+      val e = evals.head
+      ev.copy(code = code"""
+        |$childCode
+        |boolean ${ev.isNull} = ${e.isNull};
+        |byte[] ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = ${encCall(children.head.dataType, e.value.toString)};
+        |}""".stripMargin)
+    } else {
+      val parts = ctx.freshName("parts")
+      val fills = children.zip(evals).zipWithIndex.map { case ((c, e), i) =>
+        s"$parts[$i] = ${encCall(c.dataType, e.value.toString)};"
+      }.mkString("\n")
+      ev.copy(code = code"""
+        |$childCode
+        |boolean ${ev.isNull} = $anyNull;
+        |byte[] ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  byte[][] $parts = new byte[${children.size}][];
+        |  $fills
+        |  ${ev.value} = $rt.composite($parts);
+        |}""".stripMargin)
     }
   }
 

@@ -117,6 +117,53 @@ object Cdc {
         .orderBy("o_orderkey")
     },
 
+    // Sessionization: session_window with a 30-minute gap — the
+    // streaming session-window operator evaluated in batch; the oracle
+    // is the classic gaps-and-islands SQL, proving the semantics match.
+    "q_sessionize" -> QueryDef(
+      "session windows (30-min gap) per user over the event stream",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |flag AS (SELECT user_id, us, value,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (SELECT user_id, us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flag)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tstamp"),
+          expr("ts div 1000").as("us"), col("value"))
+      e.groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+        .agg(min(col("us")).as("session_start_us"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(col("user_id"), col("session_start_us"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    },
+
+    // Distinct-count aggregation surface.
+    "q_distinct" -> QueryDef(
+      "exact distinct counts and extremes per event type",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    },
+
     // Streaming-style tumbling-window aggregation (batch equivalent).
     "q_window_agg" -> QueryDef(
       "tumbling 1-hour window aggregation over the event stream",
