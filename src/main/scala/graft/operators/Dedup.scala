@@ -125,7 +125,10 @@ object Dedup {
   }
 
   /** MinHash signatures: per doc, per permutation i, min over grams of
-    * (a_i * (H(gram) mod P) + b_i) mod P. Output: (id, s0..s31). */
+    * (a_i * (H(gram) mod P) + b_i) mod P. Output: (id, s0..s31).
+    * Base hash computed inline — md5 of short shingles is cheap and
+    * stays inside whole-stage codegen (measured faster than a
+    * distinct+broadcast-join hash table). */
   def minhashSignatures(grams: DataFrame, idCol: String): DataFrame = {
     val h = grams.withColumn("__h", baseHash(col("gram")) % P)
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
