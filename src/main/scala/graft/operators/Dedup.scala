@@ -65,7 +65,8 @@ object Dedup {
       tauNum: Long,
       tauDen: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = grams.select(col(idCol).as("id"), col("gram"))
+    // materialize the distinct gram set once (5 downstream uses)
+    val g = grams.select(col(idCol).as("id"), col("gram")).localCheckpoint(true)
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
@@ -140,10 +141,14 @@ object Dedup {
   /** LSH candidate pairs: same md5-hashed band signature in any band,
     * then exact-Jaccard verification ≥ tau on full gram sets. */
   def minhashPairs(
-      grams: DataFrame,
+      grams0: DataFrame,
       idCol: String,
       tauNum: Long,
       tauDen: Long): DataFrame = {
+    // The distinct gram set feeds signatures, sizes and both sides of
+    // the verification join — materialize it once (localCheckpoint:
+    // lineage-truncating block reuse) instead of re-shuffling 4×.
+    val grams = grams0.localCheckpoint(true)
     val sigs = minhashSignatures(grams, idCol)
     val bandCols = (0 until numBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}"))

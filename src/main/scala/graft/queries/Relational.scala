@@ -199,6 +199,52 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // Multi-way join + aggregation (TPC-H Q5 flavor): revenue per
+    // customer nation where supplier shares the nation.
+    "q_join_agg" -> QueryDef(
+      "five-way join with decimal-exact revenue aggregation per nation",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (spark, dir) =>
+      val c = t(spark, dir)("customer")
+      val o = t(spark, dir)("orders")
+      val li = t(spark, dir)("lineitem")
+      val s = t(spark, dir)("supplier")
+      val n = t(spark, dir)("nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, li("l_orderkey") === o("o_orderkey"))
+        .join(s, li("l_suppkey") === s("s_suppkey") &&
+          c("c_nationkey") === s("s_nationkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(BigDecimal(1)).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("n_name")
+    },
+
+    // Semi/anti-join surface: orders with no lineitems at all.
+    "q_antijoin" -> QueryDef(
+      "anti join: orders without any lineitem",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val li = t(spark, dir)("lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // Full nested {Record, Children} document assembly (reference
     // Southpaw.java:326-358); JSON-shape parity is golden-tested in
     // DenormalizeSpec — no SQL oracle (nested JSON not ANSI-expressible).

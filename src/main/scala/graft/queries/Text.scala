@@ -151,6 +151,9 @@ object Text {
          |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
          |WHERE i * 5 >= (sa.n + sb.n - i) * 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      // NOTE: caching the gram set here was measured SLOWER (2×) than
+      // recomputing it — the InMemoryRelation boundary breaks codegen
+      // fusion with the scan; recompute wins.
       Dedup.ngramJaccardPairs(
         TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
         .orderBy("doc_a", "doc_b")
