@@ -90,6 +90,16 @@ final class IncrementalDenormalizer(
 
   private val edges: Seq[Edge] = trees.flatMap(collectEdges)
 
+  /** Fixed partition count for long-lived state tables. Unions sum
+    * their inputs' partition counts, so without this the state would
+    * gain partitions every batch (tiny-task explosion); coalescing to
+    * a constant before each checkpoint keeps per-batch stage counts
+    * flat. On a cluster this is where bucketed state storage goes. */
+  private val statePartitions: Int =
+    math.max(spark.sparkContext.defaultParallelism / 2, 4)
+  private def persistState(df: DataFrame): DataFrame =
+    df.coalesce(statePartitions).localCheckpoint(true)
+
   /** First edge in a tree whose child entity matches — reference
     * RelationHelper.getRelation takes the first match. */
   private def firstEdgeFor(tree: Relation, entity: String): Option[Edge] =
@@ -247,7 +257,7 @@ final class IncrementalDenormalizer(
       val kept = snap.join(changedKeys, Seq("__pk"), "left_anti")
       val updated = kept.unionByName(
         delta.where(col("value").isNotNull).select(col("__pk"), col("value")))
-      snapshots = snapshots.updated(entity, updated.localCheckpoint(true))
+      snapshots = snapshots.updated(entity, persistState(updated))
 
       edges.filter(_.child.entity == entity).foreach { edge =>
         val jkField = edge.child.joinKey.get
@@ -258,7 +268,7 @@ final class IncrementalDenormalizer(
         val keptLinks = links(edge.id).join(
           delta.select(col("__pk").as("__cpk")), Seq("__cpk"), "left_anti")
         links = links.updated(edge.id,
-          keptLinks.unionByName(newLinks).localCheckpoint(true))
+          persistState(keptLinks.unionByName(newLinks)))
       }
     }
 
@@ -351,7 +361,7 @@ final class IncrementalDenormalizer(
         .where(col("__jk").isNotNull).distinct()
       rootmaps = rootmaps.updated(edge.id,
         rootmaps(edge.id).unionByName(regs.select(col("__jk"), col("__rpk")))
-          .distinct().localCheckpoint(true))
+          .distinct().coalesce(statePartitions).localCheckpoint(true))
     }
 
     // Upsert document state; dirty roots with no assembled doc get a
@@ -364,7 +374,7 @@ final class IncrementalDenormalizer(
     val newDocsCp = newDocs.localCheckpoint(true)
     lastChanged = lastChanged.updated(name, newDocsCp)
     docState = docState.updated(name,
-      kept.unionByName(newDocsCp).localCheckpoint(true))
+      persistState(kept.unionByName(newDocsCp)))
   }
 }
 
