@@ -149,6 +149,21 @@ object Cdc {
         .orderBy("user_id", "session_start_us")
     },
 
+    // lag/lead window surface: inter-event gaps per user.
+    "q_lag" -> QueryDef(
+      "lag window: time since previous event per user",
+      """SELECT user_id, event_id,
+        |  CAST(coalesce(epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000)
+        |    OVER (PARTITION BY user_id ORDER BY event_id), -1) AS BIGINT) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(spark, dir)("events")
+        .select(col("user_id"), col("event_id"),
+          coalesce(expr("ts div 1000") - lag(expr("ts div 1000"), 1).over(w),
+            lit(-1L)).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Distinct-count aggregation surface.
     "q_distinct" -> QueryDef(
       "exact distinct counts and extremes per event type",
