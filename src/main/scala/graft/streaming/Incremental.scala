@@ -164,6 +164,17 @@ final class IncrementalDenormalizer(
     edges.find(e => e.child.entity == childEntity && e.child.joinKey.contains(joinKey))
       .map(e => links(e.id))
 
+  /** Rootmap tables (parent index, joinKey → rootPK) for every edge
+    * matching the reference's `PaK|root|parentEntity|parentKeyField`
+    * index naming (Indices.createParentIndexName) — edges sharing a
+    * (parent, parentKey) each hold an identical copy. */
+  def rootmapTables(rootEntity: String, parentEntity: String,
+      parentKeyField: String): Seq[DataFrame] =
+    edges.filter { e =>
+      e.tree.entity == rootEntity && e.path.last.entity == parentEntity &&
+        e.child.parentKey.contains(parentKeyField)
+    }.map(e => rootmaps(e.id))
+
   private def safeName(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** All state tables by stable name (for [[StateOps]] backup). */

@@ -122,6 +122,38 @@ class IncrementalGoldenSpec extends SparkSpec {
     }
   }
 
+  test("parent indices match the reference's golden PaK fixtures") {
+    import graft.functions.CanonicalKey
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    def enc(n: com.fasterxml.jackson.databind.JsonNode): Array[Byte] =
+      if (n.isObject) {
+        val fields = n.properties().asScala.map(e => e.getKey -> e.getValue).toSeq.sortBy(_._1)
+        CanonicalKey.encodeComposite(fields.map(_._2.asLong()))
+      } else CanonicalKey.encodeValue(n.asLong())
+
+    val pakFiles = new java.io.File(s"$root/index").listFiles()
+      .filter(_.getName.startsWith("PaK."))
+    assert(pakFiles.nonEmpty)
+    pakFiles.foreach { f =>
+      val Array(_, rootE, parentE, pkField, _) = f.getName.split("\\.", 5)
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val expected: Set[(Seq[Byte], Seq[Byte])] = (0 until lines.size() / 2).flatMap { i =>
+        val fk = enc(mapper.readTree(lines.get(2 * i)).get("fk")).toSeq
+        mapper.readTree(lines.get(2 * i + 1)).get("pks").elements().asScala
+          .map(n => (fk, enc(n).toSeq)).toSeq
+      }.toSet
+      val tables = goldenEngine.rootmapTables(rootE, parentE, pkField)
+      assert(tables.nonEmpty, s"no edge for ${f.getName}")
+      tables.foreach { df =>
+        val got = df.collect().map(r =>
+          (r.getAs[Array[Byte]]("__jk").toSeq,
+            r.getAs[Array[Byte]]("__rpk").toSeq)).toSet
+        assert(got == expected, s"${f.getName}: got ${got.size}, expected ${expected.size}")
+      }
+    }
+  }
+
   test("state backup/restore round-trips and invariants hold") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_state").toString
     try {
