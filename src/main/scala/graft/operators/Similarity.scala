@@ -80,16 +80,26 @@ object Similarity {
   }
 
   /** Approximate top-k: probes compare only against corpus vectors in
-    * the same hyperplane bucket. Trades recall for a bounded, shuffle-
-    * keyed join instead of a cross join — the 100 TB-scale path. */
+    * the same hyperplane bucket — a bounded, shuffle-keyed join instead
+    * of a cross join; the 100 TB-scale path. With `multiProbe`, each
+    * probe additionally visits every Hamming-1-adjacent bucket (flip
+    * one hyperplane sign), raising recall sharply for vectors near a
+    * plane at the cost of (numPlanes+1)× probe rows — probes are the
+    * tiny side, so the join stays corpus-size-bounded. */
   def lshTopK(probes: DataFrame, corpus: DataFrame, dim: Int, k: Int,
-      numPlanes: Int = 16): DataFrame = {
+      numPlanes: Int = 16, multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pb = probes.withColumn("__bucket", lshBucket(col("vec"), dim, numPlanes))
+    val pb0 = probes.withColumn("__b0", lshBucket(col("vec"), dim, numPlanes))
+    val pb = (if (multiProbe) {
+      val flips = lit(0L) +: (0 until numPlanes).map(m => lit(1L << m))
+      pb0.select(col("qid"), col("vec"),
+          explode(array(flips.map(f => col("__b0").bitwiseXOR(f)): _*)).as("__bucket"))
+    } else pb0.withColumnRenamed("__b0", "__bucket"))
       .select(col("qid"), col("__bucket"), col("vec").as("__qv"))
     val cb = corpus.withColumn("__bucket", lshBucket(col("vec"), dim, numPlanes))
       .select(col("nid"), col("__bucket"), col("vec").as("__nv"))
     val joined = pb.join(cb, "__bucket").where(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))

@@ -70,6 +70,11 @@ class PipelineOpsSpec extends SparkSpec {
       val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
       assert(bfMap(key) == r.getAs[Double]("cos"), s"score mismatch at $key")
     }
+    // multi-probe recall@10 vs brute force
+    val lshSet = lsh.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val bfSet = bf.map { case (q, n, _) => (q, n) }
+    val recall = bfSet.count(lshSet) / bfSet.size.toDouble
+    assert(recall >= 0.5, s"multi-probe LSH recall too low: $recall")
   }
 
   test("language ID recognizes handcrafted samples") {
