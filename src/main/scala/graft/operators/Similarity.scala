@@ -62,6 +62,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: assign every corpus vector
+    * to its nearest of `nLists` centroids (one partition pass), then
+    * search each probe only in the `nProbe` centroid cells nearest to
+    * it. Centroids are taken deterministically as the first `nLists`
+    * corpus vectors (a k-means iteration would refine them — the
+    * assignment/probing plumbing is identical). Cell assignment is a
+    * broadcast of the centroid set; the probe-cell join is a keyed
+    * equijoin — no cross join anywhere, the second 100 TB-scale path
+    * besides LSH.
+    */
+  def ivfTopK(
+      probes: DataFrame, // (qid, vec)
+      corpus: DataFrame, // (nid, vec)
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.orderBy(col("nid")).limit(nLists)
+      .select(col("nid").as("cid"), col("vec").as("__cv"))
+    // nearest-centroid cell per corpus vector
+    val wc = Window.partitionBy(col("nid")).orderBy(
+      col("__d").desc, col("cid"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("__d", cosine(col("vec"), col("__cv")))
+      .withColumn("__r", row_number().over(wc))
+      .where(col("__r") === 1)
+      .select(col("nid"), col("vec").as("__nv"), col("cid"))
+    // nProbe nearest cells per probe
+    val wp = Window.partitionBy(col("qid")).orderBy(
+      col("__d").desc, col("cid"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("__d", cosine(col("vec"), col("__cv")))
+      .withColumn("__r", row_number().over(wp))
+      .where(col("__r") <= nProbe)
+      .select(col("qid"), col("vec").as("__qv"), col("cid"))
+    val joined = probeCells.join(assigned, "cid")
+      .where(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component d of plane m is
     * ±1 by the parity of a xorshift of (m * dim + d). */
   def planeSign(m: Int, d: Int): Double = {

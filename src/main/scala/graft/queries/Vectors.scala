@@ -52,6 +52,17 @@ object Vectors {
       Similarity.cosinePairs(corpus, 0.45).orderBy("id_a", "id_b")
     },
 
+    // IVF variant: centroid cells + nProbe search — the second
+    // approximate scale path. No oracle (approximate); recall and
+    // score exactness asserted in PipelineOpsSpec.
+    "q_ann_ivf" -> QueryDef.noOracle(
+      "IVF-cell approximate cosine top-10 (16 lists, 4 probes)") { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("vec"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+      Similarity.ivfTopK(probes, corpus, 10).orderBy("qid", "rank")
+    },
+
     // Approximate variant: same output shape as q_ann_topk but probes
     // only compare within their random-hyperplane LSH bucket — the
     // scale path (keyed join instead of cross join). Approximation ⇒

@@ -77,6 +77,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe LSH recall too low: $recall")
   }
 
+  test("IVF top-k scores are exact and recall is reasonable") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val probes = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("vec"))
+    val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+    val ivf = Similarity.ivfTopK(probes, corpus, 10, nLists = 8, nProbe = 3).collect()
+    assert(ivf.nonEmpty)
+    val bfMap = Similarity.bruteForceTopK(probes, corpus, 1000).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cos")).toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(bfMap(key) == r.getAs[Double]("cos"), s"score mismatch at $key")
+    }
+    val bf10 = Similarity.bruteForceTopK(probes, corpus, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val ivfSet = ivf.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = bf10.count(ivfSet) / bf10.size.toDouble
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("language ID recognizes handcrafted samples") {
     val samples = Seq(
       ("en", "the cat and the dog of the house is in it"),
