@@ -345,9 +345,34 @@ final class IncrementalDenormalizer(
     // compiler as batch mode (Q-INCR equivalence by construction).
     val rootSnap = snapshots(tree.entity)
     val restrictedRoot = rootSnap.join(dirty, rootSnap("__pk") === dirty("__rpk"),
-      "left_semi").select(col("value.*"))
+      "left_semi").select(col("value.*")).localCheckpoint(true)
+    // Cascade the dirty restriction down the tree: each child table is
+    // semi-joined to the reachable parent key values, so rebuild work
+    // scales with the dirty neighborhood, not with full table sizes —
+    // a rebuild of K roots never re-aggregates the whole child corpus.
+    // A superset per entity is safe (extra child groups simply find no
+    // parent in the left join); diamond entities union their
+    // per-position restrictions.
+    val restricted = scala.collection.mutable.Map[String, DataFrame]()
+    def walkRestrict(node: Relation, nodeDf: DataFrame): Unit =
+      node.children.foreach { edge =>
+        val childSnap = snapshot(edge.entity)
+        val parentKeys = nodeDf
+          .select(canonicalPk(Seq(nodeDf(edge.parentKey.get))).as("__k"))
+          .where(col("__k").isNotNull).distinct()
+        val r = childSnap.join(parentKeys,
+          canonicalPk(Seq(childSnap(edge.joinKey.get))) === col("__k"), "left_semi")
+        restricted(edge.entity) =
+          restricted.get(edge.entity).map(_.unionByName(r)).getOrElse(r)
+        walkRestrict(edge, r)
+      }
+    walkRestrict(tree, restrictedRoot)
+    val restrictedDedup: Map[String, DataFrame] = restricted.toMap.map {
+      case (e, df) => e -> df.dropDuplicates(keyFields(e))
+    }
     val tables: String => DataFrame = e =>
-      if (e == tree.entity) restrictedRoot else snapshot(e)
+      if (e == tree.entity) restrictedRoot
+      else restrictedDedup.getOrElse(e, snapshot(e))
     val assembled = Denormalize.documents(tree, tables, keyFields)
       .select(col("__pk"), col("doc_json")).localCheckpoint(true)
 
@@ -359,7 +384,7 @@ final class IncrementalDenormalizer(
         .withColumn("__rpk", canonicalPk(keyFields(tree.entity).map(col)))
       // walk down path (path.head is the root node itself)
       edge.path.zip(edge.path.drop(1)).foreach { case (parent, childNode) =>
-        val childSnap = snapshot(childNode.entity)
+        val childSnap = tables(childNode.entity)
         val pk = canonicalPk(Seq(cur(childNode.parentKey.get)))
         val jk = canonicalPk(Seq(childSnap(childNode.joinKey.get)))
         cur = cur.select(col("__rpk"), pk.as("__join"))
