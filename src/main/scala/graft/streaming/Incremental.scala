@@ -301,6 +301,18 @@ final class IncrementalDenormalizer(
   private def foldDelta(entity: String, changes: DataFrame): DataFrame = {
     val valueSchema = valueSchemas(entity)
     val kf = keyFields(entity)
+    if (filter eq Compaction.passThrough) {
+      // No custom filter: the fold degenerates to newest-change-wins —
+      // fully declarative (codegen'd window), no row-level lambda.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__pk")).orderBy(col("offset").desc)
+      return changes.select(
+          canonicalPk(kf.map(f => col("key").getField(f))).as("__pk"),
+          col("offset"), col("value"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("__pk"), col("value"))
+    }
     val prepared = changes.select(
       canonicalPk(kf.map(f => col("key").getField(f))).as("__pk"),
       struct(col("offset"), col("value")).as("__ov"))
