@@ -100,6 +100,23 @@ final class IncrementalDenormalizer(
   private def persistState(df: DataFrame): DataFrame =
     df.coalesce(statePartitions).localCheckpoint(true)
 
+  /** Materialize independent state tables concurrently. Each eager
+    * localCheckpoint is a blocking Spark job with a handful of tasks at
+    * state-table scale, so running them back-to-back leaves most cores
+    * idle; submitting them from a small thread pool overlaps the jobs
+    * (Spark's scheduler is thread-safe). Order of results matches the
+    * input order. */
+  private def parMaterialize(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    if (dfs.lengthCompare(2) < 0) dfs.map(_.localCheckpoint(true))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = materializeEc
+      Await.result(
+        Future.sequence(dfs.map(df => Future(df.localCheckpoint(true)))),
+        Duration.Inf)
+    }
+
   /** First edge in a tree whose child entity matches — reference
     * RelationHelper.getRelation takes the first match. */
   private def firstEdgeFor(tree: Relation, entity: String): Option[Edge] =
@@ -229,13 +246,15 @@ final class IncrementalDenormalizer(
     // Eager localCheckpoint (not cache): truncating lineage keeps
     // downstream plan trees small across chained batches — measured
     // faster than lazy caching once batches accumulate.
-    val deltas: Map[String, DataFrame] = changes.collect {
+    val deltaPairs: Seq[(String, DataFrame)] = changes.collect {
       case (entity, df) if allEntities.contains(entity) =>
-        entity -> foldDelta(entity, df).localCheckpoint(true)
-    }
+        entity -> foldDelta(entity, df)
+    }.toSeq
+    val deltas: Map[String, DataFrame] =
+      deltaPairs.map(_._1).zip(parMaterialize(deltaPairs.map(_._2))).toMap
 
     // 2. dirty roots per tree — uses PRE-batch links for old FKs.
-    val dirtySets: Map[String, DataFrame] = trees.map { tree =>
+    val dirtyPairs: Seq[(String, DataFrame)] = trees.map { tree =>
       val name = tree.denormalizedName.get
       val parts: Seq[DataFrame] = deltas.toSeq.flatMap { case (entity, delta) =>
         if (tree.entity == entity) {
@@ -257,30 +276,45 @@ final class IncrementalDenormalizer(
       }
       val dirty =
         if (parts.isEmpty) emptyDf(spark, StructType(Seq(StructField("__rpk", BinaryType))))
-        else parts.reduce(_ union _).distinct().localCheckpoint(true)
+        else parts.reduce(_ union _).distinct()
       name -> dirty
-    }.toMap
+    }
+    val dirtySets: Map[String, DataFrame] =
+      dirtyPairs.map(_._1).zip(parMaterialize(dirtyPairs.map(_._2))).toMap
 
-    // 3. apply deltas: snapshots and link tables.
-    deltas.foreach { case (entity, delta) =>
-      val snap = snapshots(entity)
-      val changedKeys = delta.select(col("__pk"))
-      val kept = snap.join(changedKeys, Seq("__pk"), "left_anti")
-      val updated = kept.unionByName(
-        delta.where(col("value").isNotNull).select(col("__pk"), col("value")))
-      snapshots = snapshots.updated(entity, persistState(updated))
-
-      edges.filter(_.child.entity == entity).foreach { edge =>
-        val jkField = edge.child.joinKey.get
-        val newLinks = delta.where(col("value").isNotNull)
-          .select(col("__pk").as("__cpk"),
-            canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
-          .where(col("__jk").isNotNull)
-        val keptLinks = links(edge.id).join(
-          delta.select(col("__pk").as("__cpk")), Seq("__cpk"), "left_anti")
-        links = links.updated(edge.id,
-          persistState(keptLinks.unionByName(newLinks)))
-      }
+    // 3. apply deltas: snapshots and link tables. All updates derive
+    // from the (already materialized) deltas and pre-batch state, so
+    // they are mutually independent — build them lazily, then
+    // materialize the whole wave concurrently.
+    val snapUpdates: Seq[(String, DataFrame)] = deltas.toSeq.map {
+      case (entity, delta) =>
+        val snap = snapshots(entity)
+        val changedKeys = delta.select(col("__pk"))
+        val kept = snap.join(changedKeys, Seq("__pk"), "left_anti")
+        val updated = kept.unionByName(
+          delta.where(col("value").isNotNull).select(col("__pk"), col("value")))
+        entity -> updated.coalesce(statePartitions)
+    }
+    val linkUpdates: Seq[(String, DataFrame)] = deltas.toSeq.flatMap {
+      case (entity, delta) =>
+        edges.filter(_.child.entity == entity).map { edge =>
+          val jkField = edge.child.joinKey.get
+          val newLinks = delta.where(col("value").isNotNull)
+            .select(col("__pk").as("__cpk"),
+              canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
+            .where(col("__jk").isNotNull)
+          val keptLinks = links(edge.id).join(
+            delta.select(col("__pk").as("__cpk")), Seq("__cpk"), "left_anti")
+          edge.id -> keptLinks.unionByName(newLinks).coalesce(statePartitions)
+        }
+    }
+    val materialized =
+      parMaterialize((snapUpdates ++ linkUpdates).map(_._2))
+    snapUpdates.map(_._1).zip(materialized.take(snapUpdates.size)).foreach {
+      case (entity, df) => snapshots = snapshots.updated(entity, df)
+    }
+    linkUpdates.map(_._1).zip(materialized.drop(snapUpdates.size)).foreach {
+      case (id, df) => links = links.updated(id, df)
     }
 
     // 4. rebuild dirty roots per tree.
@@ -385,32 +419,40 @@ final class IncrementalDenormalizer(
     val tables: String => DataFrame = e =>
       if (e == tree.entity) restrictedRoot
       else restrictedDedup.getOrElse(e, snapshot(e))
+    // Not checkpointed: consumed exactly once, into newDocsCp below —
+    // a separate materialization pass would be pure overhead.
     val assembled = Denormalize.documents(tree, tables, keyFields)
-      .select(col("__pk"), col("doc_json")).localCheckpoint(true)
+      .select(col("__pk"), col("doc_json"))
 
     // J3 re-register: for each edge, walk the path root→parent with
     // inner joins over live snapshots (a node registers only if its
     // record exists — lazy parent index, Southpaw.java:342).
-    edges.filter(_.tree == tree).foreach { edge =>
-      var cur = restrictedRoot
-        .withColumn("__rpk", canonicalPk(keyFields(tree.entity).map(col)))
-      // walk down path (path.head is the root node itself)
-      edge.path.zip(edge.path.drop(1)).foreach { case (parent, childNode) =>
-        val childSnap = tables(childNode.entity)
-        val pk = canonicalPk(Seq(cur(childNode.parentKey.get)))
-        val jk = canonicalPk(Seq(childSnap(childNode.joinKey.get)))
-        cur = cur.select(col("__rpk"), pk.as("__join"))
-          .join(childSnap.withColumn("__cjk", jk), col("__join") === col("__cjk"))
-          .drop("__join", "__cjk")
+    val rootmapUpdates: Seq[(String, DataFrame)] =
+      edges.filter(_.tree == tree).map { edge =>
+        var cur = restrictedRoot
+          .withColumn("__rpk", canonicalPk(keyFields(tree.entity).map(col)))
+        // walk down path (path.head is the root node itself)
+        edge.path.zip(edge.path.drop(1)).foreach { case (parent, childNode) =>
+          val childSnap = tables(childNode.entity)
+          val pk = canonicalPk(Seq(cur(childNode.parentKey.get)))
+          val jk = canonicalPk(Seq(childSnap(childNode.joinKey.get)))
+          cur = cur.select(col("__rpk"), pk.as("__join"))
+            .join(childSnap.withColumn("__cjk", jk), col("__join") === col("__cjk"))
+            .drop("__join", "__cjk")
+        }
+        val regs = cur.select(col("__rpk"),
+          canonicalPk(Seq(cur(edge.child.parentKey.get))).as("__jk"))
+          .where(col("__jk").isNotNull).distinct()
+        // No distinct on the union: the scrub removed every dirty root
+        // from the old rootmap and regs contains ONLY dirty roots, so
+        // the two sides are disjoint by construction.
+        edge.id -> rootmaps(edge.id)
+          .unionByName(regs.select(col("__jk"), col("__rpk")))
+          .coalesce(statePartitions)
       }
-      val parentNode = edge.path.last
-      val regs = cur.select(col("__rpk"),
-        canonicalPk(Seq(cur(edge.child.parentKey.get))).as("__jk"))
-        .where(col("__jk").isNotNull).distinct()
-      rootmaps = rootmaps.updated(edge.id,
-        rootmaps(edge.id).unionByName(regs.select(col("__jk"), col("__rpk")))
-          .distinct().coalesce(statePartitions).localCheckpoint(true))
-    }
+    rootmapUpdates.map(_._1)
+      .zip(parMaterialize(rootmapUpdates.map(_._2)))
+      .foreach { case (id, df) => rootmaps = rootmaps.updated(id, df) }
 
     // Upsert document state; dirty roots with no assembled doc get a
     // null-document tombstone.
@@ -427,6 +469,19 @@ final class IncrementalDenormalizer(
 }
 
 object IncrementalDenormalizer {
+  /** Small daemon pool for concurrent state-table materialization
+    * (bounded: each job already fans out across executor cores, the
+    * pool only overlaps job scheduling + I/O latencies). */
+  private lazy val materializeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-ivm-materialize")
+          t.setDaemon(true)
+          t
+        }))
+
   private val linkSchema = StructType(Seq(
     StructField("__cpk", BinaryType), StructField("__jk", BinaryType)))
   private val rootmapSchema = StructType(Seq(
