@@ -112,9 +112,23 @@ object Dedup {
       sizes: DataFrame, // (id, n)
       tauNum: Long,
       tauDen: Long): DataFrame = {
-    val ga = g.select(col("id").as("doc_a"), col("gram"))
-    val gb = g.select(col("id").as("doc_b"), col("gram"))
-    val inter = cands.join(ga, "doc_a").join(gb, Seq("doc_b", "gram"))
+    // Materialize the candidate pairs once: they are few (the filters
+    // upstream exist precisely to make them few) but their plan is the
+    // expensive half of the query — every reuse below must NOT
+    // re-derive it.
+    val c = cands.localCheckpoint(true)
+    // Restrict both gram sides to docs that actually appear in a
+    // candidate pair BEFORE the intersection join: the candidate id
+    // sets are tiny relative to the corpus (AQE broadcasts them), so
+    // the (doc, gram) join below scales with candidate volume instead
+    // of shuffling the full gram corpus.
+    val aIds = c.select(col("doc_a").as("id")).distinct()
+    val bIds = c.select(col("doc_b").as("id")).distinct()
+    val ga = g.join(aIds, Seq("id"), "left_semi")
+      .select(col("id").as("doc_a"), col("gram"))
+    val gb = g.join(bIds, Seq("id"), "left_semi")
+      .select(col("id").as("doc_b"), col("gram"))
+    val inter = c.join(ga, "doc_a").join(gb, Seq("doc_b", "gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     val sa = sizes.select(col("id").as("doc_a"), col("n").as("na"))
     val sb = sizes.select(col("id").as("doc_b"), col("n").as("nb"))

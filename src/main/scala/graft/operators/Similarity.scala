@@ -79,27 +79,36 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus.orderBy(col("nid")).limit(nLists)
-      .select(col("nid").as("cid"), col("vec").as("__cv"))
-    // nearest-centroid cell per corpus vector
-    val wc = Window.partitionBy(col("nid")).orderBy(
-      col("__d").desc, col("cid"))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("__d", cosine(col("vec"), col("__cv")))
-      .withColumn("__r", row_number().over(wc))
-      .where(col("__r") === 1)
+    // The centroid set is tiny (nLists rows) — collect it and inline
+    // each centroid as a literal vector, so cell assignment over the
+    // full corpus is a pure codegen map expression: argmax of nLists
+    // cosines per row, no crossJoin and no per-vector window shuffle.
+    val cents: Array[(Long, Seq[Double])] =
+      corpus.orderBy(col("nid")).limit(nLists)
+        .select(col("nid").cast(LongType), col("vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (cents.isEmpty)
+      return probes.select(col("qid"), lit(0L).as("rank"),
+        col("qid").as("nid"), lit(0.0).as("cos")).limit(0)
+    // Struct ordering (d desc, cid asc) via lexicographic (d, -cid).
+    def cellRank(vec: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cosine(vec, typedlit(cv)).as("d"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }: _*)
+    val assigned = corpus
+      .withColumn("cid", array_max(cellRank(col("vec"))).getField("cid"))
       .select(col("nid"), col("vec").as("__nv"), col("cid"))
-    // nProbe nearest cells per probe
-    val wp = Window.partitionBy(col("qid")).orderBy(
-      col("__d").desc, col("cid"))
-    val probeCells = probes.crossJoin(broadcast(cents))
-      .withColumn("__d", cosine(col("vec"), col("__cv")))
-      .withColumn("__r", row_number().over(wp))
-      .where(col("__r") <= nProbe)
-      .select(col("qid"), col("vec").as("__qv"), col("cid"))
-    val joined = probeCells.join(assigned, "cid")
+    // nProbe nearest cells per probe (probe side is tiny)
+    val probeCells = probes
+      .withColumn("__cell",
+        explode(slice(reverse(array_sort(cellRank(col("vec")))), 1, nProbe)))
+      .select(col("qid"), col("vec").as("__qv"),
+        col("__cell").getField("cid").as("cid"))
+    // Each corpus vector lives in exactly one cell and probe cells are
+    // distinct, so (qid, nid) appears at most once — no dedup needed.
+    // Broadcasting the probe side keeps the 16-key cid join shuffle-free.
+    val joined = assigned.join(broadcast(probeCells), Seq("cid"))
       .where(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))

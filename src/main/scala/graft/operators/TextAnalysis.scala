@@ -29,16 +29,29 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
 
-  /** Distinct character n-grams with 1-based positions; short texts
-    * yield a single (possibly shorter) gram. Exploded form:
-    * (id, gram). */
-  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
-        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
-          .as("__pos"),
-        col(textCol))
-      .select(col(idCol), substring(col(textCol), col("__pos"), lit(n)).as("gram"))
-      .distinct()
+  /** Distinct character n-grams; short texts yield a single (possibly
+    * shorter) gram. Exploded form: (id, gram).
+    *
+    * Dedup happens per row with `array_distinct` BEFORE the explode —
+    * ids are unique per document, so this equals a global distinct on
+    * (id, gram) while staying entirely map-side: no shuffle of the
+    * exploded gram corpus, which at 100 TB is the difference between a
+    * narrow scan stage and the largest shuffle in the pipeline. */
+  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // Spread the (small) doc rows across the cluster BEFORE the
+    // explode: a compact parquet scan may arrive in a handful of
+    // partitions, and without this the gram fan-out — the widest data
+    // in the pipeline — would run at the scan's parallelism. Shuffling
+    // doc rows costs |docs|; shuffling grams would cost |docs|·|text|.
+    val parts = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+    df.select(col(idCol), col(textCol)).repartition(parts)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+          pos => substring(col(textCol), pos, lit(n))))).as("gram"))
+  }
 
   /** Per-language marker words for the language heuristic (latin
     * scripts score by stopword-token membership; zh by CJK marker-char
