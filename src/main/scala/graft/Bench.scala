@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warm-up, excluded from per-query timings: without it the
+    // first query absorbs parquet-footer reads, codegen/janino compile,
+    // and shuffle-machinery cold-start (measured ~3-5s attributed to
+    // whichever query happens to run first).
+    graft.core.Tables.tpch.foreach { t =>
+      try graft.core.Tables.load(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => () }
+    }
+    spark.range(1 << 18).selectExpr("id % 97 as k")
+      .groupBy("k").count().count()
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a
     // subset; unset (the driver's mode) runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

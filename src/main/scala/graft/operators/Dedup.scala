@@ -141,29 +141,38 @@ object Dedup {
 
   /** MinHash signatures: per doc, per permutation i, min over grams of
     * (a_i * (H(gram) mod P) + b_i) mod P. Output: (id, s0..s31).
-    * Base hash computed inline — md5 of short shingles is cheap and
+    *
+    * Input is the per-doc gram ARRAY (`TextAnalysis.gramArrays`), so
+    * the whole computation is a map-side projection — the gram hashes
+    * materialize once per row into `__h`, then each permutation is an
+    * `array_min(transform(...))` over it. No gram-level shuffle exists
+    * anywhere; per-doc base hashing via inline md5 of short shingles
     * stays inside whole-stage codegen (measured faster than a
     * distinct+broadcast-join hash table). */
-  def minhashSignatures(grams: DataFrame, idCol: String): DataFrame = {
-    val h = grams.withColumn("__h", baseHash(col("gram")) % P)
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("__h") + lit(b)) % P).as(s"s$i")
+  def minhashSignatures(gramArrs: DataFrame, idCol: String): DataFrame = {
+    val h = gramArrs.withColumn("__h",
+      transform(col("grams"), g => baseHash(g) % P))
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      // single-pass fold: no intermediate permuted array per row
+      aggregate(col("__h"), lit(Long.MaxValue),
+        (acc, x) => least(acc, (lit(a) * x + lit(b)) % P)).as(s"s$i")
     }
-    h.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    h.select(col(idCol) +: sigCols: _*)
   }
 
   /** LSH candidate pairs: same md5-hashed band signature in any band,
     * then exact-Jaccard verification ≥ tau on full gram sets. */
   def minhashPairs(
-      grams0: DataFrame,
+      gramArrs0: DataFrame, // (id, grams array) — TextAnalysis.gramArrays
       idCol: String,
       tauNum: Long,
       tauDen: Long): DataFrame = {
-    // The distinct gram set feeds signatures, sizes and both sides of
-    // the verification join — materialize it once (localCheckpoint:
-    // lineage-truncating block reuse) instead of re-shuffling 4×.
-    val grams = grams0.localCheckpoint(true)
-    val sigs = minhashSignatures(grams, idCol)
+    // The per-doc gram arrays feed signatures, sizes and both sides of
+    // the verification join — materialize the compact array form once
+    // (localCheckpoint: lineage-truncating block reuse) instead of
+    // re-deriving it from text 4×.
+    val gramArrs = gramArrs0.localCheckpoint(true)
+    val sigs = minhashSignatures(gramArrs, idCol)
     val bandCols = (0 until numBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}"))
       struct(lit(bnd).as("band"),
@@ -176,9 +185,12 @@ object Dedup {
     val r = banded.select(col("id").as("doc_b"), col("band"), col("bh"))
     val cands = l.join(r, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-      .withColumnRenamed(idCol, "id")
-    jaccardVerify(cands, grams.withColumnRenamed(idCol, "id"), sizes, tauNum, tauDen)
+    // sizes are map-side off the arrays; the exploded gram view is only
+    // consumed candidate-restricted inside jaccardVerify.
+    val sizes = gramArrs.select(col(idCol).as("id"),
+      size(col("grams")).cast(LongType).as("n"))
+    val g = gramArrs.select(col(idCol).as("id"), explode(col("grams")).as("gram"))
+    jaccardVerify(cands, g, sizes, tauNum, tauDen)
   }
 
   /** 32-bit SimHash from gram hashes: bit j set iff the count of grams

@@ -37,20 +37,28 @@ object TextAnalysis {
     * (id, gram) while staying entirely map-side: no shuffle of the
     * exploded gram corpus, which at 100 TB is the difference between a
     * narrow scan stage and the largest shuffle in the pipeline. */
-  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // Spread the (small) doc rows across the cluster BEFORE the
-    // explode: a compact parquet scan may arrive in a handful of
-    // partitions, and without this the gram fan-out — the widest data
-    // in the pipeline — would run at the scan's parallelism. Shuffling
-    // doc rows costs |docs|; shuffling grams would cost |docs|·|text|.
+  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    gramArrays(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("grams")).as("gram"))
+
+  /** Distinct n-grams as one array per document: (id, grams). The
+    * compact form signature/sketch operators consume — everything
+    * derivable per document (MinHash, SimHash, sizes) can then run
+    * map-side with `transform`/`aggregate`, no gram-level shuffle. */
+  def gramArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // Spread the (small) doc rows across the cluster BEFORE the gram
+    // fan-out: a compact parquet scan may arrive in a handful of
+    // partitions, and without this the widest data in the pipeline
+    // would run at the scan's parallelism. Shuffling doc rows costs
+    // |docs|; shuffling grams would cost |docs|·|text|.
     val parts = math.max(
       df.sparkSession.sparkContext.defaultParallelism,
       df.rdd.getNumPartitions)
     df.select(col(idCol), col(textCol)).repartition(parts)
       .select(col(idCol),
-        explode(array_distinct(transform(
+        array_distinct(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-          pos => substring(col(textCol), pos, lit(n))))).as("gram"))
+          pos => substring(col(textCol), pos, lit(n)))).as("grams"))
   }
 
   /** Per-language marker words for the language heuristic (latin

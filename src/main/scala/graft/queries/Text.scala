@@ -53,17 +53,31 @@ object Text {
          |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // Codegen-native only: array lambdas (aggregate/filter over the
+      // token array) are CodegenFallback — interpreted per token with
+      // per-step allocations, measured ~10× the cost of a second regex
+      // pass. Stopword hits therefore count via a boundary-guarded
+      // alternation regex over the lowered text (token = [a-z0-9]+ run,
+      // so "(?<![a-z0-9])stop(?![a-z0-9])" matches exactly the token
+      // occurrences list_filter(IN) counts), and total token length is
+      // length(array_join(tokens)) — plain codegen'd expressions that
+      // CSE dedups.
       val toks = TextAnalysis.tokens(col("text"))
-      val stops = filter(col("__t"), t => t.isInCollection(TextAnalysis.stopwords))
-      docs(spark, dir).select(col("doc_id"), toks.as("__t"))
+      val stopRe = "(?<![a-z0-9])(?:" +
+        TextAnalysis.stopwords.mkString("|") + ")(?![a-z0-9])"
+      val nStop = size(regexp_extract_all(lower(col("text")), lit(stopRe), lit(0)))
+      // repartition BEFORE the regex projection: the doc table arrives
+      // as a compact single-partition scan, and the lookaround regex is
+      // the expensive part — it must run at cluster parallelism.
+      docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          size(col("__t")).cast(LongType).as("n_tokens"),
-          size(stops).cast(LongType).as("n_stop"),
-          (size(stops).cast(DoubleType) /
-            nullif(size(col("__t")), lit(0))).as("stop_ratio"),
-          (aggregate(transform(col("__t"), t => length(t)), lit(0),
-            (acc, x) => acc + x).cast(DoubleType) /
-            nullif(size(col("__t")), lit(0))).as("avg_token_len"))
+          size(toks).cast(LongType).as("n_tokens"),
+          nStop.cast(LongType).as("n_stop"),
+          (nStop.cast(DoubleType) /
+            nullif(size(toks), lit(0))).as("stop_ratio"),
+          (length(array_join(toks, "")).cast(DoubleType) /
+            nullif(size(toks), lit(0))).as("avg_token_len"))
         .withColumn("quality",
           round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("stop_ratio")), 6))
         .orderBy("doc_id")
@@ -181,7 +195,7 @@ object Text {
          |WHERE i * 5 >= (sa.n + sb.n - i) * 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
       Dedup.minhashPairs(
-        TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
+        TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
         .orderBy("doc_a", "doc_b")
     },
 

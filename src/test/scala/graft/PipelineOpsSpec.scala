@@ -37,7 +37,8 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("minhash+LSH finds the planted near-dup pairs") {
-    val pairs = Dedup.minhashPairs(grams, "doc_id", 3, 5)
+    val pairs = Dedup.minhashPairs(
+      TextAnalysis.gramArrays(docs, "doc_id", "text", 5), "doc_id", 3, 5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $pairs")
   }
