@@ -337,15 +337,16 @@ final class IncrementalDenormalizer(
     val kf = keyFields(entity)
     if (filter eq Compaction.passThrough) {
       // No custom filter: the fold degenerates to newest-change-wins —
-      // fully declarative (codegen'd window), no row-level lambda.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("__pk")).orderBy(col("offset").desc)
+      // max_by as a declarative aggregate gets map-side partial
+      // aggregation (a window would shuffle and sort every change).
+      // The struct wrap keeps tombstones (null value) as real rows:
+      // struct(value) is never null, so max_by can't skip them.
       return changes.select(
           canonicalPk(kf.map(f => col("key").getField(f))).as("__pk"),
           col("offset"), col("value"))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("__pk"), col("value"))
+        .groupBy("__pk")
+        .agg(max_by(struct(col("value")), col("offset"))
+          .getField("value").as("value"))
     }
     val prepared = changes.select(
       canonicalPk(kf.map(f => col("key").getField(f))).as("__pk"),
