@@ -18,6 +18,24 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Deterministic hash bucket in [0, buckets) — the reproducible
+    * train/eval split primitive: the same record lands in the same
+    * bucket on any engine, any run, any cluster (md5-derived, matches
+    * DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT % buckets). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % buckets
+
+  /** Adjacent word-token bigrams ("w1 w2") as an array column (one
+    * zip_with pass over the token array). Input must have ≥ 2 tokens. */
+  def bigrams(toks: Column): Column = {
+    val n = size(toks)
+    zip_with(
+      slice(toks, lit(1), n - 1),
+      slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 

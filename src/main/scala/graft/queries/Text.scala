@@ -223,5 +223,73 @@ object Text {
       val withPayload = docs(spark, dir)
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       Multimodal.decodeFeatures(withPayload, "doc_id").orderBy("doc_id")
+    },
+
+    // Reproducible stratified train/eval split: the bucket is a pure
+    // function of the record key (md5-derived), so the split is stable
+    // across engines, runs, and cluster layouts — the standard way to
+    // carve training corpora without materializing an assignment table.
+    // One map-side projection + one aggregation; no joins.
+    "q_sample_split" -> QueryDef(
+      "deterministic hash-bucket train/eval split, stratified by (source, lang)",
+      s"""SELECT source, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN bucket >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+         |FROM (SELECT source, lang,
+         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         |      FROM documents)
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("source"), col("lang"),
+          TextAnalysis.hashBucket(col("doc_id"), 100).as("__b"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__b") < 80, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("__b") >= 80, 1L).otherwise(0L)).as("n_eval"))
+        .orderBy("source", "lang")
+    },
+
+    // Gopher-style within-document repetition stats: low distinct-token
+    // ratio or a dominant repeated bigram flags low-quality/templated
+    // text. Bigram counting shuffles on (doc_id, bigram) — hot docs
+    // stay bounded because a document only generates its own bigrams.
+    "q_repetition" -> QueryDef(
+      "within-document repetition quality stats (distinct ratio, top bigram share)",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        |      FROM tt, unnest(range(1, n)) AS u(i)),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
+        |SELECT tt.doc_id,
+        |  CAST(tt.n AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_distinct(tt.toks)) AS DOUBLE) / tt.n, 6) AS distinct_ratio,
+        |  round(CAST(agg.mx AS DOUBLE) / agg.tot, 6) AS top_bigram_frac
+        |FROM tt JOIN agg ON tt.doc_id = agg.doc_id
+        |ORDER BY tt.doc_id""".stripMargin) { (spark, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      // repartition: materialize the token array once (regex is the
+      // expensive part) and spread a compact scan across the cluster.
+      val base = docs(spark, dir)
+        .select(col("doc_id"), toks.as("__t"))
+        .where(size(col("__t")) >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val bc = base
+        .select(col("doc_id"),
+          explode(TextAnalysis.bigrams(col("__t"))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val agg = bc.groupBy("doc_id")
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      base
+        .select(col("doc_id"),
+          size(col("__t")).cast(LongType).as("n_tokens"),
+          round(size(array_distinct(col("__t"))).cast(DoubleType) /
+            size(col("__t")), 6).as("distinct_ratio"))
+        .join(agg, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+          round(col("mx").cast(DoubleType) / col("tot"), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
     })
 }

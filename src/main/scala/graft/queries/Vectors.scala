@@ -67,6 +67,30 @@ object Vectors {
     // only compare within their random-hyperplane LSH bucket — the
     // scale path (keyed join instead of cross join). Approximation ⇒
     // no SQL oracle; recall vs brute force is asserted in SimilaritySpec.
+    // Per-label embedding centroids — the aggregation step of a k-means
+    // iteration and the standard cluster-quality readout. posexplode +
+    // groupBy(label, pos) is map-side combinable (partial sums per
+    // partition), so the shuffle carries one partial per (label, dim)
+    // per partition regardless of corpus size.
+    "q_embed_centroids" -> QueryDef(
+      "per-label embedding centroid (element-wise mean) with cluster sizes",
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, i AS pos, v[i] AS val
+        |      FROM e, unnest(range(1, len(v) + 1)) AS u(i))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        |  round(avg(val), 6) AS mean_val,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (spark, dir) =>
+      emb(spark, dir)
+        .select(col("label").cast(LongType).as("label"),
+          posexplode(col("vec")).as(Seq("pos0", "val")))
+        .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("val"))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("val")), 6).as("mean_val"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "pos")
+    },
+
     "q_ann_lsh" -> QueryDef.noOracle(
       "LSH-bucketed approximate cosine top-10 (random hyperplanes)") { (spark, dir) =>
       val e = emb(spark, dir)
