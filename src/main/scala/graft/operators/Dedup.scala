@@ -60,13 +60,19 @@ object Dedup {
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, J ≥ τ
     */
   def ngramJaccardPairs(
-      grams: DataFrame, // (id, gram) distinct
+      gramArrs0: DataFrame, // (id, grams array) — TextAnalysis.gramArrays
       idCol: String,
       tauNum: Long,
       tauDen: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialize the distinct gram set once (5 downstream uses)
-    val g = grams.select(col(idCol).as("id"), col("gram")).localCheckpoint(true)
+    // Materialize the EXPLODED gram set once (5 downstream uses).
+    // Checkpointing the compact array form and lazily re-exploding was
+    // measured 6× SLOWER (68s vs 11s at sf0.1): every reference to the
+    // exploded view re-derives it and the optimizer's size estimate
+    // for a lazy explode mis-plans the dfs join and prefix window.
+    val g = gramArrs0
+      .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
+      .localCheckpoint(true)
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))

@@ -169,7 +169,7 @@ object Text {
       // recomputing it — the InMemoryRelation boundary breaks codegen
       // fusion with the scan; recompute wins.
       Dedup.ngramJaccardPairs(
-        TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
+        TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
         .orderBy("doc_a", "doc_b")
     },
 

@@ -31,7 +31,8 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("ngram Jaccard finds planted near-dup pair and nothing else") {
-    val pairs = Dedup.ngramJaccardPairs(grams, "doc_id", 3, 5)
+    val pairs = Dedup.ngramJaccardPairs(
+      TextAnalysis.gramArrays(docs, "doc_id", "text", 5), "doc_id", 3, 5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $pairs")
   }
