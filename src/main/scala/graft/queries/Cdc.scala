@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, Relation, Tables}
+import graft.operators.Temporal
 import graft.streaming.IncrementalDenormalizer
 
 /** Changelog / CDC semantics over the `events` table, interpreted as a
@@ -162,6 +163,58 @@ object Cdc {
           coalesce(expr("ts div 1000") - lag(expr("ts div 1000"), 1).over(w),
             lit(-1L)).as("gap_us"))
         .orderBy("user_id", "event_id")
+    },
+
+    // As-of (point-in-time) join — for each view event, the latest
+    // click value at-or-before it for the same user. Implemented with
+    // the union-merge strategy (Temporal.asofJoin): one shuffle by
+    // user + one sort, no inequality join. The oracle uses DuckDB's
+    // native ASOF LEFT JOIN, proving the semantics match an
+    // independent implementation. -1.0 sentinel instead of null keeps
+    // the value column NaN-free for the comparator.
+    "q_asof" -> QueryDef(
+      "as-of join: latest click value at or before each view, per user",
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts, max(value) AS cv FROM events
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id,
+        |  CAST(epoch_ns(v.ts) // 1000 AS BIGINT) AS ts_us,
+        |  coalesce(c.cv, -1.0) AS last_click_value
+        |FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.ts >= c.ts
+        |ORDER BY v.event_id""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("cv"))
+      Temporal.asofJoin(views, clicks, Seq("user_id"), "ts", Seq("cv"))
+        // output µs, not ns: epoch-nanos exceed double's exact range in
+        // the driver's comparator (the join itself runs on full ns)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          coalesce(col("cv"), lit(-1.0)).as("last_click_value"))
+        .orderBy("event_id")
+    },
+
+    // Range join — events per user in the 5 minutes after each event.
+    // The naive inequality join degrades to broadcast-nested-loop in
+    // Spark; Temporal.rangeCount buckets time so it's a keyed
+    // equijoin (each row probes exactly two buckets). The DuckDB
+    // oracle states the same query as a plain inequality join.
+    "q_range_join" -> QueryDef(
+      "range join: same-user events within the next 5 minutes",
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events)
+        |SELECT a.event_id, CAST(count(b.tn) AS BIGINT) AS n_next_5min
+        |FROM e a LEFT JOIN e b
+        |  ON a.user_id = b.user_id AND b.tn > a.tn
+        |     AND b.tn <= a.tn + 300000000000
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) { (spark, dir) =>
+      Temporal.rangeCount(
+          t(spark, dir)("events"), Seq("user_id"), "ts", "event_id",
+          300L * 1000000000L, "n_next_5min")
+        .orderBy("event_id")
     },
 
     // Distinct-count aggregation surface.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 
 /** Unit tests for the training-data pipeline operators: dedup finds
   * planted duplicates, LSH similarity search agrees with brute force,
@@ -21,6 +21,29 @@ class PipelineOpsSpec extends SparkSpec {
 
   lazy val docs = planted.toDF("doc_id", "text")
   lazy val grams = TextAnalysis.grams(docs, "doc_id", "text", 5)
+
+  test("asof join picks latest at-or-before right row per key") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 30L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 1.0), (10L, 150L, 2.0), (20L, 150L, 3.0), (20L, 160L, 4.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("v")))).toMap
+    assert(got(1L) == Some(1.0)) // tie at t=100 → right visible
+    assert(got(2L) == Some(2.0)) // latest of two prior rows
+    assert(got(3L) == Some(3.0)) // tie for other key
+    assert(got(4L) == None) // no right row for key 30
+  }
+
+  test("range count tallies rows in the following window incl. bucket edges") {
+    // window = 10; row at t=19 is within (12, 22] of t=12 but lives in
+    // the NEXT bucket — catches the two-probe logic.
+    val rows = Seq((1L, 1L, 5L), (2L, 1L, 12L), (3L, 1L, 19L), (4L, 1L, 23L),
+      (5L, 2L, 5L)).toDF("id", "k", "t")
+    val got = Temporal.rangeCount(rows, Seq("k"), "t", "id", 10L, "n")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
 
   test("exact dedup groups identical texts") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
