@@ -246,18 +246,93 @@ object Relational {
     },
 
     // Full nested {Record, Children} document assembly (reference
-    // Southpaw.java:326-358); JSON-shape parity is golden-tested in
-    // DenormalizeSpec — no SQL oracle (nested JSON not ANSI-expressible).
-    "q_denorm_docs" -> QueryDef.noOracle(
-      "nested denormalized documents for orders → (customer → nation, lineitem → part)") {
-      (spark, dir) =>
-        val tree = Relation.root("DenormalizedOrders", "orders",
-          Relation.child("customer", "c_custkey", "o_custkey",
-            Relation.child("nation", "n_nationkey", "c_nationkey")),
-          Relation.child("lineitem", "l_orderkey", "o_orderkey",
-            Relation.child("part", "p_partkey", "l_partkey")))
-        Denormalize.documents(tree, t(spark, dir), Tables.primaryKeys)
-          .select(hex(col("__pk")).as("pk_hex"), col("doc_json"))
-          .orderBy("pk_hex")
+    // Southpaw.java:326-358); JSON-shape parity is also golden-tested
+    // in DenormalizeSpec. The oracle rebuilds the document JSON
+    // byte-exactly in DuckDB, bottom-up: leaf docs via to_json over
+    // ordered struct_pack (both engines emit compact JSON with
+    // identical shortest-round-trip doubles in the data's value range),
+    // child arrays via string_agg ordered by the canonical-PK byte
+    // order (for non-negative integral keys with a length prefix that
+    // equals plain numeric order; ties replay the struct comparison),
+    // and the root key rendered as the canonical stripped-big-endian
+    // hex. Timestamps are normalized to wall-clock strings on BOTH
+    // sides before assembly (engine-specific JSON timestamp rendering
+    // — the same serde-level normalization the reference applies to
+    // Avro Utf8 values, record/AvroRecord.java:104-117).
+    "q_denorm_docs" -> QueryDef(
+      "nested denormalized documents for orders → (customer → nation, lineitem → part)",
+      """WITH nd AS (
+        |  SELECT n_nationkey,
+        |    '{"Record":' || to_json(struct_pack(n_nationkey := n_nationkey,
+        |        n_name := n_name, n_regionkey := n_regionkey)) || ',"Children":{}}' AS doc
+        |  FROM nation),
+        |cd AS (
+        |  SELECT c.c_custkey,
+        |    '{"Record":' || to_json(struct_pack(c_custkey := c.c_custkey,
+        |        c_name := c.c_name, c_nationkey := c.c_nationkey,
+        |        c_acctbal := c.c_acctbal, c_mktsegment := c.c_mktsegment))
+        |    || ',"Children":{"nation":[' || coalesce(nd.doc, '') || ']}}' AS doc
+        |  FROM customer c LEFT JOIN nd ON c.c_nationkey = nd.n_nationkey),
+        |pd AS (
+        |  SELECT p_partkey,
+        |    '{"Record":' || to_json(struct_pack(p_partkey := p_partkey, p_name := p_name,
+        |        p_brand := p_brand, p_type := p_type, p_size := p_size,
+        |        p_retailprice := p_retailprice)) || ',"Children":{}}' AS doc
+        |  FROM part),
+        |ld AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, l.l_quantity,
+        |         l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+        |         l.l_linestatus, l.l_shipdate,
+        |    '{"Record":' || to_json(struct_pack(l_orderkey := l.l_orderkey,
+        |        l_partkey := l.l_partkey, l_suppkey := l.l_suppkey,
+        |        l_linenumber := l.l_linenumber, l_quantity := l.l_quantity,
+        |        l_extendedprice := l.l_extendedprice, l_discount := l.l_discount,
+        |        l_tax := l.l_tax, l_returnflag := l.l_returnflag,
+        |        l_linestatus := l.l_linestatus,
+        |        l_shipdate := strftime(l.l_shipdate, '%Y-%m-%d %H:%M:%S')))
+        |    || ',"Children":{"part":[' || coalesce(pd.doc, '') || ']}}' AS doc
+        |  FROM lineitem l LEFT JOIN pd ON l.l_partkey = pd.p_partkey),
+        |la AS (
+        |  SELECT l_orderkey,
+        |    '[' || string_agg(doc, ',' ORDER BY l_linenumber, l_partkey, l_suppkey,
+        |        l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+        |        l_linestatus, l_shipdate) || ']' AS arr
+        |  FROM ld GROUP BY l_orderkey)
+        |SELECT pk_hex, doc_json FROM (
+        |  SELECT
+        |    CASE WHEN o.o_orderkey = 0 THEN '00'
+        |         WHEN length(printf('%X', o.o_orderkey)) % 2 = 1
+        |           THEN '0' || printf('%X', o.o_orderkey)
+        |         ELSE printf('%X', o.o_orderkey) END AS pk_hex,
+        |    '{"Record":' || to_json(struct_pack(o_orderkey := o.o_orderkey,
+        |        o_custkey := o.o_custkey, o_orderstatus := o.o_orderstatus,
+        |        o_totalprice := o.o_totalprice,
+        |        o_orderdate := strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S'),
+        |        o_orderpriority := o.o_orderpriority))
+        |    || ',"Children":{"customer":[' || coalesce(cd.doc, '')
+        |    || '],"lineitem":' || coalesce(la.arr, '[]') || '}}' AS doc_json
+        |  FROM orders o
+        |  LEFT JOIN cd ON o.o_custkey = cd.c_custkey
+        |  LEFT JOIN la ON o.o_orderkey = la.l_orderkey)
+        |ORDER BY pk_hex""".stripMargin) { (spark, dir) =>
+      val tree = Relation.root("DenormalizedOrders", "orders",
+        Relation.child("customer", "c_custkey", "o_custkey",
+          Relation.child("nation", "n_nationkey", "c_nationkey")),
+        Relation.child("lineitem", "l_orderkey", "o_orderkey",
+          Relation.child("part", "p_partkey", "l_partkey")))
+      // Canonical wall-clock strings for timestamp fields (see oracle
+      // note above) — applied before assembly so the document JSON is
+      // engine-independent.
+      val normalized: String => DataFrame = name => {
+        val df = t(spark, dir)(name)
+        df.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.dataType == TimestampType || f.dataType == TimestampNTZType)
+            d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
+          else d
+        }
+      }
+      Denormalize.documents(tree, normalized, Tables.primaryKeys)
+        .select(hex(col("__pk")).as("pk_hex"), col("doc_json"))
+        .orderBy("pk_hex")
     })
 }

@@ -53,10 +53,31 @@ object Vectors {
     },
 
     // IVF variant: centroid cells + nProbe search — the second
-    // approximate scale path. No oracle (approximate); recall and
-    // score exactness asserted in PipelineOpsSpec.
-    "q_ann_ivf" -> QueryDef.noOracle(
-      "IVF-cell approximate cosine top-10 (16 lists, 4 probes)") { (spark, dir) =>
+    // approximate scale path. The oracle replicates the whole index
+    // deterministically in SQL: centroids are "first nLists corpus
+    // vectors by id", cell assignment is argmax cosine (ties → lowest
+    // centroid id), probes search their nProbe nearest cells.
+    "q_ann_ivf" -> QueryDef(
+      "IVF-cell approximate cosine top-10 (16 lists, 4 probes)",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT nid, nv, cid FROM (
+        |  SELECT d.vec_id AS nid, d.v AS nv, c.cid,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS rn
+        |  FROM d, c) WHERE rn = 1),
+        |pc AS (SELECT qid, qv, cid FROM (
+        |  SELECT d.vec_id AS qid, d.v AS qv, c.cid,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS rn
+        |  FROM d, c WHERE d.vec_id < 8) WHERE rn <= 4),
+        |s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cos
+        |      FROM pc JOIN asg USING (cid) WHERE qid <> nid),
+        |r AS (SELECT qid, nid, cos,
+        |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT qid, rank, nid, cos FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
       val e = emb(spark, dir)
       val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("vec"))
       val corpus = e.select(col("vec_id").as("nid"), col("vec"))
@@ -91,8 +112,9 @@ object Vectors {
         .orderBy("label", "pos")
     },
 
-    "q_ann_lsh" -> QueryDef.noOracle(
-      "LSH-bucketed approximate cosine top-10 (random hyperplanes)") { (spark, dir) =>
+    "q_ann_lsh" -> QueryDef(
+      "LSH-bucketed approximate cosine top-10 (random hyperplanes)",
+      lshOracleSql(numPlanes = 4, dim = 64, k = 10)) { (spark, dir) =>
       val e = emb(spark, dir)
       val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("vec"))
       val corpus = e.select(col("vec_id").as("nid"), col("vec"))
@@ -100,4 +122,31 @@ object Vectors {
       // test corpus sizes; at real scale raise planes with corpus size.
       Similarity.lshTopK(probes, corpus, 64, 10, numPlanes = 4).orderBy("qid", "rank")
     })
+
+  /** Generated DuckDB oracle for the LSH top-k: the hyperplanes are a
+    * pure function of (plane, dim) ([[Similarity.planeSign]]), so they
+    * are emitted as SQL literal arrays and the whole index — bucket
+    * assignment, Hamming-1 multi-probe, in-bucket ranking — replays
+    * exactly in SQL (same technique as the MinHash generated oracle). */
+  private def lshOracleSql(numPlanes: Int, dim: Int, k: Int): String = {
+    val planes = (0 until numPlanes).map { m =>
+      (0 until dim).map(d => Similarity.planeSign(m, d)).mkString("[", ",", "]::DOUBLE[]")
+    }
+    val bucketExpr = (0 until numPlanes).map { m =>
+      s"(CASE WHEN list_inner_product(v, ${planes(m)}) >= 0 THEN ${1L << m} ELSE 0 END)"
+    }.mkString("\n        + ")
+    val flips = (0L +: (0 until numPlanes).map(m => 1L << m)).mkString(", ")
+    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bkt FROM d),
+       |pb AS (SELECT vec_id AS qid, v AS qv, xor(bkt::BIGINT, f::BIGINT) AS bkt
+       |       FROM b, unnest([$flips]) AS u(f) WHERE vec_id < 8),
+       |cb AS (SELECT vec_id AS nid, v AS nv, bkt::BIGINT AS bkt FROM b),
+       |s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cos
+       |      FROM pb JOIN cb USING (bkt) WHERE qid <> nid),
+       |r AS (SELECT qid, nid, cos,
+       |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT qid, rank, nid, cos FROM r WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
 }
