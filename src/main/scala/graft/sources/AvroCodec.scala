@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{JsonProperties, Schema}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericEnumSymbol, GenericFixed, IndexedRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro binary serde in the Confluent wire format (1 magic byte `0x0`
+  * + 4-byte big-endian schema id + Avro binary payload) — the
+  * reference's production serde (reference: serde/AvroSerde.java:32-148).
+  *
+  * Decoding goes through `GenericDatumReader` against a writer schema
+  * and converts the generic datum into Catalyst internal values for a
+  * declared `StructType`, applying the reference's value normalization
+  * (reference: record/AvroRecord.java:74-117): Avro `Utf8` (and enum
+  * symbols) become strings, `Map<Utf8, _>` keys become string keys,
+  * `ByteBuffer`/`Fixed` become plain bytes, and int widens to long
+  * where the declared field is long. Fields declared in the
+  * `StructType` but absent from the writer schema decode as null
+  * (schema evolution tolerance); empty payloads decode as null
+  * (tombstone, reference serde/JsonSerde.java:44-48 semantics).
+  *
+  * Both directions are Catalyst expressions ([[AvroDecodeExpr]] /
+  * [[AvroEncodeExpr]]) so they compose into any plan. They are
+  * `CodegenFallback` — Avro decoding is an opaque library call with
+  * no codegen win; the surrounding plan stays whole-stage-compiled.
+  */
+object AvroConversions {
+
+  /** Derive the Avro schema for a Spark type. Every struct field maps
+    * to `union(null, T)` with a null default, mirroring Spark
+    * nullability. Nested record names are made unique by path. */
+  def toAvroSchema(dt: DataType, name: String): Schema = dt match {
+    case StringType => Schema.create(Schema.Type.STRING)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case ArrayType(et, containsNull) =>
+      val e = toAvroSchema(et, name + "_item")
+      Schema.createArray(if (containsNull) nullable(e) else e)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = toAvroSchema(vt, name + "_value")
+      Schema.createMap(if (valueContainsNull) nullable(v) else v)
+    case st: StructType =>
+      val rec = Schema.createRecord(name, null, "graft", false)
+      rec.setFields(st.fields.toSeq.map { f =>
+        new Schema.Field(f.name,
+          if (f.nullable) nullable(toAvroSchema(f.dataType, name + "_" + f.name))
+          else toAvroSchema(f.dataType, name + "_" + f.name),
+          null,
+          if (f.nullable) JsonProperties.NULL_VALUE else null)
+      }.asJava)
+      rec
+    case other =>
+      throw new IllegalArgumentException(s"avro serde: unsupported Spark type $other")
+  }
+
+  private def nullable(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) s
+    else Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+
+  /** Avro generic datum → Catalyst internal value of the declared type
+    * (the Utf8/map/bytes normalization layer). */
+  def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: CharSequence, StringType) => UTF8String.fromString(s.toString)
+    case (e: GenericEnumSymbol[_], StringType) => UTF8String.fromString(e.toString)
+    case (i: java.lang.Integer, IntegerType) => i.intValue()
+    case (i: java.lang.Integer, LongType) => i.longValue() // int → long widening
+    case (l: java.lang.Long, LongType) => l.longValue()
+    case (f: java.lang.Float, FloatType) => f.floatValue()
+    case (f: java.lang.Float, DoubleType) => f.doubleValue()
+    case (d: java.lang.Double, DoubleType) => d.doubleValue()
+    case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val dup = bb.duplicate(); val out = new Array[Byte](dup.remaining()); dup.get(out); out
+    case (fx: GenericFixed, BinaryType) => fx.bytes().clone()
+    case (r: IndexedRecord, st: StructType) =>
+      val vals = st.fields.map { f =>
+        val af = r.getSchema.getField(f.name)
+        if (af == null) null else toCatalyst(r.get(af.pos()), f.dataType)
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vals.asInstanceOf[Array[Any]])
+    case (c: java.util.Collection[_], ArrayType(et, _)) =>
+      new GenericArrayData(c.asScala.map(toCatalyst(_, et)).toArray)
+    case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
+      val entries = m.asScala.toSeq
+      ArrayBasedMapData(
+        entries.map { case (k, _) => UTF8String.fromString(k.toString) }.toArray[Any],
+        entries.map { case (_, mv) => toCatalyst(mv, vt) }.toArray[Any])
+    case (other, t) => throw new IllegalArgumentException(
+      s"avro serde: cannot convert ${other.getClass.getName} to $t")
+  }
+
+  /** Catalyst internal value → Avro generic datum for `schema`. */
+  def toAvroDatum(v: Any, dt: DataType, schema: Schema): Any = {
+    if (v == null) return null
+    val s = resolveUnion(schema)
+    (v, dt) match {
+      case (u: UTF8String, StringType) => u.toString
+      case (i: java.lang.Integer, IntegerType) => i
+      case (l: java.lang.Long, LongType) => l
+      case (f: java.lang.Float, FloatType) => f
+      case (d: java.lang.Double, DoubleType) => d
+      case (b: java.lang.Boolean, BooleanType) => b
+      case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+      case (row: InternalRow, st: StructType) =>
+        val rec = new GenericData.Record(s)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          val fv = if (row.isNullAt(i)) null else row.get(i, f.dataType)
+          rec.put(f.name, toAvroDatum(fv, f.dataType, s.getField(f.name).schema()))
+        }
+        rec
+      case (arr: ArrayData, ArrayType(et, _)) =>
+        val es = resolveUnion(s).getElementType
+        arr.toObjectArray(et).map(toAvroDatum(_, et, es)).toSeq.asJava
+      case (m: MapData, MapType(StringType, vt, _)) =>
+        val vs = resolveUnion(s).getValueType
+        val out = new java.util.HashMap[String, Any](m.numElements())
+        val keys = m.keyArray(); val vals = m.valueArray()
+        (0 until m.numElements()).foreach { i =>
+          val mv = if (vals.isNullAt(i)) null else vals.get(i, vt)
+          out.put(keys.getUTF8String(i).toString, toAvroDatum(mv, vt, vs))
+        }
+        out
+      case (other, t) => throw new IllegalArgumentException(
+        s"avro serde: cannot encode ${other.getClass.getName} as $t")
+    }
+  }
+
+  private def resolveUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+}
+
+/** Decode Confluent-framed Avro bytes into a struct of `schema`.
+  * Null or empty input → null (tombstone). */
+case class AvroDecodeExpr(
+    child: Expression,
+    schema: StructType,
+    writerSchemaJson: String,
+    confluentHeader: Boolean) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = schema
+  override def nullable: Boolean = true
+
+  @transient private lazy val writerSchema: Schema =
+    new Schema.Parser().parse(writerSchemaJson)
+  @transient private lazy val reader: GenericDatumReader[Any] =
+    new GenericDatumReader[Any](writerSchema)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) return null // tombstone
+    var off = 0
+    var len = bytes.length
+    if (confluentHeader) {
+      require(len >= 5 && bytes(0) == 0,
+        s"not Confluent-framed Avro: len=$len magic=${if (len > 0) bytes(0) else -1}")
+      off = 5; len -= 5
+    }
+    // A fresh decoder per call: Expression instances are shared across
+    // tasks in local mode, so no mutable per-instance buffer reuse.
+    val decoder = DecoderFactory.get().binaryDecoder(bytes, off, len, null)
+    AvroConversions.toCatalyst(reader.read(null, decoder), schema)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Encode a struct column to Confluent-framed Avro bytes (schema id
+  * is caller-supplied; a live deployment wires the registry id). */
+case class AvroEncodeExpr(
+    child: Expression,
+    schemaId: Int,
+    confluentHeader: Boolean) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val avroSchema: Schema =
+    AvroConversions.toAvroSchema(child.dataType, "Record")
+  @transient private lazy val writer: GenericDatumWriter[Any] =
+    new GenericDatumWriter[Any](avroSchema)
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = new ByteArrayOutputStream(64)
+    if (confluentHeader) {
+      out.write(0)
+      out.write((schemaId >>> 24) & 0xff); out.write((schemaId >>> 16) & 0xff)
+      out.write((schemaId >>> 8) & 0xff); out.write(schemaId & 0xff)
+    }
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    writer.write(
+      AvroConversions.toAvroDatum(input, child.dataType, avroSchema), enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -36,20 +36,43 @@ object Serdes {
     override def encode(value: Column): Column = hex(value)
   }
 
-  /** Avro (Confluent wire format) is a drop-in with the spark-avro
-    * module, which is not shipped in this offline environment:
-    * {{{
-    *   import org.apache.spark.sql.avro.functions.{from_avro, to_avro}
-    *   // strip the 5-byte Confluent header, then:
-    *   from_avro(expr("substring(value, 6, length(value)-5)"), schemaJson)
-    * }}}
-    * The reference's Utf8/map normalization (record/AvroRecord.java:
-    * 104-117) is handled by spark-avro's Catalyst conversion. */
-  val avroDocumentation: String = "see scaladoc"
+  /** Avro codec in the Confluent wire format (reference
+    * serde/AvroSerde.java:32-148), decoding via `GenericDatumReader`
+    * with the reference's Utf8/map normalization — see
+    * [[graft.sources.AvroConversions]]. The default codec derives the
+    * writer schema from the declared read `StructType` (what our own
+    * encoder writes); for externally-written data with an evolved
+    * writer schema, use [[avro(writerSchemaJson*]]. */
+  object AvroCodec extends RecordCodec {
+    override def decode(raw: Column, schema: StructType): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        AvroDecodeExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(raw.cast("binary")),
+          schema,
+          AvroConversions.toAvroSchema(schema, "Record").toString,
+          confluentHeader = true))
+    override def encode(value: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        AvroEncodeExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(value),
+          schemaId = 0, confluentHeader = true))
+  }
+
+  /** Avro codec reading data written with an explicit (possibly
+    * evolved) writer schema. */
+  def avro(writerSchemaJson: String): RecordCodec = new RecordCodec {
+    override def decode(raw: Column, schema: StructType): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        AvroDecodeExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(raw.cast("binary")),
+          schema, writerSchemaJson, confluentHeader = true))
+    override def encode(value: Column): Column = AvroCodec.encode(value)
+  }
 
   private val registry: Map[String, RecordCodec] = Map(
     "json" -> JsonCodec,
-    "hex" -> HexCodec)
+    "hex" -> HexCodec,
+    "avro" -> AvroCodec)
 
   /** Config-driven lookup (`value.serde` → codec). */
   def byName(name: String): RecordCodec =
