@@ -28,20 +28,33 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // A failing query must be VISIBLE in the output: it gets a negative
+    // duration in `queries` and an entry in `errors` — never a silent
+    // fast "win". `total` sums successful queries only.
+    var errors = List.empty[(String, String)]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors ::= name -> e.toString.replaceAll("""["\\\n\r\t]""", " ").take(200)
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Release checkpointed blocks of the finished query so block-
       // manager pressure doesn't bleed into the next measurement.
       spark.sqlContext.clearCache()
       System.gc()
-      name -> dt
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.reverse.map { case (k, m) => s"\"$k\":\"$m\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

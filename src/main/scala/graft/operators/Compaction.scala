@@ -55,8 +55,14 @@ object Compaction {
       entity: String,
       keyFields: Seq[String],
       filter: RecordFilter = passThrough): DataFrame = {
-    val valueSchema = changes.schema("value").dataType.asInstanceOf[StructType]
-    val prepared = changes.select(
+    // A Column fast path (e.g. deleteWhere) compiles into the changelog
+    // BEFORE the fold — without this, a columnMode-only filter whose
+    // row path defaults to Update would silently no-op here.
+    val (effChanges, effFilter) =
+      Filters.applyChangelog(changes, entity, filter)
+        .map(_ -> passThrough).getOrElse(changes -> filter)
+    val valueSchema = effChanges.schema("value").dataType.asInstanceOf[StructType]
+    val prepared = effChanges.select(
       canonicalPk(keyFields.map(f => col("key").getField(f))).as("__pk"),
       col("offset"),
       col("value"))
@@ -79,7 +85,7 @@ object Compaction {
             // filter runs — reference filter/BaseFilter.java:149-160.
             case None => state = None
             case Some(v) =>
-              filter.filter(entity, v, state) match {
+              effFilter.filter(entity, v, state) match {
                 case FilterMode.Update => state = Some(v)
                 case FilterMode.Skip => // offset advances, state untouched
                 case FilterMode.Delete => state = None

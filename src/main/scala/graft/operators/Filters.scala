@@ -37,7 +37,11 @@ object Filters {
     def columnMode(entity: String): Option[Column] = None
   }
 
-  /** Filter that DELETEs rows matching a predicate for one entity. */
+  /** Filter that DELETEs rows matching a predicate for one entity.
+    * Column-only: the row path is intentionally a no-op — changelog
+    * consumers ([[Compaction.compact]], the IVM fold) apply the Column
+    * mode via [[applyChangelog]] BEFORE their per-key fold, so the
+    * predicate is honored on every path. */
   def deleteWhere(entity: String, predicate: Column): RecordFilter = {
     val e = entity
     new RecordFilter {
@@ -47,6 +51,46 @@ object Filters {
         if (ent == e) Some(when(predicate, "DELETE").otherwise("UPDATE")) else None
     }
   }
+
+  /** Compile a filter's Column fast path into a changelog
+    * (`offset, key, value` — null value = tombstone) ahead of the
+    * per-key fold: SKIP rows are dropped (the change never applies),
+    * DELETE rows become tombstones (null value), UPDATE rows pass
+    * through; existing tombstones always pass through untouched. After
+    * this pre-pass the remaining fold is plain newest-wins, so callers
+    * switch to the declarative path — the Column mode stays codegen'd
+    * end to end.
+    *
+    * The mode Column sees the RECORD's fields top-level (the same
+    * contract as [[applySnapshot]]); the changelog's own columns are
+    * stashed under reserved names during evaluation so a record field
+    * named `offset`/`key`/`value` resolves to the record, not the
+    * envelope.
+    *
+    * @return None when the filter defines no Column path for `entity`
+    *         (callers fall back to the row-path fold)
+    */
+  def applyChangelog(changes: DataFrame, entity: String, f: RecordFilter): Option[DataFrame] =
+    f.columnMode(entity).map { mode =>
+      val metaCols = changes.columns.toSeq
+      val valueType = changes.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val expanded = changes.select(
+        metaCols.map(c => col(c).as("__meta_" + c)) ++
+          valueType.fieldNames.toSeq.map(fn => col("value." + fn).as(fn)): _*)
+      expanded
+        .withColumn("__mode",
+          when(col("__meta_value").isNull, lit("UPDATE")).otherwise(mode))
+        .where(col("__mode") =!= "SKIP")
+        .select(metaCols.map { c =>
+          val base = col("__meta_" + c)
+          val v =
+            if (c == "value")
+              when(col("__mode") === "DELETE", lit(null).cast(valueType)).otherwise(base)
+            else base
+          v.as(c)
+        }: _*)
+    }
 
   /** Field-wise record equality minus ignored columns — the
     * changed-record suppression helper (reference:

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Temporal joins Spark lacks as built-ins, expressed shuffle-minimal.
   *
@@ -32,24 +33,37 @@ object Temporal {
       timeCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val allCols = leftCols ++ payloadCols :+ "__side"
-    val lSide = payloadCols.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val rExtra = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
-    val rSide = rExtra.foldLeft(right.withColumn("__side", lit(0))) {
+    // The matched right row travels as ONE struct: a per-payload-column
+    // `last(..., ignoreNulls)` would skip a genuinely-NULL payload value
+    // (returning an older row's value) and could even mix columns from
+    // different right rows. The struct is never null on a right-side
+    // row, so `last(ignoreNulls)` carries exactly the latest right ROW,
+    // NULLs in its payload included — ASOF semantics.
+    val payloadT = StructType(payloadCols.map(c => right.schema(c)))
+    val lSide = left
+      .withColumn("__payload", lit(null).cast(payloadT))
+      .withColumn("__side", lit(1))
+    val rKeep = keys :+ timeCol
+    val rExtra = leftCols.filterNot(rKeep.contains)
+    val rSide = rExtra.foldLeft(
+      right.select((rKeep.map(col) :+
+        struct(payloadCols.map(col): _*).as("__payload")): _*)
+        .withColumn("__side", lit(0))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
+    val allCols = leftCols :+ "__payload" :+ "__side"
     val u = lSide.select(allCols.map(col): _*)
       .unionByName(rSide.select(allCols.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payloadCols.foldLeft(u) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val carried = u
+      .withColumn("__c", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__side")
+    payloadCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(c, col("__c").getField(c))
+      }
+      .select((leftCols ++ payloadCols).map(col): _*)
   }
 
   /** Self range-join count: for every row, how many rows with the same

@@ -79,6 +79,8 @@ object AvroConversions {
     case (e: GenericEnumSymbol[_], StringType) => UTF8String.fromString(e.toString)
     case (i: java.lang.Integer, IntegerType) => i.intValue()
     case (i: java.lang.Integer, LongType) => i.longValue() // int → long widening
+    case (i: java.lang.Integer, ShortType) => i.shortValue() // Avro INT carries shorts
+    case (i: java.lang.Integer, ByteType) => i.byteValue()
     case (l: java.lang.Long, LongType) => l.longValue()
     case (f: java.lang.Float, FloatType) => f.floatValue()
     case (f: java.lang.Float, DoubleType) => f.doubleValue()
@@ -112,6 +114,8 @@ object AvroConversions {
     (v, dt) match {
       case (u: UTF8String, StringType) => u.toString
       case (i: java.lang.Integer, IntegerType) => i
+      case (sh: java.lang.Short, ShortType) => sh.intValue() // widen to Avro INT
+      case (by: java.lang.Byte, ByteType) => by.intValue()
       case (l: java.lang.Long, LongType) => l
       case (f: java.lang.Float, FloatType) => f
       case (d: java.lang.Double, DoubleType) => d

@@ -335,6 +335,18 @@ final class IncrementalDenormalizer(
   private def foldDelta(entity: String, changes: DataFrame): DataFrame = {
     val valueSchema = valueSchemas(entity)
     val kf = keyFields(entity)
+    // Column fast path (e.g. deleteWhere) compiles into the changelog
+    // up front — the remaining fold is then plain newest-wins, so it
+    // takes the declarative branch below (and a columnMode-only filter
+    // can never silently no-op through the row path).
+    Filters.applyChangelog(changes, entity, filter).foreach { pre =>
+      return pre.select(
+          canonicalPk(kf.map(f => col("key").getField(f))).as("__pk"),
+          col("offset"), col("value"))
+        .groupBy("__pk")
+        .agg(max_by(struct(col("value")), col("offset"))
+          .getField("value").as("value"))
+    }
     if (filter eq Compaction.passThrough) {
       // No custom filter: the fold degenerates to newest-change-wins —
       // max_by as a declarative aggregate gets map-side partial

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{AvroConversions, Serdes}
+
+/** Round-trip and wire-format coverage for the Confluent Avro serde
+  * (reference: serde/AvroSerde.java:32-148, record/AvroRecord.java:
+  * 74-117): encode→decode identity across every supported type
+  * (nested struct/array/map included), byte-exact Confluent framing,
+  * empty-payload tombstones, schema evolution (absent field → null,
+  * int→long widening), and the Utf8/map-key normalization layer.
+  */
+case class AvroNested(x: Int, ys: Seq[String])
+case class AvroRec(
+    s: String, i: Int, l: Long, f: Float, d: Double, b: Boolean,
+    bin: Array[Byte], sh: Short, by: Byte,
+    arr: Seq[Long], m: Map[String, Long], nested: AvroNested)
+
+class AvroCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sample = Seq(
+    AvroRec("héllo wörld", 42, 1L << 40, 1.5f, math.Pi, b = true,
+      Array[Byte](0, 1, -2, 127), 7.toShort, 3.toByte,
+      Seq(1L, 2L, 3L), Map("k1" -> 10L, "k2" -> 20L), AvroNested(9, Seq("a", "b"))),
+    AvroRec(null, -1, -5L, -0.5f, -2.25, b = false,
+      Array.empty[Byte], -8.toShort, -4.toByte,
+      Seq.empty[Long], Map.empty[String, Long], AvroNested(0, Seq.empty)))
+
+  private val codec = Serdes.byName("avro")
+
+  test("encode→decode round-trips every supported type, nested struct/array/map included") {
+    val df = sample.toDF()
+    val schema = df.schema
+    val back = df
+      .select(codec.decode(codec.encode(struct(df.columns.map(col): _*)), schema).as("r"))
+      .select(col("r.*"))
+    // names and types round-trip exactly; nullability is widened by
+    // field-extraction from the (nullable) decoded struct, as for any
+    // struct column — not a serde property
+    assert(back.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      schema.fields.map(f => f.name -> f.dataType).toSeq)
+    val orig = df.orderBy("i").collect()
+    val got = back.orderBy("i").collect()
+    assert(got.length == orig.length)
+    orig.zip(got).foreach { case (o, g) =>
+      assert(g.getAs[String]("s") == o.getAs[String]("s"))
+      assert(g.getAs[Int]("i") == o.getAs[Int]("i"))
+      assert(g.getAs[Long]("l") == o.getAs[Long]("l"))
+      assert(g.getAs[Float]("f") == o.getAs[Float]("f"))
+      assert(g.getAs[Double]("d") == o.getAs[Double]("d"))
+      assert(g.getAs[Boolean]("b") == o.getAs[Boolean]("b"))
+      assert(g.getAs[Array[Byte]]("bin").toSeq == o.getAs[Array[Byte]]("bin").toSeq)
+      assert(g.getAs[Short]("sh") == o.getAs[Short]("sh"))
+      assert(g.getAs[Byte]("by") == o.getAs[Byte]("by"))
+      assert(g.getSeq[Long](g.fieldIndex("arr")).toList == o.getSeq[Long](o.fieldIndex("arr")).toList)
+      assert(g.getAs[Map[String, Long]]("m") == o.getAs[Map[String, Long]]("m"))
+      val on = o.getAs[Row]("nested"); val gn = g.getAs[Row]("nested")
+      assert(gn.getAs[Int]("x") == on.getAs[Int]("x"))
+      assert(gn.getSeq[String](gn.fieldIndex("ys")).toList == on.getSeq[String](on.fieldIndex("ys")).toList)
+    }
+  }
+
+  test("Confluent framing is byte-exact: magic 0x0 + big-endian schema id") {
+    val raw = Seq(Tuple1(99L)).toDF("v")
+      .select(codec.encode(struct(col("v"))).as("raw"))
+      .collect().head.getAs[Array[Byte]]("raw")
+    // default codec writes schema id 0
+    assert(raw.take(5).toSeq == Seq[Byte](0, 0, 0, 0, 0))
+    assert(raw.length > 5) // payload follows the header
+    // explicit id via the expression: 0x01020304 big-endian
+    val expr = graft.sources.AvroEncodeExpr(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(struct(col("v"))),
+      schemaId = 0x01020304, confluentHeader = true)
+    val raw2 = Seq(Tuple1(99L)).toDF("v")
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(expr).as("raw"))
+      .collect().head.getAs[Array[Byte]]("raw")
+    assert(raw2.take(5).toSeq == Seq[Byte](0, 1, 2, 3, 4))
+    // same payload either way — the header is the only difference
+    assert(raw.drop(5).toSeq == raw2.drop(5).toSeq)
+  }
+
+  test("empty payload decodes as null (tombstone)") {
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val got = Seq(Tuple1(Array.empty[Byte])).toDF("raw")
+      .select(codec.decode(col("raw"), schema).as("r"))
+      .collect().head
+    assert(got.isNullAt(0))
+  }
+
+  test("decode with evolved writer schema: absent field → null, int → long widening") {
+    // writer wrote {a: int}; reader declares {a: long, b: string}.
+    // nullable=false matches what the encoder derives for the literal
+    // input (Avro nullability = union-with-null is part of the wire
+    // format, so writer and actual bytes must agree on it).
+    val writerStruct = StructType(Seq(StructField("a", IntegerType, nullable = false)))
+    val writerJson = AvroConversions.toAvroSchema(writerStruct, "Record").toString
+    val readerStruct = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val got = Seq(Tuple1(123)).toDF("a")
+      .select(codec.encode(struct(col("a"))).as("raw"))
+      .select(Serdes.avro(writerJson).decode(col("raw"), readerStruct).as("r"))
+      .select(col("r.*"))
+      .collect().head
+    assert(got.getAs[Long]("a") == 123L)
+    assert(got.isNullAt(got.fieldIndex("b"))) // declared but never written
+  }
+
+  test("map keys and strings normalize from Avro Utf8 to plain strings") {
+    // Decode straight through the generic-datum layer: Avro hands back
+    // Utf8 for strings and Utf8-keyed maps — both must surface as
+    // ordinary string values (reference record/AvroRecord.java:104-117).
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType))))
+    val rows = Seq(("n1", Map("x" -> "1", "y" -> "2")))
+      .toDF("name", "tags")
+    val got = rows
+      .select(codec.decode(codec.encode(struct(col("name"), col("tags"))), schema).as("r"))
+      .select(col("r.*")).collect().head
+    assert(got.getAs[String]("name") == "n1")
+    assert(got.getAs[Map[String, String]]("tags") == Map("x" -> "1", "y" -> "2"))
+  }
+}

@@ -35,6 +35,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4L) == None) // no right row for key 30
   }
 
+  test("asof join carries the matched row's NULLs, never mixing right rows") {
+    // right rows: t=100 has (v1=1, v2=null); t=150 has (v1=null, v2=2).
+    // A per-column last(ignoreNulls) would answer (1, 2) — a row that
+    // never existed; ASOF must return the matched row (null, 2) and,
+    // for a left row between them, (1, null).
+    val left = Seq((1L, 10L, 160L), (2L, 10L, 120L)).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, 100L, Some(1.0), Option.empty[Double]),
+      (10L, 150L, Option.empty[Double], Some(2.0))).toDF("k", "t", "v1", "v2")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v1", "v2"))
+      .collect().map { r =>
+        r.getAs[Long]("id") ->
+          (Option(r.get(r.fieldIndex("v1"))), Option(r.get(r.fieldIndex("v2"))))
+      }.toMap
+    assert(got(1L) == (None, Some(2.0))) // matched row t=150, its v1 IS null
+    assert(got(2L) == (Some(1.0), None)) // matched row t=100, its v2 IS null
+  }
+
+  test("session_window merges at exactly the gap (split only when gap > duration)") {
+    import org.apache.spark.sql.functions.{session_window, timestamp_micros}
+    val gapUs = 30L * 60 * 1000000
+    // Boundary semantics pinned empirically: Spark's session_window
+    // MERGES an event exactly gapDuration after the previous one (the
+    // new window's start equals the session's end, and touching
+    // windows coalesce) — a new session starts only when the gap is
+    // STRICTLY GREATER than the duration. The q_sessionize DuckDB
+    // oracle therefore flags `gap > 30 min`, not `>=`.
+    val e = Seq((1L, 0L), (1L, gapUs), (2L, 0L), (2L, gapUs + 1))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("tstamp"))
+    val sessions = e.groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+      .count().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(1L) == 1L) // gap == 30min → same session
+    assert(sessions(2L) == 2L) // 1µs over → split
+  }
+
   test("range count tallies rows in the following window incl. bucket edges") {
     // window = 10; row at t=19 is within (12, 22] of t=12 but lives in
     // the NEXT bucket — catches the two-probe logic.
