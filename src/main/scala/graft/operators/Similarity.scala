@@ -4,15 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.TopKByScore
+
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Brute-force cosine top-k is the exact baseline (a broadcast of the
-  * probe set against the full corpus — one pass, no index). The scale
-  * path is random-hyperplane LSH: 16 deterministic hyperplanes hash
-  * each vector to a 16-bit bucket; probes only compare within their
-  * bucket (multi-probe over Hamming-adjacent buckets would raise
-  * recall). All arithmetic is double-precision `aggregate`/`zip_with`
-  * column expressions — no UDFs, fully codegen'd.
+  * Brute-force cosine top-k is the exact baseline; LSH buckets and IVF
+  * cells are the two approximate scale paths. All reductions use the
+  * map-side-combinable [[TopKByScore]] aggregate (per-partition
+  * partial top-k, then a k-row merge) — never a global per-qid window,
+  * which would funnel every candidate row through |probes| tasks.
+  * All arithmetic is double-precision codegen'd column expressions —
+  * no UDFs.
   */
 object Similarity {
 
@@ -28,7 +30,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimExpr.cosineSim(a, b)
 
+  /** Rank candidate (qid, nid, cos) rows into (qid, rank, nid, cos)
+    * keeping the top `k` per qid by (cos desc, nid asc). Partial
+    * per-partition top-k + k-row merge — the shuffle after the
+    * candidate join carries ≤ k rows per (partition, qid). Duplicate
+    * (qid, nid) candidates (same pair via several probe buckets)
+    * collapse inside the aggregate buffer. */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame =
+    candidates
+      .groupBy("qid")
+      // ordering ties break by LOWER nid first, so feed -nid and flip
+      // back? No: TopKByScore orders (score desc, id asc) natively.
+      .agg(TopKByScore.topK(struct(col("cos"), col("nid")), k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("qid"), (col("__pos") + 1).cast(LongType).as("rank"),
+        col("__e").getField("id").as("nid"),
+        col("__e").getField("score").as("cos"))
+
   /** Exact top-k cosine neighbors of each probe vector.
+    *
+    * The PROBE side broadcasts (it is the small side by construction);
+    * the corpus streams partitioned, each task reducing its slice to
+    * ≤ k rows per probe before the merge — no full-corpus broadcast,
+    * no global window.
     *
     * @param probes  (qid, vec: array<double>)
     * @param corpus  (nid, vec: array<double>)
@@ -36,27 +60,96 @@ object Similarity {
     *         self-matches excluded
     */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = probes.select(col("qid"), col("vec").as("__qv"))
-      .crossJoin(broadcast(corpus.select(col("nid"), col("vec").as("__nv"))))
+    val joined = corpus.select(col("nid"), col("vec").as("__nv"))
+      .crossJoin(broadcast(probes.select(col("qid"), col("vec").as("__qv"))))
       .where(col("qid") =!= col("nid"))
       // round to 6 decimals: the last-ulp of a double cosine differs
       // between engines/accumulation orders; ranking on the rounded
       // value with an id tiebreak is deterministic everywhere.
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    rankTopK(joined, k)
   }
 
   /** All pairs with cosine ≥ tau (near-duplicate detection by
-    * embedding). Exact — O(n²) dot products; the LSH bucket variant
-    * below is the scale path. */
+    * embedding). Exact — O(n²) dot products; [[cosinePairsBlocked]]
+    * is the distributed form of the same computation and
+    * [[cosinePairsBanded]] the sub-quadratic approximate path. */
   def cosinePairs(corpus: DataFrame, tau: Double): DataFrame = {
     val a = corpus.select(col("nid").as("id_a"), col("vec").as("__va"))
     val b = corpus.select(col("nid").as("id_b"), col("vec").as("__vb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .where(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Exact all-pairs cosine ≥ tau as a BLOCK-PAIR EQUIJOIN — the
+    * distributed exact path. Each vector hashes into one of
+    * `numBlocks` blocks; side A replicates a block-`i` vector to every
+    * block pair (i, j≥i), side B a block-`j` vector to every (i≤j, j),
+    * and the join key is the pair id — so every unordered vector pair
+    * meets in exactly one task, per-task memory is bounded by two
+    * blocks, and the physical plan is a keyed shuffle join (NO
+    * CartesianProduct / BroadcastNestedLoopJoin, which at 100× corpus
+    * would put 10⁹ pairs in one stage).
+    *
+    * The O(n²) dot products are inherent to EXACT threshold search on
+    * dense vectors (this corpus's near-dups sit at cos ≈ 0.45-0.6
+    * against a ~N(0, 0.13) background — below any LSH-separable
+    * regime; measured: every banding config either misses true pairs
+    * or makes >90% of all pairs candidates). What the block
+    * decomposition fixes is the EXECUTION shape: n²/2 work spread over
+    * B(B+1)/2 independent tasks, shuffle volume n·(B+1)/2 vectors.
+    * Pick `numBlocks` so a block fits executor memory; for genuinely
+    * sub-quadratic search at realistic thresholds use
+    * [[cosinePairsBanded]].
+    */
+  def cosinePairsBlocked(corpus: DataFrame, tau: Double, numBlocks: Int = 16): DataFrame = {
+    val B = numBlocks
+    val withBlock = corpus.select(col("nid"), col("vec"),
+      pmod(hash(col("nid")), lit(B)).as("__blk"))
+    val aSide = withBlock
+      .withColumn("__j", explode(sequence(col("__blk"), lit(B - 1))))
+      .select((col("__blk") * B + col("__j")).as("__pair"),
+        col("__blk").as("__ba"), col("nid").as("id_a"), col("vec").as("__va"))
+    val bSide = withBlock
+      .withColumn("__i", explode(sequence(lit(0), col("__blk"))))
+      .select((col("__i") * B + col("__blk")).as("__pair"),
+        col("__blk").as("__bb"), col("nid").as("id_b"), col("vec").as("__vb"))
+    aSide.join(bSide, "__pair")
+      // same block: order by id to emit each pair once and drop self;
+      // different blocks: roles are fixed by the (i<j) key, already
+      // exactly-once
+      .where(col("__ba") =!= col("__bb") || col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .where(col("cos") >= tau)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+  }
+
+  /** Banded-LSH near-duplicate pairs + exact-cosine verify — the
+    * sub-quadratic approximate path (the classic MinHash-banding shape
+    * applied to random-hyperplane signatures): `bands` signatures of
+    * `rowsPerBand` hyperplane bits each; vectors agreeing on ALL bits
+    * of at least one band become candidates via a bucket equijoin, and
+    * only candidates pay an exact cosine. Recall is tunable
+    * (more/narrower bands → higher recall, more candidates) and is
+    * measured against [[cosinePairs]] in SimilarityPlanSpec. */
+  def cosinePairsBanded(
+      corpus: DataFrame,
+      tau: Double,
+      dim: Int,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val keyed = corpus.select(col("nid"), col("vec"),
+      explode(lshBandKeys(col("vec"), dim, bands, rowsPerBand)).as("__bk"))
+    val a = keyed.select(col("__bk"), col("nid").as("id_a"), col("vec").as("__va"))
+    val b = keyed.select(col("__bk"), col("nid").as("id_b"), col("vec").as("__vb"))
+    a.join(b, "__bk").where(col("id_a") < col("id_b"))
+      // a pair can collide in several bands — dedup BEFORE the verify
+      // so each candidate pays exactly one exact cosine
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__va")).as("__va"), first(col("__vb")).as("__vb"))
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .where(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -78,7 +171,6 @@ object Similarity {
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // The centroid set is tiny (nLists rows) — collect it and inline
     // each centroid as a literal vector, so cell assignment over the
     // full corpus is a pure codegen map expression: argmax of nLists
@@ -91,8 +183,11 @@ object Similarity {
       return probes.select(col("qid"), lit(0L).as("rank"),
         col("qid").as("nid"), lit(0.0).as("cos")).limit(0)
     // Struct ordering (d desc, cid asc) via lexicographic (d, -cid).
+    // The assignment cosine rounds to 6 decimals (like every ranking
+    // quantity here) so an argmax at a near-tie can't flip on a
+    // last-ulp accumulation difference vs the oracle engine.
     def cellRank(vec: Column): Column = array(cents.map { case (cid, cv) =>
-      struct(cosine(vec, typedlit(cv)).as("d"),
+      struct(round(cosine(vec, typedlit(cv)), 6).as("d"),
         lit(-cid).as("nc"), lit(cid).as("cid"))
     }: _*)
     val assigned = corpus
@@ -110,10 +205,7 @@ object Similarity {
     val joined = assigned.join(broadcast(probeCells), Seq("cid"))
       .where(col("qid") =!= col("nid"))
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    rankTopK(joined, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component d of plane m is
@@ -124,14 +216,31 @@ object Similarity {
     if ((x & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** 16-bit LSH bucket id from random-hyperplane signs. */
+  /** 16-bit LSH bucket id from random-hyperplane signs. The sign
+    * quantity rounds to 6 decimals so a vector lying numerically ON a
+    * plane hashes identically across engines (same convention as every
+    * ranking cosine). */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int = 16): Column = {
     val bits = (0 until numPlanes).map { m =>
       val plane = array((0 until dim).map(d => lit(planeSign(m, d))): _*)
-      when(dot(vec, plane) >= 0, lit(1L << m)).otherwise(0L)
+      when(round(dot(vec, plane), 6) >= 0, lit(1L << m)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
+
+  /** Per-band bucket keys for [[cosinePairsBanded]]: band `m` uses
+    * planes m·rowsPerBand … m·rowsPerBand+rowsPerBand-1 and its key
+    * embeds the band index, so buckets from different bands never
+    * collide. */
+  def lshBandKeys(vec: Column, dim: Int, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { m =>
+      val bits = (0 until rowsPerBand).map { j =>
+        val plane = array((0 until dim).map(d =>
+          lit(planeSign(m * rowsPerBand + j, d))): _*)
+        when(round(dot(vec, plane), 6) >= 0, lit(1L << j)).otherwise(0L)
+      }
+      bits.foldLeft(lit(m.toLong * (1L << rowsPerBand)))(_ + _)
+    }: _*)
 
   /** Approximate top-k: probes compare only against corpus vectors in
     * the same hyperplane bucket — a bounded, shuffle-keyed join instead
@@ -139,10 +248,11 @@ object Similarity {
     * probe additionally visits every Hamming-1-adjacent bucket (flip
     * one hyperplane sign), raising recall sharply for vectors near a
     * plane at the cost of (numPlanes+1)× probe rows — probes are the
-    * tiny side, so the join stays corpus-size-bounded. */
+    * tiny side, so the join stays corpus-size-bounded. Duplicate
+    * (qid, nid) candidates from adjacent buckets collapse inside the
+    * top-k aggregate buffer (same rounded cos ⇒ same entry). */
   def lshTopK(probes: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       numPlanes: Int = 16, multiProbe: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pb0 = probes.withColumn("__b0", lshBucket(col("vec"), dim, numPlanes))
     val pb = (if (multiProbe) {
       val flips = lit(0L) +: (0 until numPlanes).map(m => lit(1L << m))
@@ -153,11 +263,7 @@ object Similarity {
     val cb = corpus.withColumn("__bucket", lshBucket(col("vec"), dim, numPlanes))
       .select(col("nid"), col("__bucket"), col("vec").as("__nv"))
     val joined = pb.join(cb, "__bucket").where(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    rankTopK(joined, k)
   }
 }

@@ -40,8 +40,13 @@ object Vectors {
       Similarity.bruteForceTopK(probes, corpus, 10).orderBy("qid", "rank")
     },
 
+    // Exact near-dup pairs, but as a block-pair EQUIJOIN: every vector
+    // pair meets in exactly one of B(B+1)/2 bounded tasks, so the plan
+    // has no CartesianProduct and per-task memory is two blocks. The
+    // oracle is the plain exact all-pairs SQL — the decomposition must
+    // reproduce it bit-for-bit.
     "q_embed_dup" -> QueryDef(
-      "embedding-cosine near-duplicate pairs (exact all-pairs)",
+      "embedding-cosine near-duplicate pairs (exact, block-pair equijoin)",
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
@@ -49,7 +54,20 @@ object Vectors {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
       val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
-      Similarity.cosinePairs(corpus, 0.45).orderBy("id_a", "id_b")
+      Similarity.cosinePairsBlocked(corpus, 0.45).orderBy("id_a", "id_b")
+    },
+
+    // Banded-LSH candidates + exact-cosine verify — the sub-quadratic
+    // approximate near-dup path. The oracle replays the whole index in
+    // SQL (band keys from literal hyperplanes, bucket equijoin, exact
+    // verify), so approximation never diverges from the gate; recall
+    // vs the exact pairs is measured in SimilarityPlanSpec.
+    "q_embed_dup_lsh" -> QueryDef(
+      "embedding near-duplicate pairs via banded LSH + exact verify",
+      bandedOracleSql(bands = 8, rowsPerBand = 4, dim = 64, tau = 0.45)) { (spark, dir) =>
+      val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      Similarity.cosinePairsBanded(corpus, 0.45, dim = 64, bands = 8, rowsPerBand = 4)
+        .orderBy("id_a", "id_b")
     },
 
     // IVF variant: centroid cells + nProbe search — the second
@@ -64,12 +82,12 @@ object Vectors {
         |asg AS (SELECT nid, nv, cid FROM (
         |  SELECT d.vec_id AS nid, d.v AS nv, c.cid,
         |    row_number() OVER (PARTITION BY d.vec_id
-        |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS rn
+        |      ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC, c.cid) AS rn
         |  FROM d, c) WHERE rn = 1),
         |pc AS (SELECT qid, qv, cid FROM (
         |  SELECT d.vec_id AS qid, d.v AS qv, c.cid,
         |    row_number() OVER (PARTITION BY d.vec_id
-        |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS rn
+        |      ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC, c.cid) AS rn
         |  FROM d, c WHERE d.vec_id < 8) WHERE rn <= 4),
         |s AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cos
         |      FROM pc JOIN asg USING (cid) WHERE qid <> nid),
@@ -123,6 +141,31 @@ object Vectors {
       Similarity.lshTopK(probes, corpus, 64, 10, numPlanes = 4).orderBy("qid", "rank")
     })
 
+  /** Generated DuckDB oracle for the banded near-dup: band keys from
+    * literal hyperplanes (same [[Similarity.planeSign]] planes, same
+    * rounded sign convention), bucket self-join, per-pair dedup, exact
+    * cosine verify — the full index replayed in SQL. */
+  private def bandedOracleSql(bands: Int, rowsPerBand: Int, dim: Int, tau: Double): String = {
+    val keys = (0 until bands).map { m =>
+      val bits = (0 until rowsPerBand).map { j =>
+        val plane = (0 until dim)
+          .map(d => Similarity.planeSign(m * rowsPerBand + j, d))
+          .mkString("[", ",", "]::DOUBLE[]")
+        s"(CASE WHEN round(list_inner_product(v, $plane), 6) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(${m.toLong * (1L << rowsPerBand)} + $bits)"
+    }.mkString(",\n       ")
+    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, unnest([$keys]) AS bk FROM d),
+       |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |           any_value(a.v) AS va, any_value(b.v) AS vb
+       |         FROM e a JOIN e b USING (bk) WHERE a.vec_id < b.vec_id
+       |         GROUP BY a.vec_id, b.vec_id),
+       |s AS (SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 6) AS cos FROM cand)
+       |SELECT id_a, id_b, cos FROM s WHERE cos >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Generated DuckDB oracle for the LSH top-k: the hyperplanes are a
     * pure function of (plane, dim) ([[Similarity.planeSign]]), so they
     * are emitted as SQL literal arrays and the whole index — bucket
@@ -132,8 +175,11 @@ object Vectors {
     val planes = (0 until numPlanes).map { m =>
       (0 until dim).map(d => Similarity.planeSign(m, d)).mkString("[", ",", "]::DOUBLE[]")
     }
+    // round(…, 6) before the sign test mirrors Similarity.lshBucket —
+    // a vector numerically ON a plane must hash identically across
+    // engines (same convention as every ranking cosine).
     val bucketExpr = (0 until numPlanes).map { m =>
-      s"(CASE WHEN list_inner_product(v, ${planes(m)}) >= 0 THEN ${1L << m} ELSE 0 END)"
+      s"(CASE WHEN round(list_inner_product(v, ${planes(m)}), 6) >= 0 THEN ${1L << m} ELSE 0 END)"
     }.mkString("\n        + ")
     val flips = (0L +: (0 until numPlanes).map(m => 1L << m)).mkString(", ")
     s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

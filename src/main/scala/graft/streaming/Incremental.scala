@@ -68,7 +68,9 @@ final class IncrementalDenormalizer(
     keyFields: Map[String, Seq[String]],
     valueSchemas: Map[String, StructType],
     filter: RecordFilter = Compaction.passThrough,
-    strategy: QueueingStrategy = QueueingStrategy.allMedium) {
+    strategy: QueueingStrategy = QueueingStrategy.allMedium,
+    mediumTriggerRows: Long = 0L,
+    lowDrainEvery: Int = 1) {
 
   import IncrementalDenormalizer._
 
@@ -106,16 +108,22 @@ final class IncrementalDenormalizer(
     * idle; submitting them from a small thread pool overlaps the jobs
     * (Spark's scheduler is thread-safe). Order of results matches the
     * input order. */
-  private def parMaterialize(dfs: Seq[DataFrame]): Seq[DataFrame] =
-    if (dfs.lengthCompare(2) < 0) dfs.map(_.localCheckpoint(true))
-    else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec = materializeEc
-      Await.result(
-        Future.sequence(dfs.map(df => Future(df.localCheckpoint(true)))),
-        Duration.Inf)
-    }
+  private def parMaterialize(dfs: Seq[DataFrame], tag: String = ""): Seq[DataFrame] = {
+    val t0 = System.nanoTime()
+    val out =
+      if (dfs.lengthCompare(2) < 0) dfs.map(_.localCheckpoint(true))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = materializeEc
+        Await.result(
+          Future.sequence(dfs.map(df => Future(df.localCheckpoint(true)))),
+          Duration.Inf)
+      }
+    if (IncrementalDenormalizer.timing)
+      System.err.println(f"[ivm] wave $tag%-12s ${dfs.size}%2d jobs ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    out
+  }
 
   /** First edge in a tree whose child entity matches — reference
     * RelationHelper.getRelation takes the first match. */
@@ -147,6 +155,31 @@ final class IncrementalDenormalizer(
   /** Documents changed by the most recent batch, per tree (for sinks). */
   private var lastChanged: Map[String, DataFrame] =
     trees.map(t => t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
+
+  /** Deferred dirty roots per tree, by priority class (MEDIUM waits
+    * for `mediumTriggerRows`, LOW drains every `lowDrainEvery`-th
+    * batch — reference Southpaw.java:600-637). */
+  private val dirtySchema = StructType(Seq(StructField("__rpk", BinaryType)))
+  private var pendingMedium: Map[String, DataFrame] =
+    trees.map(t => t.denormalizedName.get -> emptyDf(spark, dirtySchema)).toMap
+  private var pendingLow: Map[String, DataFrame] =
+    trees.map(t => t.denormalizedName.get -> emptyDf(spark, dirtySchema)).toMap
+  private var batchIndex: Long = 0L
+
+  /** Cumulative engine counters, accumulated from `observe` metrics
+    * that ride the batch's own materialization jobs — no extra Spark
+    * jobs (reference metric/Metrics.java counters). */
+  private var counterMap: Map[String, Long] = Map(
+    "records_consumed" -> 0L, "delta_keys" -> 0L,
+    "docs_written" -> 0L, "docs_tombstoned" -> 0L,
+    "rebuilds_dropped_none" -> 0L, "batches" -> 0L)
+  def counters: Map[String, Long] = counterMap
+  private def bump(name: String, by: Long): Unit =
+    counterMap = counterMap.updated(name, counterMap.getOrElse(name, 0L) + by)
+
+  /** Read one observed metric row back from a materialized plan. */
+  private def observed(df: DataFrame, name: String): Option[Row] =
+    df.queryExecution.observedMetrics.get(name)
 
   def session: SparkSession = spark
   def docs(rootName: String): DataFrame = docState(rootName)
@@ -237,55 +270,113 @@ final class IncrementalDenormalizer(
   // ---- batch processing ---------------------------------------------
 
   /** Process one micro-batch of changelog DataFrames per entity
-    * (columns: offset Long, key struct, value struct|null). */
+    * (columns: offset Long, key struct, value struct|null).
+    *
+    * Materialization is organized into TWO fused waves before the
+    * per-tree rebuild (measured: wave barriers, not data volume, are
+    * the per-batch cost at micro-batch scale):
+    *
+    *  wave 1 — the per-entity delta folds (everything downstream
+    *           consumes them, so they checkpoint first);
+    *  wave 2 — dirty-root sets, snapshot updates, link updates AND
+    *           deferred-priority sets concurrently: all of them read
+    *           only wave-1 deltas plus PRE-batch state, so they are
+    *           mutually independent by construction.
+    */
+  // Counter-experiment (kept for the record): disabling AQE for the
+  // batch's many small fixed-shape jobs does NOT help — 15.7s vs 15.1s
+  // at sf0.1; AQE's shuffle-partition coalescing is what keeps the
+  // tiny state shuffles from fanning out to 32 tasks each.
   def processBatch(changes: Map[String, DataFrame]): Unit = {
+    batchIndex += 1
+    bump("batches", 1L)
     // reset per-batch change tracking
     lastChanged = trees.map(t =>
       t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
     // 1. fold each entity's changes against prior state (filter-aware).
     // Eager localCheckpoint (not cache): truncating lineage keeps
     // downstream plan trees small across chained batches — measured
-    // faster than lazy caching once batches accumulate.
+    // faster than lazy caching once batches accumulate. The observe
+    // metrics (records in, delta keys out) ride this job.
     val deltaPairs: Seq[(String, DataFrame)] = changes.collect {
       case (entity, df) if allEntities.contains(entity) =>
-        entity -> foldDelta(entity, df)
+        entity -> foldDelta(entity,
+            df.observe(s"graft_in_$entity", count(lit(1)).as("n")))
+          .observe(s"graft_delta_$entity", count(lit(1)).as("n"))
     }.toSeq
     val deltas: Map[String, DataFrame] =
-      deltaPairs.map(_._1).zip(parMaterialize(deltaPairs.map(_._2))).toMap
+      deltaPairs.map(_._1).zip(parMaterialize(deltaPairs.map(_._2), "deltas")).toMap
+    deltaPairs.foreach { case (entity, observedDf) =>
+      observed(observedDf, s"graft_in_$entity")
+        .foreach(r => bump("records_consumed", r.getLong(0)))
+      observed(observedDf, s"graft_delta_$entity")
+        .foreach(r => bump("delta_keys", r.getLong(0)))
+    }
 
-    // 2. dirty roots per tree — uses PRE-batch links for old FKs.
-    val dirtyPairs: Seq[(String, DataFrame)] = trees.map { tree =>
-      val name = tree.denormalizedName.get
-      val parts: Seq[DataFrame] = deltas.toSeq.flatMap { case (entity, delta) =>
-        if (tree.entity == entity) {
-          if (strategy.priority(name, entity) == QueueingStrategy.None) None
-          else Some(delta.select(col("__pk").as("__rpk")))
-        } else firstEdgeFor(tree, entity).flatMap { edge =>
-          if (strategy.priority(name, entity) == QueueingStrategy.None) None
-          else {
-            val jkField = edge.child.joinKey.get
-            val newJks = delta.where(col("value").isNotNull)
-              .select(canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
-            val oldJks = delta.join(links(edge.id),
-              delta("__pk") === links(edge.id)("__cpk"), "inner")
-              .select(col("__jk"))
-            val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
-            Some(rootmaps(edge.id).join(jks, "__jk").select(col("__rpk")))
-          }
+    // 2. ONE wave for everything derived from (deltas, pre-batch
+    // state): per-tree per-priority dirty-root sets plus snapshot and
+    // link updates. State vars are reassigned only after the wave, so
+    // every plan in it reads consistent pre-batch state.
+    val drainLowNow = batchIndex % math.max(lowDrainEvery, 1) == 0
+
+    // (tree, priority) -> dirty parts from this batch's deltas
+    def dirtyParts(tree: Relation,
+        wanted: QueueingStrategy.Priority => Boolean): Seq[DataFrame] =
+      deltas.toSeq.flatMap { case (entity, delta) =>
+        val name = tree.denormalizedName.get
+        val pri = strategy.priority(name, entity)
+        if (!wanted(pri)) None
+        else if (tree.entity == entity)
+          Some(delta.select(col("__pk").as("__rpk")))
+        else firstEdgeFor(tree, entity).map { edge =>
+          val jkField = edge.child.joinKey.get
+          val newJks = delta.where(col("value").isNotNull)
+            .select(canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
+          val oldJks = delta.join(links(edge.id),
+            delta("__pk") === links(edge.id)("__cpk"), "inner")
+            .select(col("__jk"))
+          val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
+          rootmaps(edge.id).join(jks, "__jk").select(col("__rpk"))
         }
       }
-      val dirty =
-        if (parts.isEmpty) emptyDf(spark, StructType(Seq(StructField("__rpk", BinaryType))))
-        else parts.reduce(_ union _).distinct()
-      name -> dirty
-    }
-    val dirtySets: Map[String, DataFrame] =
-      dirtyPairs.map(_._1).zip(parMaterialize(dirtyPairs.map(_._2))).toMap
+    def unionParts(parts: Seq[DataFrame]): DataFrame =
+      if (parts.isEmpty) emptyDf(spark, dirtySchema)
+      else parts.reduce(_ union _).distinct()
 
-    // 3. apply deltas: snapshots and link tables. All updates derive
-    // from the (already materialized) deltas and pre-batch state, so
-    // they are mutually independent — build them lazily, then
-    // materialize the whole wave concurrently.
+    // NONE drops are counted off the already-observed delta sizes —
+    // no extra job (reference Southpaw.java:618-637 load shedding).
+    trees.foreach { tree =>
+      deltaPairs.foreach { case (entity, observedDf) =>
+        val affects = tree.entity == entity || firstEdgeFor(tree, entity).nonEmpty
+        if (affects &&
+            strategy.priority(tree.denormalizedName.get, entity) == QueueingStrategy.None)
+          observed(observedDf, s"graft_delta_$entity")
+            .foreach(r => bump("rebuilds_dropped_none", r.getLong(0)))
+      }
+    }
+
+    val mediumImmediate = mediumTriggerRows <= 0L
+    // per tree: drain-now set, plus pending medium/low ONLY when the
+    // configuration can actually defer (the default immediate mode
+    // materializes nothing extra)
+    val wavePlans: Seq[(String, String, DataFrame)] = trees.flatMap { tree =>
+      val name = tree.denormalizedName.get
+      val high = dirtyParts(tree, _ == QueueingStrategy.High)
+      val med = dirtyParts(tree, _ == QueueingStrategy.Medium)
+      val low = dirtyParts(tree, _ == QueueingStrategy.Low)
+      val drainNowParts =
+        high ++ (if (mediumImmediate) med else Nil) ++ (if (drainLowNow) low else Nil)
+      val drainBase =
+        if (drainLowNow) Seq(pendingLow(name)) else Nil
+      Seq((name, "drain", unionParts(drainNowParts ++ drainBase))) ++
+        (if (mediumImmediate) Nil
+         else Seq((name, "pmed",
+           unionParts(med :+ pendingMedium(name)).coalesce(statePartitions)))) ++
+        (if (drainLowNow) Nil
+         else Seq((name, "plow",
+           unionParts(low :+ pendingLow(name)).coalesce(statePartitions))))
+    }
+
     val snapUpdates: Seq[(String, DataFrame)] = deltas.toSeq.map {
       case (entity, delta) =>
         val snap = snapshots(entity)
@@ -308,22 +399,50 @@ final class IncrementalDenormalizer(
           edge.id -> keptLinks.unionByName(newLinks).coalesce(statePartitions)
         }
     }
-    val materialized =
-      parMaterialize((snapUpdates ++ linkUpdates).map(_._2))
-    snapUpdates.map(_._1).zip(materialized.take(snapUpdates.size)).foreach {
+
+    val waveInputs = wavePlans.map(_._3) ++
+      snapUpdates.map(_._2) ++ linkUpdates.map(_._2)
+    val waveOut = parMaterialize(waveInputs, "dirty+state")
+    val (dirtyOut, rest) = waveOut.splitAt(wavePlans.size)
+    val (snapOut, linkOut) = rest.splitAt(snapUpdates.size)
+
+    var dirtySets = Map.empty[String, DataFrame]
+    wavePlans.map { case (name, kind, _) => (name, kind) }.zip(dirtyOut).foreach {
+      case ((name, "drain"), df) => dirtySets = dirtySets.updated(name, df)
+      case ((name, "pmed"), df) => pendingMedium = pendingMedium.updated(name, df)
+      case ((name, "plow"), df) => pendingLow = pendingLow.updated(name, df)
+      case _ => ()
+    }
+    if (drainLowNow) // drained this batch → reset without a job
+      trees.foreach(t => pendingLow =
+        pendingLow.updated(t.denormalizedName.get, emptyDf(spark, dirtySchema)))
+    snapUpdates.map(_._1).zip(snapOut).foreach {
       case (entity, df) => snapshots = snapshots.updated(entity, df)
     }
-    linkUpdates.map(_._1).zip(materialized.drop(snapUpdates.size)).foreach {
+    linkUpdates.map(_._1).zip(linkOut).foreach {
       case (id, df) => links = links.updated(id, df)
     }
 
-    // 4. rebuild dirty roots per tree.
+    // MEDIUM trigger check (only when deferral is configured — the
+    // count here is the one deliberate extra job of the deferred mode).
+    if (!mediumImmediate) {
+      trees.foreach { tree =>
+        val name = tree.denormalizedName.get
+        if (pendingMedium(name).count() >= mediumTriggerRows) {
+          dirtySets = dirtySets.updated(name,
+            dirtySets(name).union(pendingMedium(name)).distinct()
+              .localCheckpoint(true))
+          pendingMedium = pendingMedium.updated(name, emptyDf(spark, dirtySchema))
+        }
+      }
+    }
+
+    // 3. rebuild drained dirty roots per tree.
     trees.foreach { tree =>
       val name = tree.denormalizedName.get
       val dirty = dirtySets(name)
       if (!dirty.isEmpty) rebuild(tree, dirty)
     }
-
   }
 
   /** Fold one entity's batch changes into a per-key delta:
@@ -403,8 +522,9 @@ final class IncrementalDenormalizer(
     // Restrict the root entity to dirty PKs; assemble with the SAME
     // compiler as batch mode (Q-INCR equivalence by construction).
     val rootSnap = snapshots(tree.entity)
-    val restrictedRoot = rootSnap.join(dirty, rootSnap("__pk") === dirty("__rpk"),
-      "left_semi").select(col("value.*")).localCheckpoint(true)
+    val restrictedRoot = parMaterialize(Seq(
+      rootSnap.join(dirty, rootSnap("__pk") === dirty("__rpk"), "left_semi")
+        .select(col("value.*"))), "restrictroot").head
     // Cascade the dirty restriction down the tree: each child table is
     // semi-joined to the reachable parent key values, so rebuild work
     // scales with the dirty neighborhood, not with full table sizes —
@@ -412,22 +532,28 @@ final class IncrementalDenormalizer(
     // A superset per entity is safe (extra child groups simply find no
     // parent in the left join); diamond entities union their
     // per-position restrictions.
-    val restricted = scala.collection.mutable.Map[String, DataFrame]()
+    val restricted = scala.collection.mutable.Map[String, List[DataFrame]]()
     def walkRestrict(node: Relation, nodeDf: DataFrame): Unit =
       node.children.foreach { edge =>
         val childSnap = snapshot(edge.entity)
+        // no distinct on the probe side: left_semi already dedups, and
+        // the saved shuffle beats the smaller probe at dirty-set scale
         val parentKeys = nodeDf
           .select(canonicalPk(Seq(nodeDf(edge.parentKey.get))).as("__k"))
-          .where(col("__k").isNotNull).distinct()
+          .where(col("__k").isNotNull)
         val r = childSnap.join(parentKeys,
           canonicalPk(Seq(childSnap(edge.joinKey.get))) === col("__k"), "left_semi")
-        restricted(edge.entity) =
-          restricted.get(edge.entity).map(_.unionByName(r)).getOrElse(r)
+        restricted(edge.entity) = r :: restricted.getOrElse(edge.entity, Nil)
         walkRestrict(edge, r)
       }
     walkRestrict(tree, restrictedRoot)
+    // Dedup is only needed when an entity sits at SEVERAL positions of
+    // the tree (diamond) — a single left_semi restriction never
+    // duplicates rows, so the common shape skips that whole shuffle.
     val restrictedDedup: Map[String, DataFrame] = restricted.toMap.map {
-      case (e, df) => e -> df.dropDuplicates(keyFields(e))
+      case (e, one :: Nil) => e -> one
+      case (e, several) =>
+        e -> several.reduce(_ unionByName _).dropDuplicates(keyFields(e))
     }
     val tables: String => DataFrame = e =>
       if (e == tree.entity) restrictedRoot
@@ -463,25 +589,41 @@ final class IncrementalDenormalizer(
           .unionByName(regs.select(col("__jk"), col("__rpk")))
           .coalesce(statePartitions)
       }
-    rootmapUpdates.map(_._1)
-      .zip(parMaterialize(rootmapUpdates.map(_._2)))
-      .foreach { case (id, df) => rootmaps = rootmaps.updated(id, df) }
 
     // Upsert document state; dirty roots with no assembled doc get a
-    // null-document tombstone.
+    // null-document tombstone. The doc counters ride this job as
+    // observe metrics. newDocs and the rootmap re-registrations both
+    // derive from restrictedRoot + pre-rebuild state, so they
+    // materialize as ONE wave (assembly and path walks overlap).
     val newDocs = dirty.join(assembled, dirty("__rpk") === assembled("__pk"), "left_outer")
       .select(col("__rpk").as("__pk"), col("doc_json"),
         col("doc_json").isNull.as("__deleted"))
+      .observe(s"graft_docs_${safeName(name)}_$batchIndex",
+        count(lit(1)).as("n"),
+        sum(when(col("doc_json").isNull, 1L).otherwise(0L)).as("tomb"))
     val kept = docState(name).join(dirty.withColumnRenamed("__rpk", "__pk"),
       Seq("__pk"), "left_anti")
-    val newDocsCp = newDocs.localCheckpoint(true)
+    val waveOut = parMaterialize(rootmapUpdates.map(_._2) :+ newDocs, "rebuild")
+    rootmapUpdates.map(_._1).zip(waveOut)
+      .foreach { case (id, df) => rootmaps = rootmaps.updated(id, df) }
+    val newDocsCp = waveOut.last
+    observed(newDocs, s"graft_docs_${safeName(name)}_$batchIndex").foreach { r =>
+      val tomb = if (r.isNullAt(1)) 0L else r.getLong(1)
+      bump("docs_written", r.getLong(0) - tomb)
+      bump("docs_tombstoned", tomb)
+    }
     lastChanged = lastChanged.updated(name, newDocsCp)
     docState = docState.updated(name,
-      persistState(kept.unionByName(newDocsCp)))
+      parMaterialize(Seq(kept.unionByName(newDocsCp).coalesce(statePartitions)),
+        "docstate").head)
   }
 }
 
 object IncrementalDenormalizer {
+  /** Wave timing to stderr (set GRAFT_IVM_TIMING=1) — a debug aid for
+    * the per-batch scheduling profile. */
+  private val timing: Boolean = sys.env.contains("GRAFT_IVM_TIMING")
+
   /** Small daemon pool for concurrent state-table materialization
     * (bounded: each job already fans out across executor cores, the
     * pool only overlaps job scheduling + I/O latencies). */

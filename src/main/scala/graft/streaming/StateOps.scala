@@ -1,46 +1,137 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Operational state management for the incremental engine — the
   * Spark-native analogue of the reference's RocksDB backup/restore/
   * verify CLI (reference: Southpaw.java:525-543,667-670,
-  * state/RocksDBState.java:639-708, index/Index.java:366-414).
+  * state/RocksDBState.java:247-265,355-461,639-708,
+  * index/Index.java:366-414).
   *
   * State is persisted as one parquet directory per state table
-  * (snapshots, per-edge links/rootmaps, per-tree documents). Backups
-  * are timestamped copies of the state root; restore points the engine
-  * at a chosen backup. On a cluster the same layout lands on
+  * (snapshots, per-edge links/rootmaps, per-tree documents) inside a
+  * timestamped backup directory. Each [[backup]] call creates a new
+  * backup and prunes to the newest `backupsToKeep` (the reference's
+  * `backups.to.keep`, RocksDBState.java:247-265). [[restore]] honors
+  * the reference's restore modes (`backups.restore.mode` =
+  * always / when_needed / never, RocksDBState.java:355-461) and rolls
+  * back to the previous backup when the newest is corrupt
+  * (RocksDBState.java:639-708). On a cluster the same layout lands on
   * S3/HDFS — parquet + rename is the cloud-native BackupEngine.
   */
 object StateOps {
 
-  /** Persist every state table of a live engine under `root`. */
-  def backup(engine: IncrementalDenormalizer, root: String): Unit =
-    engine.stateTables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/$name")
-    }
+  /** `backups.restore.mode` parity. */
+  sealed trait RestoreMode
+  object RestoreMode {
+    /** Restore from the newest readable backup unconditionally. */
+    case object Always extends RestoreMode
+    /** Restore only when the engine holds no state yet (fresh start /
+      * lost local state — the reference's default). */
+    case object WhenNeeded extends RestoreMode
+    /** Never restore. */
+    case object Never extends RestoreMode
 
-  /** Load persisted state tables back into a new engine. */
-  def restore(engine: IncrementalDenormalizer, root: String): Unit = {
-    val spark = engine.session
-    val dirs = new java.io.File(root).listFiles()
-    require(dirs != null && dirs.nonEmpty, s"no state found under $root")
-    engine.loadStateTables(
-      dirs.filter(_.isDirectory).map { d =>
-        d.getName -> spark.read.parquet(d.getAbsolutePath)
-      }.toMap)
+    def byName(name: String): RestoreMode = name.toLowerCase match {
+      case "always" => Always
+      case "when_needed" => WhenNeeded
+      case "never" => Never
+      case other => throw new IllegalArgumentException(
+        s"unknown restore mode '$other' (have: always, when_needed, never)")
+    }
   }
+
+  private val backupPrefix = "backup_"
+
+  /** Backup directories under `root`, oldest first (zero-padded millis
+    * timestamps sort lexicographically = chronologically). */
+  def backups(root: String): Seq[File] =
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(backupPrefix))
+      .sortBy(_.getName).toSeq
+
+  /** Persist every state table of a live engine into a NEW timestamped
+    * backup under `root`, then prune to the newest `backupsToKeep`
+    * backups. Returns the backup directory path. */
+  def backup(engine: IncrementalDenormalizer, root: String,
+      backupsToKeep: Int = 5): String = {
+    require(backupsToKeep >= 1, "must keep at least one backup")
+    var ts = System.currentTimeMillis()
+    var dir = new File(root, f"$backupPrefix$ts%013d")
+    while (dir.exists()) { ts += 1; dir = new File(root, f"$backupPrefix$ts%013d") }
+    engine.stateTables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(new File(dir, name).getAbsolutePath)
+    }
+    backups(root).dropRight(backupsToKeep).foreach(deleteRecursively)
+    dir.getAbsolutePath
+  }
+
+  /** Load persisted state back into an engine according to `mode`,
+    * rolling back through older backups when a newer one is corrupt.
+    *
+    * @return the backup directory restored from, or None when the mode
+    *         decided not to restore
+    */
+  def restore(engine: IncrementalDenormalizer, root: String,
+      mode: RestoreMode = RestoreMode.Always): Option[String] = mode match {
+    case RestoreMode.Never => None
+    case RestoreMode.WhenNeeded if hasState(engine) => None
+    case _ =>
+      val candidates = {
+        val b = backups(root)
+        if (b.nonEmpty) b.reverse // newest first
+        else {
+          // pre-rotation layout: table dirs directly under root
+          val flat = new File(root)
+          require(flat.exists(), s"no state found under $root")
+          Seq(flat)
+        }
+      }
+      val restored = candidates.view.map(dir => dir -> tryLoad(engine, dir))
+        .collectFirst { case (dir, Some(tables)) =>
+          engine.loadStateTables(tables)
+          dir.getAbsolutePath
+        }
+      Some(restored.getOrElse(throw new IllegalStateException(
+        s"every backup under $root is unreadable — nothing to restore")))
+  }
+
+  /** Any state table non-empty? (WhenNeeded's "local state exists".) */
+  private def hasState(engine: IncrementalDenormalizer): Boolean =
+    engine.stateTables.values.exists(df => !df.isEmpty)
+
+  /** Read and VALIDATE one backup: every table must fully scan (a
+    * corrupt or truncated parquet fails here, triggering rollback to
+    * the previous backup — RocksDBState.java:639-708 semantics). */
+  private def tryLoad(engine: IncrementalDenormalizer,
+      dir: File): Option[Map[String, DataFrame]] =
+    try {
+      val spark = engine.session
+      val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .map { d =>
+          val df = spark.read.parquet(d.getAbsolutePath)
+          df.count() // force a full read — surfaces data corruption
+          d.getName -> df
+        }.toMap
+      if (tables.isEmpty) None else Some(tables)
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] backup ${dir.getAbsolutePath} unreadable (${e.getMessage}); rolling back")
+        None
+    }
 
   /** Delete a persisted state root (the reference's --delete-state /
     * --delete-backup). */
-  def deleteState(root: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(root))
+  def deleteState(root: String): Unit = deleteRecursively(new File(root))
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Index-invariant check (the reference's --verify-state,

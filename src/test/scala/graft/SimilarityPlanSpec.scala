@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKByScore
+import graft.operators.Similarity
+import graft.queries.Registry
+
+/** Scale-shape assertions for the similarity operators: the pair
+  * queries must plan as keyed joins (no CartesianProduct, no
+  * BroadcastNestedLoopJoin), the ANN reductions must be partial
+  * top-k aggregations (no global per-qid window), and the brute-force
+  * path must broadcast the PROBE side, never the corpus. Plus
+  * value-level checks: blocked == naive exact pairs, banded recall,
+  * and the TopKByScore aggregate itself.
+  */
+class SimilarityPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def corpus = graft.core.Tables.load(spark, dir, "embeddings")
+    .select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("vec"))
+
+  /** Concrete physical plan with AQE off (AdaptiveSparkPlanExec hides
+    * the tree until execution). */
+  private def concretePlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def withoutAqe[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("TopKByScore keeps the best k by (score desc, id asc) across partitions") {
+    val rows = (1L to 1000L).map(i => (1L, (i % 100).toDouble, i))
+    val got = rows.toDF("qid", "cos", "nid")
+      .repartition(13) // force partial buffers + a real merge
+      .groupBy("qid")
+      .agg(TopKByScore.topK(struct(col("cos"), col("nid")), 5).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.id"), col("e.score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // best score is 99 (ids 99, 199, …); ties break by LOWER id first
+    assert(got == Seq((99L, 99.0), (199L, 99.0), (299L, 99.0), (399L, 99.0), (499L, 99.0)))
+  }
+
+  test("TopKByScore collapses exact duplicate (score, id) candidates") {
+    val rows = Seq((1L, 5.0, 10L), (1L, 5.0, 10L), (1L, 4.0, 20L), (1L, 4.0, 20L))
+    val got = rows.toDF("qid", "cos", "nid")
+      .repartition(4)
+      .groupBy("qid")
+      .agg(TopKByScore.topK(struct(col("cos"), col("nid")), 10).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.id"), col("e.score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((10L, 5.0), (20L, 4.0)))
+  }
+
+  test("pair queries plan as keyed joins: no cartesian, no nested loop") {
+    withoutAqe {
+      for (name <- Seq("q_embed_dup", "q_embed_dup_lsh")) {
+        val plan = concretePlan(Registry.all(name).build(spark, dir)).toString
+        assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+      }
+    }
+  }
+
+  test("ANN reductions are partial top-k aggregations, not a global window") {
+    withoutAqe {
+      for (name <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_embed_dup_lsh")) {
+        val plan = concretePlan(Registry.all(name).build(spark, dir)).toString
+        assert(!plan.contains("Window"), s"$name still ranks via a window:\n$plan")
+      }
+      val topk = concretePlan(Registry.all("q_ann_topk").build(spark, dir)).toString
+      assert(topk.contains("ObjectHashAggregate"), "top-k must aggregate (partial+final)")
+    }
+  }
+
+  test("brute-force top-k broadcasts the probe side, never the corpus") {
+    withoutAqe {
+      val plan = concretePlan(Registry.all("q_ann_topk").build(spark, dir))
+      val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(broadcasts.nonEmpty, "probe side should broadcast")
+      broadcasts.foreach { b =>
+        val s = b.toString
+        assert(s.contains("vec_id") &&
+          (s.contains("LessThan(vec_id,8)") || s.contains("vec_id#") && s.contains("< 8")),
+          s"a broadcast subtree is not the probe selection:\n$s")
+      }
+    }
+  }
+
+  test("blocked exact pairs reproduce the naive cross-join exactly") {
+    val naive = Similarity.cosinePairs(corpus, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.cosinePairsBlocked(corpus, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty) // the fixture plants near-dup pairs
+    assert(blocked == naive)
+  }
+
+  test("banded near-dup is a subset of exact with measured recall") {
+    val exact = Similarity.cosinePairs(corpus, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosinePairsBanded(corpus, 0.45, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact)) // exact verify ⇒ no false positives
+    val recall = banded.size.toDouble / exact.size
+    // this corpus's near-dups sit barely above the background (cos
+    // 0.45-0.51) — the hardest regime for hyperplane LSH; the banding
+    // must still find a solid fraction. Real near-dups (cos ≥ 0.8)
+    // band-match with probability ~1.
+    assert(recall >= 0.4, s"banded recall $recall (${banded.size}/${exact.size})")
+  }
+}
