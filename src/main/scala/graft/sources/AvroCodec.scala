@@ -36,9 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AvroConversions {
 
-  /** Derive the Avro schema for a Spark type. Every struct field maps
-    * to `union(null, T)` with a null default, mirroring Spark
-    * nullability. Nested record names are made unique by path. */
+  /** Derive the Avro schema for a Spark type. Every struct field,
+    * array element and map value maps to `union(null, T)` with a null
+    * default, REGARDLESS of the Spark-side nullability flags: the
+    * union is part of the wire format, and Catalyst nullability is a
+    * flaky property (a literal-sourced column is non-nullable where
+    * the same data read from parquet is nullable). Canonicalizing to
+    * always-nullable makes encoder output and read-schema-derived
+    * decoders agree by construction. Nested record names are made
+    * unique by path. */
   def toAvroSchema(dt: DataType, name: String): Schema = dt match {
     case StringType => Schema.create(Schema.Type.STRING)
     case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
@@ -47,20 +53,17 @@ object AvroConversions {
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case BinaryType => Schema.create(Schema.Type.BYTES)
-    case ArrayType(et, containsNull) =>
-      val e = toAvroSchema(et, name + "_item")
-      Schema.createArray(if (containsNull) nullable(e) else e)
-    case MapType(StringType, vt, valueContainsNull) =>
-      val v = toAvroSchema(vt, name + "_value")
-      Schema.createMap(if (valueContainsNull) nullable(v) else v)
+    case ArrayType(et, _) =>
+      Schema.createArray(nullable(toAvroSchema(et, name + "_item")))
+    case MapType(StringType, vt, _) =>
+      Schema.createMap(nullable(toAvroSchema(vt, name + "_value")))
     case st: StructType =>
       val rec = Schema.createRecord(name, null, "graft", false)
       rec.setFields(st.fields.toSeq.map { f =>
         new Schema.Field(f.name,
-          if (f.nullable) nullable(toAvroSchema(f.dataType, name + "_" + f.name))
-          else toAvroSchema(f.dataType, name + "_" + f.name),
+          nullable(toAvroSchema(f.dataType, name + "_" + f.name)),
           null,
-          if (f.nullable) JsonProperties.NULL_VALUE else null)
+          JsonProperties.NULL_VALUE)
       }.asJava)
       rec
     case other =>

@@ -86,17 +86,23 @@ object StateOps {
         else {
           // pre-rotation layout: table dirs directly under root
           val flat = new File(root)
-          require(flat.exists(), s"no state found under $root")
-          Seq(flat)
+          if (flat.exists()) Seq(flat) else Nil
         }
       }
-      val restored = candidates.view.map(dir => dir -> tryLoad(engine, dir))
-        .collectFirst { case (dir, Some(tables)) =>
-          engine.loadStateTables(tables)
-          dir.getAbsolutePath
-        }
-      Some(restored.getOrElse(throw new IllegalStateException(
-        s"every backup under $root is unreadable — nothing to restore")))
+      if (candidates.isEmpty) {
+        // nothing backed up yet: fine for when_needed (first run),
+        // an error for an explicit always
+        if (mode == RestoreMode.WhenNeeded) None
+        else throw new IllegalStateException(s"no state found under $root")
+      } else {
+        val restored = candidates.view.map(dir => dir -> tryLoad(engine, dir))
+          .collectFirst { case (dir, Some(tables)) =>
+            engine.loadStateTables(tables)
+            dir.getAbsolutePath
+          }
+        Some(restored.getOrElse(throw new IllegalStateException(
+          s"every backup under $root is unreadable — nothing to restore")))
+      }
   }
 
   /** Any state table non-empty? (WhenNeeded's "local state exists".) */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -68,6 +68,52 @@ object StreamRunner {
     StructField("key_json", StringType),
     StructField("value_json", StringType)))
 
+  /** Map the Kafka connector's fixed output shape
+    * `(topic, partition, offset, key binary, value binary, …)` to the
+    * unified changelog, for JSON-serialized topics (reference
+    * serde/JsonSerde.java): entity = topic minus `topicPrefix`, null
+    * or EMPTY value = tombstone (the reference's null Kafka record,
+    * filter/BaseFilter.java:149-160).
+    *
+    * This is the exact transform the scaladoc above sketches, as a
+    * compile-checked, unit-tested function — `spark.readStream
+    * .format("kafka").…load()` pipes straight into it. Offsets order
+    * the per-key fold; Kafka guarantees per-key monotonic offsets via
+    * partition affinity of keyed topics, which is the same ordering
+    * contract the reference relies on.
+    */
+  def kafkaToChangelog(raw: DataFrame, topicPrefix: String): DataFrame =
+    raw.select(
+      expr(s"substring(topic, ${topicPrefix.length + 1})").as("entity"),
+      col("offset").cast(LongType).as("offset"),
+      col("key").cast(StringType).as("key_json"),
+      when(length(col("value")) === 0, lit(null).cast(StringType))
+        .otherwise(col("value").cast(StringType)).as("value_json"))
+
+  /** Same mapping for Confluent-Avro-serialized topics (reference
+    * serde/AvroSerde.java): each entity's key/value bytes decode
+    * through [[graft.sources.AvroCodec]] against its declared schemas,
+    * then re-render as the changelog's JSON — one pure Column
+    * expression per entity, fused into a single CASE chain. Null or
+    * empty payloads decode to null (tombstone). */
+  def kafkaAvroToChangelog(
+      raw: DataFrame,
+      topicPrefix: String,
+      keySchemas: Map[String, StructType],
+      valueSchemas: Map[String, StructType]): DataFrame = {
+    val codec = graft.sources.Serdes.byName("avro")
+    val entity = expr(s"substring(topic, ${topicPrefix.length + 1})")
+    def decodeBy(schemas: Map[String, StructType], c: Column): Column =
+      schemas.foldLeft(lit(null).cast(StringType)) { case (acc, (e, schema)) =>
+        when(entity === e, to_json(codec.decode(c, schema))).otherwise(acc)
+      }
+    raw.select(
+      entity.as("entity"),
+      col("offset").cast(LongType).as("offset"),
+      decodeBy(keySchemas, col("key")).as("key_json"),
+      decodeBy(valueSchemas, col("value")).as("value_json"))
+  }
+
   /** Start a streaming denormalization over a unified changelog stream.
     *
     * @param changelog streaming DataFrame with [[changelogSchema]] rows
@@ -87,10 +133,22 @@ object StreamRunner {
       strategy: QueueingStrategy = QueueingStrategy.allMedium,
       checkpointDir: Option[String] = None,
       sink: DocSink = DocSinks.noop,
-      onBatch: (IncrementalDenormalizer, Long) => Unit = (_, _) => ())
+      onBatch: (IncrementalDenormalizer, Long) => Unit = (_, _) => (),
+      stateRoot: Option[String] = None,
+      backupEvery: Int = 1)
       : (IncrementalDenormalizer, StreamingQuery) = {
     val engine = new IncrementalDenormalizer(
       spark, trees, keyFields, valueSchemas, filter, strategy)
+    // Restart consistency: the streaming checkpoint makes committed
+    // offsets skip on restart, so the engine state MUST resume from
+    // where those offsets left it. With a stateRoot, state is restored
+    // here (when_needed: a fresh engine loads the newest readable
+    // backup) and backed up after every `backupEvery`-th batch — pair
+    // it with `checkpointDir` for consistent restarts. Without one,
+    // restarting an existing checkpointLocation over in-memory state
+    // would silently skip data — use a fresh checkpoint dir then.
+    stateRoot.foreach(r =>
+      StateOps.restore(engine, r, StateOps.RestoreMode.WhenNeeded))
     val entities = trees.flatMap(_.entities).distinct
     val writer = changelog.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -112,6 +170,10 @@ object StreamRunner {
             }
           }
           onBatch(engine, batchId)
+          stateRoot.foreach { r =>
+            if (backupEvery > 0 && batchId % backupEvery == 0)
+              StateOps.backup(engine, r)
+          }
         } finally cached.unpersist()
       }
       .trigger(Trigger.AvailableNow())

@@ -93,10 +93,9 @@ class AvroCodecSpec extends SparkSpec {
 
   test("decode with evolved writer schema: absent field → null, int → long widening") {
     // writer wrote {a: int}; reader declares {a: long, b: string}.
-    // nullable=false matches what the encoder derives for the literal
-    // input (Avro nullability = union-with-null is part of the wire
-    // format, so writer and actual bytes must agree on it).
-    val writerStruct = StructType(Seq(StructField("a", IntegerType, nullable = false)))
+    // (schema derivation canonicalizes every field to union(null, T),
+    // so Spark-side nullability flags cannot desync writer and bytes)
+    val writerStruct = StructType(Seq(StructField("a", IntegerType)))
     val writerJson = AvroConversions.toAvroSchema(writerStruct, "Record").toString
     val readerStruct = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType)))
