@@ -141,15 +141,28 @@ object Similarity {
       dim: Int,
       bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val keyed = corpus.select(col("nid"), col("vec"),
-      explode(lshBandKeys(col("vec"), dim, bands, rowsPerBand)).as("__bk"))
-    val a = keyed.select(col("__bk"), col("nid").as("id_a"), col("vec").as("__va"))
-    val b = keyed.select(col("__bk"), col("nid").as("id_b"), col("vec").as("__vb"))
-    a.join(b, "__bk").where(col("id_a") < col("id_b"))
-      // a pair can collide in several bands — dedup BEFORE the verify
-      // so each candidate pays exactly one exact cosine
-      .groupBy("id_a", "id_b")
-      .agg(first(col("__va")).as("__va"), first(col("__vb")).as("__vb"))
+    // The band-key index carries ONLY (nid, bandKey) — never the
+    // vector. Materialize it once (it is n×bands rows of two longs) so
+    // the self-join's two sides don't each recompute the
+    // bands×rowsPerBand hyperplane dot products per row.
+    val keys = corpus
+      .select(col("nid"),
+        explode(lshBandKeys(col("vec"), dim, bands, rowsPerBand)).as("__bk"))
+      .localCheckpoint(true)
+    // Candidates dedup as BARE id pairs (a pair can collide in several
+    // bands) while rows are 16 bytes; the vectors join back in only
+    // for the verify, once per unique pair. Measured at sf0.1: the
+    // previous shape — groupBy(id_a,id_b) carrying both 64-dim vectors
+    // through the shuffle — moved ~60× the bytes and ran 25.6 s vs
+    // ~2 s for this one.
+    val cand = keys.select(col("__bk"), col("nid").as("id_a"))
+      .join(keys.select(col("__bk"), col("nid").as("id_b")), "__bk")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(corpus.select(col("nid").as("id_a"), col("vec").as("__va")), "id_a")
+      .join(corpus.select(col("nid").as("id_b"), col("vec").as("__vb")), "id_b")
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .where(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
