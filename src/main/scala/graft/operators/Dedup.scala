@@ -64,25 +64,36 @@ object Dedup {
       idCol: String,
       tauNum: Long,
       tauDen: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Materialize the EXPLODED gram set once (5 downstream uses).
-    // Checkpointing the compact array form and lazily re-exploding was
-    // measured 6× SLOWER (68s vs 11s at sf0.1): every reference to the
-    // exploded view re-derives it and the optimizer's size estimate
-    // for a lazy explode mis-plans the dfs join and prefix window.
+    // Materialize the EXPLODED gram set once (dfs, prefix derivation,
+    // verify). Checkpointing the compact array form and lazily
+    // re-exploding was measured 6× SLOWER (68s vs 11s at sf0.1): every
+    // reference to the exploded view re-derives it and the optimizer's
+    // size estimate for a lazy explode mis-plans the downstream joins.
     val g = gramArrs0
       .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
       .localCheckpoint(true)
-    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
-    // prefix length = n - ceil(tau*n) + 1; ceil(a/b) = (a + b - 1) div b
-    val ranked = g.join(dfs, "gram")
-      .withColumn("rk", row_number().over(w))
-      .join(sizes, "id")
-      .where(col("rk") <=
-        col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
-      .select(col("id"), col("gram"), col("n"))
+    // Per-doc prefix in ONE keyed aggregation: collect (df, gram),
+    // sort by the global (df, gram) order, slice to the prefix length
+    // n - ceil(tau*n) + 1 (ceil(a/b) = (a + b - 1) div b). This
+    // replaces a row_number window (sort shuffle) plus a separate
+    // per-doc size aggregation and its join — measured 3.9s → 2.6s at
+    // sf0.1, byte-identical prefix sets — and yields (id, n) for the
+    // verify for free. The doc-level result is tiny (one row per doc,
+    // prefix ≈ 0.3·n grams), so it checkpoints cheaply and both join
+    // sides below re-derive only a posexplode of it.
+    val plen = (n: Column) =>
+      (n - floor((n * tauNum + (tauDen - 1)) / tauDen) + 1).cast(IntegerType)
+    val docPrefix = g.join(dfs, "gram")
+      .groupBy("id")
+      .agg(collect_list(struct(col("df"), col("gram"))).as("gs"))
+      .select(col("id"), size(col("gs")).cast(LongType).as("n"),
+        slice(sort_array(col("gs")), lit(1), plen(size(col("gs")).cast(LongType)))
+          .getField("gram").as("pfx"))
+      .localCheckpoint(true)
+    val sizes = docPrefix.select(col("id"), col("n"))
+    val ranked = docPrefix
+      .select(col("id"), col("n"), explode(col("pfx")).as("gram"))
     val a = ranked.select(col("id").as("doc_a"), col("gram"), col("n").as("na"))
     val b = ranked.select(col("id").as("doc_b"), col("gram"), col("n").as("nb"))
     // count filter (ppjoin-style): the full intersection is at most
@@ -91,6 +102,15 @@ object Dedup {
     // ≥ ceil(τ/(1+τ)·(na+nb)), i.e. ≥ num·(na+nb)/(num+den). All
     // integer arithmetic — candidates drop from O(pairs sharing any
     // rare gram) to nearly the true pair count before verification.
+    // Counter-experiments (sf0.1, 5.8M pair groups → 255 after this
+    // bound): ppjoin's POSITIONAL first-match bound kept 3.9M pairs
+    // alone and 255/255 combined — zero extra pruning on shingle sets
+    // (near-uniform doc sizes make min(suffix) ≈ the positional
+    // remainder); the ASYMMETRIC indexing prefix (small side indexes
+    // 0.176·n grams) cut join rows 35M → 19M but invalidates this
+    // count bound — an uncounted shared gram may sit outside either
+    // side's region, so only the (useless here) positional bound
+    // remains valid and verify explodes. Both rejected on measurement.
     val alphaNum = tauNum
     val alphaDen = tauNum + tauDen
     val suffix = (n: Column) =>
