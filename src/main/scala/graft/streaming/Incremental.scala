@@ -522,9 +522,9 @@ final class IncrementalDenormalizer(
     // Restrict the root entity to dirty PKs; assemble with the SAME
     // compiler as batch mode (Q-INCR equivalence by construction).
     val rootSnap = snapshots(tree.entity)
-    val restrictedRoot = parMaterialize(Seq(
+    val restrictedRoot =
       rootSnap.join(dirty, rootSnap("__pk") === dirty("__rpk"), "left_semi")
-        .select(col("value.*"))), "restrictroot").head
+        .select(col("value.*"))
     // Cascade the dirty restriction down the tree: each child table is
     // semi-joined to the reachable parent key values, so rebuild work
     // scales with the dirty neighborhood, not with full table sizes —
@@ -592,9 +592,13 @@ final class IncrementalDenormalizer(
 
     // Upsert document state; dirty roots with no assembled doc get a
     // null-document tombstone. The doc counters ride this job as
-    // observe metrics. newDocs and the rootmap re-registrations both
-    // derive from restrictedRoot + pre-rebuild state, so they
-    // materialize as ONE wave (assembly and path walks overlap).
+    // observe metrics. newDocs, the rootmap re-registrations AND the
+    // kept-documents side all derive from restrictedRoot + dirty +
+    // pre-rebuild state, so they materialize as ONE wave (assembly,
+    // path walks and the anti-join overlap); the post-batch docState
+    // is then just the LAZY union of two checkpointed frames — its
+    // lineage stays two levels deep forever because the next batch's
+    // `kept` re-materializes it, so no extra barrier is ever paid.
     val newDocs = dirty.join(assembled, dirty("__rpk") === assembled("__pk"), "left_outer")
       .select(col("__rpk").as("__pk"), col("doc_json"),
         col("doc_json").isNull.as("__deleted"))
@@ -603,19 +607,19 @@ final class IncrementalDenormalizer(
         sum(when(col("doc_json").isNull, 1L).otherwise(0L)).as("tomb"))
     val kept = docState(name).join(dirty.withColumnRenamed("__rpk", "__pk"),
       Seq("__pk"), "left_anti")
-    val waveOut = parMaterialize(rootmapUpdates.map(_._2) :+ newDocs, "rebuild")
+      .coalesce(statePartitions)
+    val waveOut = parMaterialize(rootmapUpdates.map(_._2) ++ Seq(newDocs, kept), "rebuild")
     rootmapUpdates.map(_._1).zip(waveOut)
       .foreach { case (id, df) => rootmaps = rootmaps.updated(id, df) }
-    val newDocsCp = waveOut.last
+    val newDocsCp = waveOut(rootmapUpdates.size)
+    val keptCp = waveOut.last
     observed(newDocs, s"graft_docs_${safeName(name)}_$batchIndex").foreach { r =>
       val tomb = if (r.isNullAt(1)) 0L else r.getLong(1)
       bump("docs_written", r.getLong(0) - tomb)
       bump("docs_tombstoned", tomb)
     }
     lastChanged = lastChanged.updated(name, newDocsCp)
-    docState = docState.updated(name,
-      parMaterialize(Seq(kept.unionByName(newDocsCp).coalesce(statePartitions)),
-        "docstate").head)
+    docState = docState.updated(name, keptCp.unionByName(newDocsCp))
   }
 }
 
