@@ -150,6 +150,73 @@ object Cdc {
         .orderBy("user_id", "session_start_us")
     },
 
+    // SCHEMALESS record mode (reference record/BaseRecord.java:37-41:
+    // per-record schemas that evolve over a topic's lifetime). A JSON
+    // changelog is built whose records disagree on fields — some carry
+    // a late-added score, some a nested props object — then decoded
+    // through the VariantType codec (Serdes "json-schemaless"), folded
+    // latest-per-key, and read back with variant_get: late fields are
+    // null on old records, nested unknown fields survive end to end,
+    // and n_fields proves nothing was dropped by a declared schema.
+    // Both engines build the SAME json strings by concatenation, so
+    // the oracle replays the whole pipeline with DuckDB's JSON type.
+    "q_schemaless" -> QueryDef(
+      "schemaless (variant) changelog: evolving per-record fields survive compaction",
+      """WITH src AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE '{"user_id":' || CAST(user_id AS VARCHAR) ||
+        |              ',"event_type":"' || event_type || '"' ||
+        |              CASE WHEN event_id % 3 = 0
+        |                   THEN ',"score_x100":' ||
+        |                        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+        |                   ELSE '' END ||
+        |              CASE WHEN event_id % 5 = 0 THEN ',"props":' || props
+        |                   ELSE '' END ||
+        |              '}' END AS j
+        |  FROM events),
+        |latest AS (
+        |  SELECT user_id, j FROM (
+        |    SELECT user_id, j,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM src) t WHERE rn = 1)
+        |SELECT user_id,
+        |  json_extract_string(j, '$.event_type') AS last_event_type,
+        |  COALESCE(CAST(json_extract(j, '$.score_x100') AS BIGINT), -1) AS score_x100,
+        |  COALESCE(CAST(json_extract(j, '$.props.k') AS BIGINT), -1) AS prop_k,
+        |  CAST(len(json_keys(j)) AS BIGINT) AS n_fields
+        |FROM latest WHERE j IS NOT NULL
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val ev = t(spark, dir)("events")
+      val raw = when(col("event_type") === "error", lit(null).cast(StringType))
+        .otherwise(concat(
+          lit("{\"user_id\":"), col("user_id").cast(StringType),
+          lit(",\"event_type\":\""), col("event_type"), lit("\""),
+          when(col("event_id") % 3 === 0,
+            concat(lit(",\"score_x100\":"),
+              round(col("value") * 100).cast(LongType).cast(StringType)))
+            .otherwise(lit("")),
+          when(col("event_id") % 5 === 0, concat(lit(",\"props\":"), col("props")))
+            .otherwise(lit("")),
+          lit("}")))
+      val codec = graft.sources.Serdes.byName("json-schemaless")
+      val decoded = ev.select(col("user_id"), col("event_id"),
+        codec.decode(raw, new StructType()).as("v"))
+      // latest-per-key fold with the variant payload riding the state
+      // (struct wrap keeps tombstones as real rows, as in foldDelta)
+      val latest = decoded.groupBy(col("user_id"))
+        .agg(max_by(struct(col("v")), col("event_id")).getField("v").as("v"))
+        .where(col("v").isNotNull)
+      latest.select(col("user_id"),
+        variant_get(col("v"), "$.event_type", "string").as("last_event_type"),
+        coalesce(variant_get(col("v"), "$.score_x100", "bigint"), lit(-1L))
+          .as("score_x100"),
+        coalesce(variant_get(col("v"), "$.props.k", "bigint"), lit(-1L))
+          .as("prop_k"),
+        size(json_object_keys(codec.encode(col("v")))).cast(LongType).as("n_fields"))
+        .orderBy("user_id")
+    },
+
     // lag/lead window surface: inter-event gaps per user.
     "q_lag" -> QueryDef(
       "lag window: time since previous event per user",

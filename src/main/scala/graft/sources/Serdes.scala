@@ -36,6 +36,28 @@ object Serdes {
     override def encode(value: Column): Column = hex(value)
   }
 
+  /** SCHEMALESS JSON codec — parity with the reference's map-backed
+    * records whose schema may differ record to record (reference
+    * record/BaseRecord.java:37-41: "the schema of the current record",
+    * so two records of one entity can disagree on fields, and unknown
+    * fields must survive). A declared-`StructType` `from_json` silently
+    * drops fields it doesn't know; this codec decodes to Spark's
+    * `VariantType` instead (the engine-native schemaless type — binary
+    * encoded, predicate-pushdown-capable, no per-record schema
+    * inference), so every field of every record is preserved end to
+    * end and late-added fields read as null from old records via
+    * `variant_get`. The declared schema argument is ignored by design.
+    * Null/blank input decodes to null (tombstone), like the JSON codec. */
+  object SchemalessJsonCodec extends RecordCodec {
+    override def decode(raw: Column, schema: StructType): Column = {
+      val s = raw.cast("string")
+      when(s.isNull || length(trim(s)) === 0,
+        lit(null).cast(org.apache.spark.sql.types.VariantType))
+        .otherwise(parse_json(s))
+    }
+    override def encode(value: Column): Column = to_json(value)
+  }
+
   /** Avro codec in the Confluent wire format (reference
     * serde/AvroSerde.java:32-148), decoding via `GenericDatumReader`
     * with the reference's Utf8/map normalization — see
@@ -71,6 +93,7 @@ object Serdes {
 
   private val registry: Map[String, RecordCodec] = Map(
     "json" -> JsonCodec,
+    "json-schemaless" -> SchemalessJsonCodec,
     "hex" -> HexCodec,
     "avro" -> AvroCodec)
 
