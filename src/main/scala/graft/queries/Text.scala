@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis, TrainingData}
 
 /** Text-analysis + deduplication queries over the `documents` table.
   * Oracle SQL mirrors every deterministic hash (md5-derived) so DuckDB
@@ -291,5 +291,61 @@ object Text {
         .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
           round(col("mx").cast(DoubleType) / col("tot"), 6).as("top_bigram_frac"))
         .orderBy("doc_id")
+    },
+
+    // Eval-set decontamination: train docs sharing any word 5-gram
+    // with the (deterministically chosen) eval subset (3-grams: the
+    // synthetic corpus is word soup, longer grams almost never recur
+    // across docs). The eval gram
+    // set is tiny → broadcast join; the train corpus never shuffles.
+    "q_decontaminate" -> QueryDef(
+      "eval-set contamination: train docs sharing a word 3-gram with eval docs",
+      """WITH toks AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |       FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        |      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS u(i)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      TrainingData.contamination(
+          d.where(col("doc_id") % 50 =!= 0),
+          d.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic sequence packing: per-source doc streams chunked
+    // into 512-token bins (concat-and-chunk, the pretraining packing
+    // layout); one window shuffle by source, integer-exact on any
+    // engine.
+    "q_pack" -> QueryDef(
+      "sequence packing: per-source doc streams chunked into 512-token bins",
+      """WITH t AS (SELECT source, doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        |       FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |      FROM t)
+        |SELECT source, CAST(strt // 512 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM c GROUP BY source, strt // 512
+        |ORDER BY source, bin""".stripMargin) { (spark, dir) =>
+      TrainingData.packBins(
+          docs(spark, dir).select(col("source"), col("doc_id"), col("text")),
+          "source", "doc_id",
+          size(TextAnalysis.tokens(col("text"))), 512L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
     })
 }
