@@ -259,6 +259,17 @@ object Relational {
     // sides before assembly (engine-specific JSON timestamp rendering
     // — the same serde-level normalization the reference applies to
     // Avro Utf8 values, record/AvroRecord.java:104-117).
+    //
+    // BYTE-PARITY ASSUMPTION: the fixture has no NULLs in the joined
+    // key/value columns. DuckDB's to_json renders a null field as
+    // "f":null where Spark's to_json omits the field, and this oracle
+    // emits every Children entry unconditionally where the engine
+    // omits the entry when the parent key field is null. The synthetic
+    // TPC-H-ish tables are NOT NULL throughout, so both shapes agree;
+    // if a future fixture introduces NULLs here, this oracle must gain
+    // the reference's null handling (omit-null-fields on the SQL side,
+    // joinKey != null guard per Children entry) instead of being
+    // debugged through a bare hash mismatch.
     "q_denorm_docs" -> QueryDef(
       "nested denormalized documents for orders → (customer → nation, lineitem → part)",
       """WITH nd AS (

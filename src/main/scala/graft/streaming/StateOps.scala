@@ -84,9 +84,14 @@ object StateOps {
         val b = backups(root)
         if (b.nonEmpty) b.reverse // newest first
         else {
-          // pre-rotation layout: table dirs directly under root
+          // pre-rotation layout: table dirs directly under root. An
+          // EXISTING but empty root (the normal first run — the caller
+          // just created the directory) is "nothing backed up yet",
+          // not a corrupt backup.
           val flat = new File(root)
-          if (flat.exists()) Seq(flat) else Nil
+          if (Option(flat.listFiles()).exists(_.exists(_.isDirectory)))
+            Seq(flat)
+          else Nil
         }
       }
       if (candidates.isEmpty) {
