@@ -92,10 +92,16 @@ object Dedup {
           .getField("gram").as("pfx"))
       .localCheckpoint(true)
     val sizes = docPrefix.select(col("id"), col("n"))
+    // The self-join keys on xxhash64(gram), not the gram string: a
+    // 64-bit hash compares/hashes faster and shuffles fewer bytes. A
+    // collision can only ADD candidate rows (cnt inflation makes the
+    // count bound keep MORE pairs, never fewer) and the verify is
+    // exact on real grams — completeness and results are unaffected.
     val ranked = docPrefix
       .select(col("id"), col("n"), explode(col("pfx")).as("gram"))
-    val a = ranked.select(col("id").as("doc_a"), col("gram"), col("n").as("na"))
-    val b = ranked.select(col("id").as("doc_b"), col("gram"), col("n").as("nb"))
+      .select(col("id"), col("n"), xxhash64(col("gram")).as("gh"))
+    val a = ranked.select(col("id").as("doc_a"), col("gh"), col("n").as("na"))
+    val b = ranked.select(col("id").as("doc_b"), col("gh"), col("n").as("nb"))
     // count filter (ppjoin-style): the full intersection is at most
     // (shared prefix grams) + min(suffix sizes), where each doc's
     // suffix size is ceil(τ·n) - 1; J ≥ τ needs intersection
@@ -115,7 +121,7 @@ object Dedup {
     val alphaDen = tauNum + tauDen
     val suffix = (n: Column) =>
       floor((n * tauNum + (tauDen - 1)) / tauDen) - 1
-    val cands = a.join(b, Seq("gram"))
+    val cands = a.join(b, Seq("gh"))
       .where(col("doc_a") < col("doc_b") &&
         // size filter: J ≥ τ requires τ·na ≤ nb and τ·nb ≤ na
         col("nb") * tauDen >= col("na") * tauNum &&
