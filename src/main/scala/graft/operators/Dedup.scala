@@ -207,6 +207,21 @@ object Dedup {
     h.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (id, band, bh) rows: one md5-hashed band signature per doc per
+    * band — the LSH bucket key shared by pair generation and cluster
+    * edge generation. */
+  private[operators] def bandedSignatures(
+      gramArrs: DataFrame, idCol: String): DataFrame = {
+    val sigs = minhashSignatures(gramArrs, idCol)
+    val bandCols = (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("_", parts: _*)).as("bh")).as(s"b$bnd")
+    }
+    sigs.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
   /** LSH candidate pairs: same md5-hashed band signature in any band,
     * then exact-Jaccard verification ≥ tau on full gram sets. */
   def minhashPairs(
@@ -219,15 +234,7 @@ object Dedup {
     // (localCheckpoint: lineage-truncating block reuse) instead of
     // re-deriving it from text 4×.
     val gramArrs = gramArrs0.localCheckpoint(true)
-    val sigs = minhashSignatures(gramArrs, idCol)
-    val bandCols = (0 until numBands).map { bnd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"),
-        md5(concat_ws("_", parts: _*)).as("bh")).as(s"b$bnd")
-    }
-    val banded = sigs.select(col(idCol).as("id"),
-        explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded = bandedSignatures(gramArrs, idCol)
     val l = banded.select(col("id").as("doc_a"), col("band"), col("bh"))
     val r = banded.select(col("id").as("doc_b"), col("band"), col("bh"))
     val cands = l.join(r, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
@@ -238,6 +245,101 @@ object Dedup {
       size(col("grams")).cast(LongType).as("n"))
     val g = gramArrs.select(col(idCol).as("id"), explode(col("grams")).as("gram"))
     jaccardVerify(cands, g, sizes, tauNum, tauDen)
+  }
+
+  /** Undirected duplicate-graph edges from LSH bucket membership: every
+    * doc in a bucket links to the bucket's MINIMUM doc id (a star), not
+    * to every other member — O(bucket size) edges instead of O(size²),
+    * with identical connected components. This is the scalable cluster
+    * construction: a pathological hot bucket of 1M docs emits 1M edges,
+    * not 10¹² pairs. Output: (doc_a, doc_b) with doc_a > doc_b.
+    *
+    * Plan note: the bucket-min aggregation and the membership join key
+    * on the same (band, bh), so the join reuses the aggregation's hash
+    * partitioning — one shuffle total. */
+  def lshBucketEdges(gramArrs: DataFrame, idCol: String): DataFrame = {
+    val banded = bandedSignatures(gramArrs, idCol)
+    val mins = banded.groupBy("band", "bh").agg(min(col("id")).as("mn"))
+    banded.join(mins, Seq("band", "bh"))
+      .where(col("id") =!= col("mn"))
+      .select(col("id").as("doc_a"), col("mn").as("doc_b"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected edge list via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014) — converges in O(log n) rounds to
+    * min-rooted stars, unlike naive label propagation whose round count
+    * is the graph DIAMETER (a 1M-doc duplicate chain would need 1M
+    * shuffles; this needs ~20). Each round is purely declarative:
+    * a groupBy(min) plus a join on the SAME key, so Catalyst reuses the
+    * aggregation's partitioning and each star step costs one shuffle
+    * plus the dedup exchange. Per-round `localCheckpoint` truncates the
+    * growing lineage (on a cluster: `checkpoint` to durable storage).
+    *
+    * @param edges0 undirected edges; self-loops and duplicates allowed
+    * @return (id, component) for every node in the edge list, where
+    *         component = the minimum node id in the component
+    */
+  def connectedComponents(
+      edges0: DataFrame,
+      uCol: String,
+      vCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // Canonical orientation (u > v), self-loops dropped.
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col(uCol), col(vCol)).as("u"),
+        least(col(uCol), col(vCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    // Edge-set fingerprint: (count, xor of row hashes) — XOR is
+    // order-independent and overflow-free (ANSI-safe), and rows are
+    // distinct so it is a sound set digest. One tiny driver action per
+    // round — the convergence test, not a data path.
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = canon(edges0).localCheckpoint(true)
+    var sig = fp(e)
+    var iter = 0
+    var done = e.isEmpty
+    while (!done && iter < maxIter) {
+      // Large-star: for every node u (both orientations), attach each
+      // STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}).
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = adj.join(mins, "u")
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star on the (u > v)-oriented result: attach u and all its
+      // smaller neighbors to m = min of those neighbors.
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(mins2, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = fp(next)
+      done = nextSig == sig
+      e = next
+      sig = nextSig
+      iter += 1
+    }
+    if (!done && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds")
+    // Fixed point = min-rooted stars: every non-root points at its
+    // component minimum; roots appear only on the v side.
+    val nodes = canon(edges0)
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    nodes.join(e.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** 32-bit SimHash from gram hashes: bit j set iff the count of grams

@@ -199,6 +199,40 @@ object Text {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Near-dup CLUSTERS, not just pairs: docs sharing any LSH band
+    // bucket are linked (to the bucket's min member — star edges, so a
+    // hot bucket emits O(size) edges), then connected components run
+    // over the link graph. A transitive chain A~B~C lands in ONE
+    // cluster even when A and C share no bucket — the piece pair
+    // queries can't express. The oracle replays the exact same edge
+    // set in DuckDB and closes it with a recursive CTE.
+    "q_dup_clusters" -> QueryDef(
+      "duplicate clusters: connected components over LSH bucket edges",
+      s"""WITH RECURSIVE $gramsCte,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % ${Dedup.P} AS h FROM g),
+         |sig AS (SELECT doc_id,
+         |    $sigSelects
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |mins AS (SELECT band, bh, min(doc_id) AS mn FROM bands GROUP BY 1, 2),
+         |e0 AS (SELECT b.doc_id AS u, m.mn AS v
+         |       FROM bands b JOIN mins m USING (band, bh) WHERE b.doc_id <> m.mn),
+         |edges AS (SELECT DISTINCT u, v FROM e0
+         |          UNION SELECT DISTINCT v AS u, u AS v FROM e0),
+         |walk AS (
+         |  SELECT DISTINCT u AS node, u AS reach FROM edges
+         |  UNION
+         |  SELECT e.v AS node, w.reach FROM edges e JOIN walk w ON w.node = e.u)
+         |SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS component
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val edges = Dedup.lshBucketEdges(
+        TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5), "doc_id")
+      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
     "q_dedup_simhash" -> QueryDef(
       "32-bit SimHash per document",
       s"""WITH $gramsCte,
