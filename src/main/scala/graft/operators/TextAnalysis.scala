@@ -93,6 +93,41 @@ object TextAnalysis {
   def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
+  /** Top-k characteristic terms per document by TF-IDF
+    * (score = tf · ln(N/df), rounded to 6 decimals for cross-engine
+    * rank stability; ties break on the term).
+    *
+    * Scale shape: term frequencies are one keyed aggregation with
+    * map-side combine; document frequencies aggregate the (already
+    * per-doc-distinct) tf rows, so no second corpus pass; the corpus
+    * size N rides a broadcast of a 1-row aggregate (no driver action);
+    * the final per-doc top-k window partitions by doc_id — millions of
+    * independent partitions, each a few hundred rows. The df join is
+    * the one term-keyed shuffle; at 100 TB the vocabulary is Zipf-bound
+    * (≪ corpus), so AQE sizes it correctly.
+    *
+    * @return (id, term, tfidf, rk) with rk in [1, k]
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(dfs, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term"))).cast(LongType))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rk"))
+  }
+
   /** Argmax language with deterministic first-wins tiebreak (order of
     * [[langMarkers]]); "und" (undetermined) when no marker hit. */
   def langId(text: Column): Column = {

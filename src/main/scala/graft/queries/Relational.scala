@@ -48,6 +48,33 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Exact grouped quantiles: Spark's `percentile` and DuckDB's
+    // `quantile_cont` share the same definition (sort, index p·(n−1),
+    // linear interpolation); round(6) absorbs last-ulp interpolation
+    // differences. At scale this is one shuffle with map-side partial
+    // aggregation of the per-group value buffers; for quantiles over
+    // 100 TB the approx_percentile sketch is the cheaper variant, but
+    // this is the exact-answer operator.
+    "q_quantiles" -> QueryDef(
+      "exact grouped quantiles of extended price per return flag",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     "q_topk" -> QueryDef(
       "top-3 orders by total price per market segment (rank window)",
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (

@@ -107,6 +107,31 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // TF-IDF top terms: the per-doc keyword extractor every corpus
+    // pipeline wants. Ranking uses the ROUNDED score (6 decimals) with
+    // a term tiebreak so Spark and DuckDB order identically despite
+    // last-ulp ln() differences.
+    "q_tfidf" -> QueryDef(
+      "top-3 TF-IDF terms per document",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfs USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rk FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (spark, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(spark, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")
+    },
+
     "q_token_count" -> QueryDef(
       "BPE-style pre-tokenizer token counting",
       s"""SELECT doc_id,
