@@ -292,51 +292,58 @@ object Dedup {
         least(col(uCol), col(vCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    // Edge-set fingerprint: (count, xor of row hashes) — XOR is
-    // order-independent and overflow-free (ANSI-safe), and rows are
-    // distinct so it is a sound set digest. One tiny driver action per
-    // round — the convergence test, not a data path.
-    def fp(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // Fixed point ⟺ the edge set is a min-rooted star FOREST: no node
+    // is both a child (u side) and a parent (v side), and no child has
+    // two parents. Probing for that directly — one tiny action per
+    // round — detects convergence the moment the producing round ends;
+    // a fingerprint-equality test would spend one extra full round
+    // producing an identical set just to observe it.
+    def isStarForest(df: DataFrame): Boolean = {
+      val childAndParent = df.select(col("v"))
+        .join(df.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(lit(1).as("bad"))
+      val multiParent = df.groupBy("u").agg(count(lit(1)).as("k"))
+        .where(col("k") > 1).select(lit(1).as("bad"))
+      childAndParent.union(multiParent).isEmpty
     }
     var e = canon(edges0).localCheckpoint(true)
-    var sig = fp(e)
     var iter = 0
-    var done = e.isEmpty
-    while (!done && iter < maxIter) {
+    // Do-while, not while: probing the raw input costs a round-sized
+    // action and real edge lists are essentially never already stars —
+    // a wasted round on star input is the cheaper rare case.
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
       // Large-star: for every node u (both orientations), attach each
-      // STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}).
+      // STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}). Emissions are
+      // deliberately NOT deduplicated — both consumers below (a min
+      // aggregate and the round-final distinct) are insensitive to
+      // duplicates, and the intermediate exchange they would need costs
+      // more than the dup rows.
       val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = adj.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = adj.join(mins, "u")
-        .where(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m ≤ old u < old v
       // Small-star on the (u > v)-oriented result: attach u and all its
       // smaller neighbors to m = min of those neighbors.
       val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(mins2, "u")
+      e = large.join(mins2, "u")
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      val nextSig = fp(next)
-      done = nextSig == sig
-      e = next
-      sig = nextSig
+      converged = isStarForest(e)
       iter += 1
     }
-    if (!done && iter >= maxIter)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds")
-    // Fixed point = min-rooted stars: every non-root points at its
-    // component minimum; roots appear only on the v side.
-    val nodes = canon(edges0)
-      .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    // Star forest: every non-root points at its component minimum;
+    // roots appear only on the v side. Connectivity is preserved by
+    // both star steps, so each tree is exactly one input component.
+    val nodes = e.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     nodes.join(e.select(col("u").as("id"), col("v").as("component")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
