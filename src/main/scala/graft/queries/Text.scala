@@ -39,6 +39,29 @@ object Text {
     s"CASE WHEN sum(CASE WHEN (h32 >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" +\n    ")
 
+  /** Full MinHash+LSH pair pipeline as a CTE chain ending in
+    * `pairs(doc_a, doc_b, jaccard)` — shared by the pair query and the
+    * cluster query (which closes `pairs` transitively). */
+  private val minhashPairsCtes: String =
+    s"""$gramsCte,
+       |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % ${Dedup.P} AS h FROM g),
+       |sig AS (SELECT doc_id,
+       |    $sigSelects
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS i
+       |          FROM cand JOIN g x ON x.doc_id = doc_a
+       |                    JOIN g y ON y.doc_id = doc_b AND y.gram = x.gram
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+       |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |          WHERE i * 5 >= (sa.n + sb.n - i) * 3)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     "q_text_stats" -> QueryDef(
@@ -200,60 +223,41 @@ object Text {
 
     "q_dedup_minhash" -> QueryDef(
       "MinHash+LSH near-dup pairs, exact-Jaccard verified",
-      s"""WITH $gramsCte,
-         |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % ${Dedup.P} AS h FROM g),
-         |sig AS (SELECT doc_id,
-         |    $sigSelects
-         |  FROM h GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         |inter AS (SELECT doc_a, doc_b, count(*) AS i
-         |          FROM cand JOIN g x ON x.doc_id = doc_a
-         |                    JOIN g y ON y.doc_id = doc_b AND y.gram = x.gram
-         |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
-         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-         |WHERE i * 5 >= (sa.n + sb.n - i) * 3
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
       Dedup.minhashPairs(
         TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5), "doc_id", 3, 5)
         .orderBy("doc_a", "doc_b")
     },
 
-    // Near-dup CLUSTERS, not just pairs: docs sharing any LSH band
-    // bucket are linked (to the bucket's min member — star edges, so a
-    // hot bucket emits O(size) edges), then connected components run
-    // over the link graph. A transitive chain A~B~C lands in ONE
-    // cluster even when A and C share no bucket — the piece pair
-    // queries can't express. The oracle replays the exact same edge
-    // set in DuckDB and closes it with a recursive CTE.
+    // Near-dup CLUSTERS, not just pairs: VERIFIED near-dup pairs
+    // (MinHash+LSH candidates, exact Jaccard ≥ τ) are closed
+    // transitively with connected components, so a chain A~B~C lands in
+    // ONE cluster even when A and C share no band — the thing the pair
+    // query can't express, and the form a dedup pipeline consumes
+    // (keep component-min per cluster). Clustering runs on the verified
+    // graph, not raw bucket collisions: band collisions are one-sided
+    // noise that transitive closure would amplify into giant false
+    // clusters. For hot-bucket-safe candidate generation at scale see
+    // Dedup.lshBucketEdges (star edges, O(size) per bucket). The
+    // oracle rebuilds the same pairs in DuckDB and closes them with a
+    // recursive CTE.
     "q_dup_clusters" -> QueryDef(
-      "duplicate clusters: connected components over LSH bucket edges",
-      s"""WITH RECURSIVE $gramsCte,
-         |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % ${Dedup.P} AS h FROM g),
-         |sig AS (SELECT doc_id,
-         |    $sigSelects
-         |  FROM h GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |mins AS (SELECT band, bh, min(doc_id) AS mn FROM bands GROUP BY 1, 2),
-         |e0 AS (SELECT b.doc_id AS u, m.mn AS v
-         |       FROM bands b JOIN mins m USING (band, bh) WHERE b.doc_id <> m.mn),
-         |edges AS (SELECT DISTINCT u, v FROM e0
-         |          UNION SELECT DISTINCT v AS u, u AS v FROM e0),
+      "duplicate clusters: connected components over verified near-dup pairs",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
          |walk AS (
          |  SELECT DISTINCT u AS node, u AS reach FROM edges
          |  UNION
          |  SELECT e.v AS node, w.reach FROM edges e JOIN walk w ON w.node = e.u)
          |SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS component
          |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val edges = Dedup.lshBucketEdges(
-        TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5), "doc_id")
-      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val pairs = Dedup.minhashPairs(
+        TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5),
+        "doc_id", 3, 5)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     },
