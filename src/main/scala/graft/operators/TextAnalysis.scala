@@ -93,6 +93,34 @@ object TextAnalysis {
   def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
+  /** PII scrub patterns — deliberately plain ASCII character classes
+    * so Java regex (Spark) and RE2 (DuckDB) agree on every match:
+    * no lookaround, no unicode classes, `\b` only against ASCII text.
+    * Order matters: emails first (their local part would otherwise
+    * lose digit runs to the card pattern). */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longDigitsPat = "\\b\\d{13,19}\\b" // card/account-number shaped
+
+  /** Redact PII in place and count what was removed — the corpus-prep
+    * scrub pass. A pure projection (three codegen'd regexp_replace +
+    * three regexp_extract_all counts): no shuffle, scales linearly,
+    * pipelines with any downstream operator. */
+  def scrubPii(text: Column): Column = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPat, "<EMAIL>"),
+        ipv4Pat, "<IP>"),
+      longDigitsPat, "<NUM>")
+    struct(
+      scrubbed.as("clean"),
+      size(regexp_extract_all(text, lit(emailPat), lit(0))).cast(LongType).as("n_emails"),
+      size(regexp_extract_all(text, lit(ipv4Pat), lit(0))).cast(LongType).as("n_ips"),
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(text, emailPat, "<EMAIL>"), ipv4Pat, "<IP>"),
+        lit(longDigitsPat), lit(0))).cast(LongType).as("n_nums"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df), rounded to 6 decimals for cross-engine
     * rank stability; ties break on the term).

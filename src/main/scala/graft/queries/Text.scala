@@ -130,6 +130,32 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // PII scrub: redact emails / IPv4s / card-shaped digit runs and
+    // count redactions. Patterns are plain ASCII classes so Java regex
+    // and RE2 agree; DuckDB needs the 'g' flag for replace-all (Spark
+    // regexp_replace is always global). Output carries md5(clean) so
+    // the oracle checks the full scrubbed text without megabyte rows.
+    "q_scrub" -> QueryDef(
+      "PII redaction with per-kind counts",
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.emailPat}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.ipv4Pat}', '<IP>', 'g'),
+         |    '${TextAnalysis.longDigitsPat}', '<NUM>', 'g')) AS clean_md5,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPat}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.ipv4Pat}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(text, '${TextAnalysis.emailPat}', '<EMAIL>', 'g'),
+         |                   '${TextAnalysis.ipv4Pat}', '<IP>', 'g'),
+         |    '${TextAnalysis.longDigitsPat}')) AS BIGINT) AS n_nums
+         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("s"))
+        .select(col("doc_id"), md5(col("s.clean")).as("clean_md5"),
+          col("s.n_emails"), col("s.n_ips"), col("s.n_nums"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF top terms: the per-doc keyword extractor every corpus
     // pipeline wants. Ranking uses the ROUNDED score (6 decimals) with
     // a term tiebreak so Spark and DuckDB order identically despite

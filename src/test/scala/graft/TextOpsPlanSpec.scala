@@ -35,6 +35,27 @@ class TextOpsPlanSpec extends SparkSpec {
     }
   }
 
+  test("scrubPii redacts planted emails, IPs, and card numbers and counts them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.254.3 now"),
+      (2L, "card 4111111111111111 expires; backup 12 digits 123456789012 stays"),
+      (3L, "email inside number zone 9999@x.io 99999999999999999"),
+      (4L, "clean text, nothing to redact")).toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id"), graft.operators.TextAnalysis.scrubPii(col("text")).as("s"))
+      .select(col("doc_id"), col("s.clean"), col("s.n_emails"), col("s.n_ips"), col("s.n_nums"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == (("contact <EMAIL> or <IP> now", 1L, 1L, 0L)))
+    // 12-digit run is below the 13-digit card floor
+    assert(got(2L) == (("card <NUM> expires; backup 12 digits 123456789012 stays", 0L, 0L, 1L)))
+    // the email eats its digits first; the free-standing 17-digit run is caught
+    assert(got(3L) == (("email inside number zone <EMAIL> <NUM>", 1L, 0L, 1L)))
+    assert(got(4L) == (("clean text, nothing to redact", 0L, 0L, 0L)))
+  }
+
   test("grouped quantiles plan exactly one aggregation exchange (map-side partials)") {
     withoutAqe {
       val plan = Registry.all("q_quantiles").build(spark, dir)
