@@ -195,14 +195,7 @@ object Similarity {
     if (cents.isEmpty)
       return probes.select(col("qid"), lit(0L).as("rank"),
         col("qid").as("nid"), lit(0.0).as("cos")).limit(0)
-    // Struct ordering (d desc, cid asc) via lexicographic (d, -cid).
-    // The assignment cosine rounds to 6 decimals (like every ranking
-    // quantity here) so an argmax at a near-tie can't flip on a
-    // last-ulp accumulation difference vs the oracle engine.
-    def cellRank(vec: Column): Column = array(cents.map { case (cid, cv) =>
-      struct(round(cosine(vec, typedlit(cv)), 6).as("d"),
-        lit(-cid).as("nc"), lit(cid).as("cid"))
-    }: _*)
+    def cellRank(vec: Column): Column = centroidRank(cents)(vec)
     val assigned = corpus
       .withColumn("cid", array_max(cellRank(col("vec"))).getField("cid"))
       .select(col("nid"), col("vec").as("__nv"), col("cid"))
@@ -219,6 +212,65 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
     rankTopK(joined, k)
+  }
+
+  /** Per-centroid (cosine, cid) rank structs for argmax assignment:
+    * struct ordering (d desc, cid asc) via lexicographic (d, -cid).
+    * The assignment cosine rounds to 6 decimals (like every ranking
+    * quantity here) so an argmax at a near-tie can't flip on a
+    * last-ulp accumulation difference vs the oracle engine. Centroids
+    * inline as literal vectors, so assignment over the full corpus is
+    * a pure codegen map expression — no join, no shuffle. */
+  private def centroidRank(cents: Array[(Long, Seq[Double])])(vec: Column): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(round(cosine(vec, typedlit(cv)), 6).as("d"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Spherical k-means refinement (Lloyd's iterations): assign every
+    * vector to its argmax-cosine centroid, recompute centroids as the
+    * per-cell element-wise mean, repeat. Per iteration the cluster does
+    * ONE corpus pass: assignment is a codegen argmax over inlined
+    * literal centroids (no join — cosine is scale-invariant, so the
+    * unnormalized mean works as the next centroid) and the mean is a
+    * map-side-combinable (cid, pos) aggregation. Only the k×dim rounded
+    * centroid matrix (a few KB) ever reaches the driver, to become the
+    * next iteration's literals — corpus size never does. Cells that
+    * lose all members drop out (k shrinks), matching the relational
+    * oracle. Means round to 6 decimals each iteration so the refinement
+    * trajectory is reproducible on any engine.
+    *
+    * Seeds are the first `nLists` corpus vectors by id — deterministic,
+    * same convention as [[ivfTopK]] (which this refinement feeds).
+    *
+    * @return final (cid, pos, val, n_vecs): centroid cid's component at
+    *         1-based pos, with the cell population
+    */
+  def kmeansRefine(
+      corpus: DataFrame, // (nid, vec)
+      nLists: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, "at least one refinement iteration")
+    var cents: Array[(Long, Seq[Double])] =
+      corpus.orderBy(col("nid")).limit(nLists)
+        .select(col("nid").cast(LongType), col("vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var means: DataFrame = null
+    for (i <- 1 to iters) {
+      means = corpus
+        .withColumn("cid", array_max(centroidRank(cents)(col("vec"))).getField("cid"))
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos0", "val")))
+        .select(col("cid"), (col("pos0") + 1).cast(LongType).as("pos"), col("val"))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("val")), 6).as("val"), count(lit(1)).as("n_vecs"))
+      if (i < iters)
+        cents = means.orderBy("cid", "pos").collect()
+          .groupBy(_.getLong(0)).toArray
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
+          }.sortBy(_._1)
+    }
+    means
   }
 
   /** Deterministic pseudo-random hyperplanes: component d of plane m is

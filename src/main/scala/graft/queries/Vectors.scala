@@ -139,6 +139,39 @@ object Vectors {
       // 4 planes → 16 buckets: sized so buckets stay populated at the
       // test corpus sizes; at real scale raise planes with corpus size.
       Similarity.lshTopK(probes, corpus, 64, 10, numPlanes = 4).orderBy("qid", "rank")
+    },
+
+    // Spherical k-means refinement (2 Lloyd iterations over the IVF
+    // seeds). The oracle replays both iterations in SQL: seed = first
+    // 16 vectors, argmax-cosine assignment (rounded, lowest-cid ties),
+    // per-cell rounded means rebuilt into centroid lists for the second
+    // assignment. Verifies the iterative literal-feedback machinery
+    // that refines ivfTopK's cells.
+    "q_kmeans" -> QueryDef(
+      "spherical k-means centroid refinement (16 cells, 2 Lloyd iterations)",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT d.vec_id, d.v, c0.cid,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY round(list_cosine_similarity(d.v, c0.cv), 6) DESC, c0.cid) AS rn
+        |  FROM d, c0) WHERE rn = 1),
+        |x1 AS (SELECT cid, i AS pos, v[i] AS val
+        |       FROM a1, unnest(range(1, len(v) + 1)) AS u(i)),
+        |m1 AS (SELECT cid, pos, round(avg(val), 6) AS val FROM x1 GROUP BY cid, pos),
+        |c1 AS (SELECT cid, list(val ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT d.vec_id, d.v, c1.cid,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY round(list_cosine_similarity(d.v, c1.cv), 6) DESC, c1.cid) AS rn
+        |  FROM d, c1) WHERE rn = 1),
+        |x2 AS (SELECT cid, i AS pos, v[i] AS val
+        |       FROM a2, unnest(range(1, len(v) + 1)) AS u(i))
+        |SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos,
+        |  round(avg(val), 6) AS val, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM x2 GROUP BY cid, pos ORDER BY cid, pos""".stripMargin) { (spark, dir) =>
+      val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      Similarity.kmeansRefine(corpus, nLists = 16, iters = 2).orderBy("cid", "pos")
     })
 
   /** Generated DuckDB oracle for the banded near-dup: band keys from

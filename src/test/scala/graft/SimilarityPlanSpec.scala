@@ -96,6 +96,32 @@ class SimilarityPlanSpec extends SparkSpec {
     }
   }
 
+  test("k-means refinement: one shuffle-free assignment pass, cells cover the corpus") {
+    withoutAqe {
+      // The final-iteration plan must be scan → codegen argmax project →
+      // explode → hash aggregate: no join of any kind (centroids are
+      // inlined literals), so the only exchange is the (cid, pos) agg.
+      val refined = Similarity.kmeansRefine(corpus, nLists = 16, iters = 2)
+      val plan = concretePlan(refined).toString
+      assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      val rows = refined.collect()
+      val n = corpus.count()
+      val dim = 64
+      // every (cid, pos) carries its full cell population; cell
+      // populations sum to the corpus size at every dimension
+      assert(rows.map(_.getLong(1)).toSet.subsetOf((1L to dim).toSet))
+      val perPos = rows.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(3)).sum)
+      assert(perPos.values.toSet == Set(n), s"cell sizes must sum to $n per dim: $perPos")
+      // refinement must actually move the seeds: iteration-2 means
+      // differ from a single-iteration run somewhere
+      val once = Similarity.kmeansRefine(corpus, nLists = 16, iters = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val twice = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(once != twice, "second Lloyd iteration changed nothing — refinement inert")
+    }
+  }
+
   test("blocked exact pairs reproduce the naive cross-join exactly") {
     val naive = Similarity.cosinePairs(corpus, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
