@@ -273,6 +273,50 @@ object Similarity {
     means
   }
 
+  /** SemDeDup-style semantic deduplication: vectors are assigned to
+    * k-means cells (argmax cosine over the same deterministic seed
+    * centroids as [[ivfTopK]]) and near-duplicate pairs are searched
+    * ONLY within a cell — the quadratic pair space shrinks from
+    * O(corpus²) to Σ O(cell²), and cell count scales with the corpus
+    * so cell size (and per-task memory) stays roughly constant at
+    * 100 TB. A vector is reported as a semantic duplicate when some
+    * LOWER-id cell-mate exceeds the cosine threshold; the canonical
+    * representative (`dup_of`) is the lowest such id, so "drop every
+    * reported vec_id" deterministically keeps one exemplar per
+    * near-dup set regardless of partitioning.
+    *
+    * Assignment is a codegen literal-centroid argmax (no join); the
+    * in-cell pair search is a cid-keyed equijoin — no CartesianProduct
+    * anywhere. A pathologically hot cell is handled the same way as a
+    * hot join key elsewhere: raise `nLists` (finer cells) rather than
+    * salting, which is exactly the SemDeDup recipe.
+    *
+    * @param corpus (nid, vec)
+    * @return (vec_id, cell, dup_of, cos, n_near): duplicates only,
+    *         cos = cosine to dup_of, n_near = lower-id cell-mates ≥ tau
+    */
+  def semDedup(corpus: DataFrame, tau: Double, nLists: Int = 16): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] =
+      corpus.orderBy(col("nid")).limit(nLists)
+        .select(col("nid").cast(LongType), col("vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val assigned = corpus
+      .withColumn("cid", array_max(centroidRank(cents)(col("vec"))).getField("cid"))
+    val a = assigned.select(col("cid"), col("nid").as("dup_of"), col("vec").as("__va"))
+    val b = assigned.select(col("cid"), col("nid").as("vec_id"), col("vec").as("__vb"))
+    a.join(b, Seq("cid"))
+      .where(col("dup_of") < col("vec_id"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .where(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("cid"))
+      // min(struct) = row of the lowest dup_of (ids are unique per pair)
+      .agg(min(struct(col("dup_of"), col("cos"))).as("__m"),
+        count(lit(1)).as("n_near"))
+      .select(col("vec_id"), col("cid").cast(LongType).as("cell"),
+        col("__m").getField("dup_of").as("dup_of"),
+        col("__m").getField("cos").as("cos"), col("n_near"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component d of plane m is
     * ±1 by the parity of a xorshift of (m * dim + d). */
   def planeSign(m: Int, d: Int): Double = {

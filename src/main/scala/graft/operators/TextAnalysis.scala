@@ -139,7 +139,12 @@ object TextAnalysis {
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // repartition BEFORE the tokenizer explode: a compact parquet scan
+    // arrives in few partitions and the regex + explode is the
+    // expensive projection — it must run at cluster parallelism (same
+    // measured pattern as q_text_stats / q_repetition).
     val tf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))

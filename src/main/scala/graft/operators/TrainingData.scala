@@ -73,6 +73,37 @@ object TrainingData {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Temperature-scaled corpus mixture weights: source `g` with `n_g`
+    * documents is sampled with probability `n_g^alpha / Σ n^alpha` —
+    * `alpha = 1` is proportional sampling, `alpha → 0` uniform over
+    * sources; intermediate values (the standard multi-corpus
+    * pretraining recipe) upweight small high-quality sources without
+    * drowning in the largest crawl.
+    *
+    * Shape for 100 TB: one map-side-combinable count per group, then
+    * the normalizer rides a broadcast 1-row aggregate over the
+    * group-count table (thousands of rows at most) — the corpus is
+    * read once and never shuffled beyond the count. Determinism: each
+    * `n^alpha` is rounded to 6 decimals and summed as exact DECIMAL,
+    * so the normalizer is independent of addition order (float sums
+    * over groups would differ in the last ulp between engines and
+    * partitionings); the final weight is a single IEEE division of the
+    * two exact quantities, rounded.
+    *
+    * @return (groupCol, n_docs, weight) one row per group
+    */
+  def mixtureWeights(
+      docs: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__p", round(pow(col("n_docs"), lit(alpha)), 6).cast(dec))
+    val total = counts.agg(sum(col("__p")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"),
+        round(col("__p").cast(DoubleType) / col("__tot").cast(DoubleType), 6)
+          .as("weight"))
+  }
+
   /** Deterministic sequence packing (concat-and-chunk): documents are
     * laid out in `orderCol` order within each `groupCol` stream and the
     * token stream is chunked into bins of `capacity`; a document's bin

@@ -406,6 +406,53 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Temperature-scaled mixture weights per source — the sampling
+    // recipe that balances a multi-corpus pretraining mix. The
+    // normalizer is an exact DECIMAL sum of rounded per-source n^α
+    // (addition-order-independent), so both engines divide the same
+    // two exact numbers.
+    "q_mixture" -> QueryDef(
+      "temperature-scaled (alpha=0.5) corpus mixture weights per source",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             round(pow(count(*), 0.5), 6)::DECIMAL(30,6) AS p
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT sum(p) AS tot FROM c)
+        |SELECT source, n_docs,
+        |  round(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
+        |FROM c CROSS JOIN t ORDER BY source""".stripMargin) { (spark, dir) =>
+      TrainingData.mixtureWeights(docs(spark, dir), "source", alpha = 0.5)
+        .orderBy("source")
+    },
+
+    // Per-document duplicated-text coverage: the fraction of a doc's
+    // distinct 5-gram shingles that occur in ANY other document — the
+    // shingle approximation of suffix-array substring dedup (how much
+    // of this doc is boilerplate shared with the rest of the corpus).
+    // Reuses the dedup family's gram/df machinery: one term-keyed
+    // aggregation (vocabulary is Zipf-bound ≪ corpus) and one
+    // doc-keyed rollup; no pairwise anything.
+    "q_dup_coverage" -> QueryDef(
+      "per-document shared-shingle coverage (corpus-duplicated text fraction)",
+      s"""WITH $gramsCte,
+         |dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         |SELECT g.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  round(CAST(sum(CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS dup_frac
+         |FROM g JOIN dfs USING (gram)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
+      val g = TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5)
+      val dfs = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      g.join(dfs, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared").cast(DoubleType) / col("n_grams"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic sequence packing: per-source doc streams chunked
     // into 512-token bins (concat-and-chunk, the pretraining packing
     // layout); one window shuffle by source, integer-exact on any

@@ -149,6 +149,38 @@ object Vectors {
     // that refines ivfTopK's cells.
     "q_kmeans" -> QueryDef(
       "spherical k-means centroid refinement (16 cells, 2 Lloyd iterations)",
+      kmeansOracleSql) { (spark, dir) =>
+      val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      Similarity.kmeansRefine(corpus, nLists = 16, iters = 2).orderBy("cid", "pos")
+    },
+
+    // SemDeDup: near-dup search restricted to k-means cells — the
+    // semantic-dedup scale path (pairwise only within a cell, cell
+    // count grows with the corpus). The oracle rebuilds the same cell
+    // assignment (argmax over the first-16 seed centroids, identical
+    // to the IVF oracle) and the within-cell pair scan in SQL.
+    "q_semdedup" -> QueryDef(
+      "semantic dedup: lowest-id near-duplicate within each k-means cell",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT nid, nv, cid FROM (
+        |  SELECT d.vec_id AS nid, d.v AS nv, c.cid,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC, c.cid) AS rn
+        |  FROM d, c) WHERE rn = 1),
+        |p AS (SELECT b.nid AS vec_id, a.cid, a.nid AS dup_of,
+        |        round(list_cosine_similarity(a.nv, b.nv), 6) AS cos
+        |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.nid < b.nid)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cell,
+        |  min(dup_of) AS dup_of, arg_min(cos, dup_of) AS cos,
+        |  CAST(count(*) AS BIGINT) AS n_near
+        |FROM p WHERE cos >= 0.3
+        |GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      Similarity.semDedup(corpus, tau = 0.3, nLists = 16).orderBy("vec_id")
+    })
+
+  private def kmeansOracleSql: String =
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
         |a1 AS (SELECT vec_id, v, cid FROM (
@@ -169,10 +201,7 @@ object Vectors {
         |       FROM a2, unnest(range(1, len(v) + 1)) AS u(i))
         |SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos,
         |  round(avg(val), 6) AS val, CAST(count(*) AS BIGINT) AS n_vecs
-        |FROM x2 GROUP BY cid, pos ORDER BY cid, pos""".stripMargin) { (spark, dir) =>
-      val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
-      Similarity.kmeansRefine(corpus, nLists = 16, iters = 2).orderBy("cid", "pos")
-    })
+        |FROM x2 GROUP BY cid, pos ORDER BY cid, pos""".stripMargin
 
   /** Generated DuckDB oracle for the banded near-dup: band keys from
     * literal hyperplanes (same [[Similarity.planeSign]] planes, same

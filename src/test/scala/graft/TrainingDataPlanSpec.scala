@@ -57,6 +57,47 @@ class TrainingDataPlanSpec extends SparkSpec {
     }
   }
 
+  test("mixture weights: sum to ~1, monotone in group size, broadcast normalizer") {
+    withoutAqe {
+      val w = TrainingData.mixtureWeights(
+        graft.core.Tables.load(spark, dir, "documents"), "source", alpha = 0.5)
+      val p = plan(w).toString
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"the 1-row normalizer must broadcast:\n$p")
+      val rows = w.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length > 1)
+      val s = rows.map(_._3).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"weights sum to $s")
+      // alpha < 1 compresses: a group with more docs never gets a
+      // smaller weight, and weight ratios are sub-linear in count ratios
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, n1, w1), (_, n2, w2)) =>
+          assert(n1 > 0 && n2 >= n1 && w2 >= w1 - 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("dup coverage bounds the planted near-duplicates from below") {
+    // A doc in a Jaccard ≥ τ pair shares i grams with its partner and
+    // i/n_own ≥ i/(n_own + n_other - i) = J ≥ τ, so its dup_frac must
+    // be at least τ — the coverage metric must agree with the dedup
+    // family on the planted near-dups.
+    val cov = Registry.all("q_dup_coverage").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val nearDup = Registry.all("q_dedup_ngram").build(spark, dir).collect()
+    assert(nearDup.nonEmpty, "the fixture plants near-duplicate pairs")
+    nearDup.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(cov(a) >= j - 1e-6 && cov(b) >= j - 1e-6,
+        s"pair ($a,$b) J=$j but coverage ${cov(a)}/${cov(b)}")
+    }
+    // and the metric is non-trivial: background word-soup docs are not
+    // all flagged as fully duplicated
+    assert(cov.values.exists(_ < 0.999), "coverage must discriminate")
+  }
+
   test("wordGrams matches a naive reference on planted token arrays") {
     val toks = Seq(
       (1L, Seq("a", "b", "c", "d")),
