@@ -59,6 +59,28 @@ object Relation {
   def parseFile(path: String): Seq[Relation] =
     parseJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
 
+  /** Load relations from any Hadoop-filesystem URI — `file://`,
+    * `hdfs://`, `s3a://`, … (reference parity: the config/relations
+    * loader accepts file:// or s3://, util/FileHelper.java:37-108).
+    * Scheme resolution is delegated to the Hadoop `FileSystem`
+    * registry, so S3 support is a jar + credentials concern, not a
+    * code path: the same call reads object storage on a real cluster.
+    * Bare paths (no scheme) resolve against the local filesystem. */
+  def parseUri(uri: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[Relation] = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      parseJson(out.toString("UTF-8"))
+    } finally in.close()
+  }
+
   private def parseRoot(n: JsonNode): Relation = {
     val name = Option(n.get("DenormalizedName")).map(_.asText())
     require(name.exists(_.nonEmpty), "root relation missing DenormalizedName")

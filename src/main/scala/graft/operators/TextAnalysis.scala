@@ -121,6 +121,48 @@ object TextAnalysis {
         lit(longDigitsPat), lit(0))).cast(LongType).as("n_nums"))
   }
 
+  /** Per-document unigram-LM negative log-likelihood — the
+    * perplexity-proxy quality score (CCNet-style): the corpus itself
+    * is the language model (p(term) = corpus tf / total tokens) and a
+    * document's score is the mean −ln p over its tokens. Low = built
+    * from the corpus's common words; high = rare-word soup — the
+    * standard cheap signal for filtering outlier documents before
+    * training.
+    *
+    * Scale shape: ONE tokenize pass materializes the per-doc tf table
+    * (the same pivot [[tfidfTopTerms]] uses); corpus term totals
+    * aggregate those tf rows (vocabulary is Zipf-bound ≪ corpus) and
+    * come back as a broadcast; the per-doc score is one keyed
+    * aggregation. Determinism: each term's ln p rounds to 6 decimals
+    * and per-doc accumulation is exact DECIMAL (weighted by the
+    * integer tf), so the score is independent of partitioning and
+    * addition order; the final division is a single IEEE op.
+    *
+    * @return (id, n_tokens, nll)
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val tf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val ctf = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val tot = tf.agg(sum(col("tf")).as("tot"))
+    val logp = ctf.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(log(col("ctf").cast(DoubleType) / col("tot").cast(DoubleType)), 6)
+          .cast(dec).as("logp"))
+    tf.join(broadcast(logp), "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("logp") * col("tf")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__s").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("nll"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df), rounded to 6 decimals for cross-engine
     * rank stability; ties break on the term).
@@ -142,12 +184,18 @@ object TextAnalysis {
     // repartition BEFORE the tokenizer explode: a compact parquet scan
     // arrives in few partitions and the regex + explode is the
     // expensive projection — it must run at cluster parallelism (same
-    // measured pattern as q_text_stats / q_repetition).
+    // measured pattern as q_text_stats / q_repetition). The tf table
+    // is the pivot both later branches consume (df counts and the
+    // probe side of the join); materialize it once — without the
+    // checkpoint Spark plans TWO full scan+tokenize+explode subtrees
+    // (exchange reuse does not fire across the differing aggregate
+    // branches) and the regex runs twice over the corpus.
     val tf = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     tf.join(dfs, "term")

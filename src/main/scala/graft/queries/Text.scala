@@ -181,6 +181,30 @@ object Text {
         .orderBy("doc_id", "rk")
     },
 
+    // Perplexity-proxy quality score: the corpus's own unigram term
+    // distribution is the LM; a doc's score is its mean −ln p(term).
+    // Per-term log-probs round to 6 decimals and per-doc accumulation
+    // is exact DECIMAL weighted by integer tf — addition-order
+    // independent, so both engines sum identical quantities.
+    "q_lm_score" -> QueryDef(
+      "unigram-LM mean negative log-likelihood per document (quality proxy)",
+      """WITH t AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS tot FROM tf),
+        |lp AS (SELECT term,
+        |         round(ln(CAST(ctf AS DOUBLE) / CAST(tot AS DOUBLE)), 6)::DECIMAL(30,6) AS logp
+        |       FROM ctf CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(-CAST(sum(logp * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS nll
+        |FROM tf JOIN lp USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      TextAnalysis.lmScore(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "q_token_count" -> QueryDef(
       "BPE-style pre-tokenizer token counting",
       s"""SELECT doc_id,
@@ -442,7 +466,12 @@ object Text {
          |        / count(*), 6) AS dup_frac
          |FROM g JOIN dfs USING (gram)
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
+      // materialize the exploded gram set once: both the df count and
+      // the join probe consume it, and without the checkpoint the
+      // shingle derivation is planned (and run) twice — same measured
+      // pattern as Dedup.ngramJaccardPairs
       val g = TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5)
+        .localCheckpoint(true)
       val dfs = g.groupBy("gram").agg(count(lit(1)).as("df"))
       g.join(dfs, "gram")
         .groupBy("doc_id")

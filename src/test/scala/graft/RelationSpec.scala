@@ -21,6 +21,16 @@ class RelationSpec extends AnyFunSuite {
     assert(media.entities == Seq("media", "user", "playlist_media", "playlist"))
   }
 
+  test("parseUri reads any Hadoop-filesystem scheme (file:// here)") {
+    // same bytes through the Hadoop FileSystem registry — the code
+    // path a cluster uses for s3a://bucket/relations.json
+    val viaUri = Relation.parseUri(s"file://$root/relations.sample.json").head
+    assert(viaUri == Relation.parseFile(s"$root/relations.sample.json").head)
+    // bare (schemeless) paths resolve against the local filesystem
+    val bare = Relation.parseUri(s"$root/relations2.sample.json").head
+    assert(bare.denormalizedName.contains("DenormalizedPlayer"))
+  }
+
   test("broken relations fixture is rejected") {
     assertThrows[IllegalArgumentException] {
       Relation.parseFile(s"$root/broken_relations.sample.json")
