@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Exact deduplication as a NATIVE Structured Streaming stateful
+  * operator — the streaming analogue of the batch `q_dedup_exact`
+  * group-by, for ingestion pipelines that must drop duplicate
+  * documents as they arrive instead of re-scanning the corpus.
+  *
+  * Keyed by content hash (the caller supplies it — a fixed-width
+  * digest like `sha2(text, 256)`, so state size is independent of
+  * document length); state per hash is the canonical (first-seen)
+  * doc id. Every arriving document emits one decision row: the first
+  * occurrence is canonical (`dup_of` empty), later occurrences point
+  * at the canonical id. "First" is arrival order across micro-batches
+  * and (offset, doc_id) order within a batch — a streaming operator
+  * cannot retract an already-emitted canonical choice, which is the
+  * standard first-wins contract for streaming dedup (Spark's own
+  * `dropDuplicates` behaves the same way).
+  *
+  * Scale shape: the state store is hash-partitioned by content hash
+  * and holds one fixed-width entry per DISTINCT document — the same
+  * asymptotics as the batch hash-group, but incremental and
+  * checkpointed. For bounded state on endless streams, swap
+  * `NoTimeout` for a processing-time timeout (dedup-within-horizon),
+  * exactly like `dropDuplicatesWithinWatermark`.
+  */
+object StreamingDedup {
+
+  case class DocArrival(doc_id: Long, offset: Long, content_hash: String)
+  case class DedupDecision(doc_id: Long, content_hash: String, dup_of: Option[Long])
+  case class SeenState(canonical_id: Long)
+
+  /** Dedup a stream of (doc_id, offset, content_hash) arrivals.
+    * Run with `OutputMode.Append`. */
+  def firstSeen(docs: DataFrame): Dataset[DedupDecision] = {
+    implicit val outEnc = Encoders.product[DedupDecision]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.product[SeenState]
+    docs.as[DocArrival](Encoders.product[DocArrival])
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(dedupGroup)
+  }
+
+  private[streaming] def dedupGroup(
+      hash: String,
+      rows: Iterator[DocArrival],
+      state: GroupState[SeenState]): Iterator[DedupDecision] = {
+    val ordered = rows.toSeq.sortBy(r => (r.offset, r.doc_id))
+    var canon = state.getOption.map(_.canonical_id)
+    val out = ordered.map { r =>
+      canon match {
+        case None =>
+          canon = Some(r.doc_id)
+          DedupDecision(r.doc_id, hash, None)
+        case Some(c) =>
+          DedupDecision(r.doc_id, hash, Some(c))
+      }
+    }
+    canon.foreach(c => state.update(SeenState(c)))
+    out.iterator
+  }
+}

@@ -186,4 +186,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats(0L).getAs[String]("sha") == feats(1L).getAs[String]("sha"))
     assert(feats(0L).getAs[String]("sha") != feats(3L).getAs[String]("sha"))
   }
+
+  test("corpus-prep stages compose as one lazy DataFrame chain") {
+    import graft.operators.TrainingData
+    // the full pretraining-prep shape: scrub PII → quality filter →
+    // exact dedup (keep canonical) → train split → sequence packing —
+    // every stage a DataFrame => DataFrame transform, one Spark action
+    // at the end (SURVEY §7.4: the operator registry must compose
+    // without rearchitecting)
+    val raw = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val scrubbed = raw
+      .withColumn("__s", TextAnalysis.scrubPii(col("text")))
+      .select(col("doc_id"), col("source"), col("__s").getField("clean").as("text"))
+    val quality = scrubbed
+      .where(size(TextAnalysis.tokens(col("text"))) >= 5)
+    val canonical = Dedup.exactGroups(quality, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val deduped = quality.join(canonical, "doc_id")
+    val train = deduped.where(TextAnalysis.hashBucket(col("doc_id"), 100) < 80)
+    val packed = TrainingData.packBins(train, "source", "doc_id",
+      size(TextAnalysis.tokens(col("text"))), 512L)
+
+    val rows = packed.collect() // the single action
+    val nRaw = raw.count()
+    assert(rows.nonEmpty && rows.length <= nRaw)
+    // every doc got a bin, bins start at 0 per source, token counts > 0
+    assert(rows.forall(_.getAs[Long]("bin") >= 0L))
+    assert(rows.forall(_.getAs[Long]("n_tokens") > 0L))
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    assert(perSource.values.forall(_.map(_.getAs[Long]("bin")).min == 0L))
+    // the train split kept roughly 80%
+    val kept = rows.length.toDouble / nRaw
+    assert(kept > 0.6 && kept < 0.95, s"train fraction $kept")
+  }
 }
