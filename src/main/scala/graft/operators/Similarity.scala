@@ -317,6 +317,34 @@ object Similarity {
         col("__m").getField("cos").as("cos"), col("n_near"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * transform a 100 TB vector corpus runs before indexing (4× smaller
+    * than float32, 8× than float64). Per vector: scale = 127/max|v|
+    * (rounded to 6 decimals so both engines quantize with the same
+    * factor), q_i = round(v_i · scale) ∈ [−127, 127].
+    *
+    * Pure per-row projection — no shuffle, no join; the array lambdas
+    * here are interpreted (CodegenFallback) but run once over a
+    * dim-length array per row, which beats the shuffle a
+    * posexplode/groupBy reshape would add just to regain codegen.
+    * Checksums (sum, L1, max|q|) are integer-valued and
+    * order-independent (each partial fits a double exactly), so the
+    * output is engine- and partitioning-stable.
+    *
+    * @param corpus (nid, vec)
+    * @return (vec_id, scale, q_sum, q_l1, q_max)
+    */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val maxAbs = array_max(transform(col("vec"), x => abs(x)))
+    val q = transform(col("vec"), x => round(x * col("scale"), 0))
+    corpus
+      .withColumn("scale", round(lit(127.0) / maxAbs, 6))
+      .select(col("nid").as("vec_id"), col("scale"),
+        aggregate(q, lit(0.0), (a, x) => a + x).cast(LongType).as("q_sum"),
+        aggregate(q, lit(0.0), (a, x) => a + abs(x)).cast(LongType).as("q_l1"),
+        array_max(transform(q, x => abs(x))).cast(LongType).as("q_max"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component d of plane m is
     * ±1 by the parity of a xorshift of (m * dim + d). */
   def planeSign(m: Int, d: Int): Double = {

@@ -121,6 +121,41 @@ object TextAnalysis {
         lit(longDigitsPat), lit(0))).cast(LongType).as("n_nums"))
   }
 
+  /** Overlapping fixed-size token chunks per document — the
+    * RAG/pretraining chunker: windows of `chunk` tokens advancing by
+    * `chunk - overlap`, last window truncated, one chunk for any
+    * non-empty doc. A pure per-row explode (chunk count is derived
+    * arithmetic, no shuffle); downstream per-chunk work inherits the
+    * document partitioning.
+    *
+    * All boundary arithmetic is integer-exact: chunk count =
+    * 1 + ceil((n - chunk)/stride) for n > chunk, else 1.
+    *
+    * @return (id, chunk_id, start, chunk_len, first_token), start
+    *         1-based
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, overlap: Int): DataFrame = {
+    require(overlap < chunk, "overlap must be smaller than the chunk")
+    val stride = chunk - overlap
+    val n = size(col("__t")).cast(LongType)
+    // ceil((n-chunk)/stride) via (n-chunk+stride-1) div stride; values
+    // are token counts, so the double division below is exact well past
+    // any realistic document length
+    val nChunks = when(n <= chunk, lit(1L))
+      .otherwise(lit(1L) +
+        floor((n - chunk + (stride - 1)) / lit(stride.toDouble)).cast(LongType))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol), col("__t"), n.as("__n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start"),
+        least(lit(chunk.toLong), col("__n") - col("chunk_id") * stride).as("chunk_len"),
+        element_at(col("__t"), (col("chunk_id") * stride + 1).cast(IntegerType))
+          .as("first_token"))
+  }
+
   /** Per-document unigram-LM negative log-likelihood — the
     * perplexity-proxy quality score (CCNet-style): the corpus itself
     * is the language model (p(term) = corpus tf / total tokens) and a

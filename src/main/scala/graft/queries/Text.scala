@@ -181,6 +181,51 @@ object Text {
         .orderBy("doc_id", "rk")
     },
 
+    // Overlapping token chunking (64-token windows, 16 overlap) — the
+    // RAG/pretraining chunk layout; boundary arithmetic is
+    // integer-exact on both engines.
+    "q_chunk" -> QueryDef(
+      "overlapping 64-token chunks (stride 48) per document",
+      """WITH t AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |       FROM documents),
+        |nn AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |c AS (SELECT doc_id, w, n,
+        |        unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                             ELSE 1 + (n - 64 + 47) // 48 END)) AS i
+        |      FROM nn)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(i * 48 + 1 AS BIGINT) AS start,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS chunk_len,
+        |  w[i * 48 + 1] AS first_token
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (spark, dir) =>
+      TextAnalysis.chunkTokens(docs(spark, dir), "doc_id", "text",
+          chunk = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Corpus-wide top bigrams — vocabulary-induction readout; the plan
+    // is the sort-limit shape (TakeOrdered with map-side partial
+    // limits), never a global sort of the full gram table.
+    "q_top_ngrams" -> QueryDef(
+      "top-20 corpus bigrams by frequency",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg
+        |      FROM tt, unnest(range(1, n)) AS u(i))
+        |SELECT bg, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin) { (spark, dir) =>
+      val base = docs(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+      base.select(explode(TextAnalysis.bigrams(col("__t"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(20)
+    },
+
     // Perplexity-proxy quality score: the corpus's own unigram term
     // distribution is the LM; a doc's score is its mean −ln p(term).
     // Per-term log-probs round to 6 decimals and per-doc accumulation

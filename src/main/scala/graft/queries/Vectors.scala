@@ -178,6 +178,27 @@ object Vectors {
         |GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
       Similarity.semDedup(corpus, tau = 0.3, nLists = 16).orderBy("vec_id")
+    },
+
+    // Symmetric int8 quantization — the vector-storage transform.
+    // Scale rounds to 6 decimals before quantizing so both engines
+    // multiply by the identical factor; checksums are exact integers.
+    "q_quantize" -> QueryDef(
+      "int8 embedding quantization: per-vector scale + integer checksums",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        round(127.0 / list_max(list_transform(v, x -> abs(x))), 6) AS scale
+        |      FROM d),
+        |q AS (SELECT vec_id, scale, unnest(list_transform(v, x -> round(x * scale))) AS qi
+        |      FROM m)
+        |SELECT vec_id, scale,
+        |  CAST(sum(qi) AS BIGINT) AS q_sum,
+        |  CAST(sum(abs(qi)) AS BIGINT) AS q_l1,
+        |  CAST(max(abs(qi)) AS BIGINT) AS q_max
+        |FROM q GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      Similarity.quantizeInt8(
+          emb(spark, dir).select(col("vec_id").as("nid"), col("vec")))
+        .orderBy("vec_id")
     })
 
   private def kmeansOracleSql: String =

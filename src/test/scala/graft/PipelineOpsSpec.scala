@@ -187,6 +187,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats(0L).getAs[String]("sha") != feats(3L).getAs[String]("sha"))
   }
 
+  test("chunkTokens boundary math: counts, starts, truncated tails") {
+    // chunk=64, overlap=16 → stride 48; planted token counts straddle
+    // every boundary: n = 1, 64 (exactly one chunk), 65 (first n that
+    // spills), 112 (second chunk exactly full), 113 (third chunk)
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(1)), (64L, mk(64)), (65L, mk(65)),
+        (112L, mk(112)), (113L, mk(113)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, "doc_id", "text", 64, 16)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getString(4))).toSeq).toMap
+    assert(got(1L) == Seq((1L, 1L, "t1")))
+    assert(got(64L) == Seq((1L, 64L, "t1")))
+    assert(got(65L) == Seq((1L, 64L, "t1"), (49L, 17L, "t49")))
+    assert(got(112L) == Seq((1L, 64L, "t1"), (49L, 64L, "t49")))
+    assert(got(113L) ==
+      Seq((1L, 64L, "t1"), (49L, 64L, "t49"), (97L, 17L, "t97")))
+  }
+
+  test("int8 quantization: q_max is 127 and checksums bound by 127·dim") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("nid"), col("embedding").cast("array<double>").as("vec"))
+    val rows = Similarity.quantizeInt8(corpus).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == 127L, "the max-|v| component quantizes to exactly 127")
+      assert(r.getLong(3) >= 127L && r.getLong(3) <= 127L * 64,
+        s"L1 out of range: ${r.getLong(3)}")
+      assert(math.abs(r.getLong(2)) <= r.getLong(3), "|sum| ≤ L1")
+    }
+  }
+
   test("corpus-prep stages compose as one lazy DataFrame chain") {
     import graft.operators.TrainingData
     // the full pretraining-prep shape: scrub PII → quality filter →
