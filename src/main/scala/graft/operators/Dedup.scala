@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.BloomBridge
 import org.apache.spark.sql.types._
 
 /** Deduplication operators for training-data pipelines: exact hashing,
@@ -347,6 +348,56 @@ object Dedup {
     nodes.join(e.select(col("u").as("id"), col("v").as("component")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Novel-content filter for INCREMENTAL ingestion: the rows of
+    * `batch` whose content does not appear in the (much larger) `seen`
+    * corpus. The seen side collapses to a Bloom filter in ONE
+    * map-side-combinable aggregation (partial filters OR together — the
+    * corpus itself never shuffles), the batch probes it as a pure
+    * per-row predicate (the filter ships to executors via a scalar
+    * subquery, the same mechanism as Spark's injected runtime join
+    * filters), and only the bloom-POSITIVE slice — true duplicates plus
+    * ~fpp·|batch| false positives — reaches the exact anti-join
+    * verifier. Bloom filters have no false negatives, so bloom-negative
+    * rows are provably novel without any join, and the overall result
+    * is EXACT: precisely batch ANTI JOIN seen by content hash, at the
+    * shuffle cost of the duplicate slice.
+    *
+    * At 100 TB: a 1B-document seen corpus at 1% fpp is a ~1.1 GiB
+    * filter — built distributed, resident once per executor — while
+    * the verifying anti-join shuffles only the duplicate fraction of a
+    * mostly-novel batch instead of the historical corpus.
+    *
+    * @param expectedItems expected distinct contents in `seen` (sizes
+    *                      the filter; an undercount only raises the
+    *                      false-positive rate, never breaks exactness)
+    */
+  def bloomNovel(
+      batch: DataFrame,
+      seen: DataFrame,
+      textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // m = ceil(-n·ln p / ln²2), the standard optimal sizing
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomDf = seen.agg(BloomBridge.bloomAgg(xxhash64(col(textCol)), expectedItems, numBits).as("bf"))
+    // Fresh subquery expression per use (distinct exprIds keep the
+    // analyzer happy; physical ReuseSubquery dedups the execution).
+    // coalesce: an EMPTY seen side aggregates to a null filter — then
+    // nothing is a duplicate.
+    def maybeSeen: Column = coalesce(
+      BloomBridge.mightContain(
+        BloomBridge.scalarSubquery(bloomDf), xxhash64(col(textCol))),
+      lit(false))
+    val novel = batch.where(!maybeSeen)
+    val cand = batch.where(maybeSeen)
+    val seenHashes = seen.select(md5(col(textCol)).as("__sh")).distinct()
+    val verified = cand
+      .join(seenHashes, md5(col(textCol)) === col("__sh"), "left_anti")
+    novel.unionByName(verified)
   }
 
   /** 32-bit SimHash from gram hashes: bit j set iff the count of grams

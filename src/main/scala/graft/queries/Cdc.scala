@@ -299,6 +299,25 @@ object Cdc {
         .orderBy("event_type")
     },
 
+    // Semi-structured payload extraction: JSON path → typed column,
+    // aggregated. The extraction is a pure codegen projection
+    // (get_json_object), so at scale it rides the scan with zero extra
+    // shuffle — the reference's jackson-payload parsing re-expressed
+    // declaratively.
+    "q_json_props" -> QueryDef(
+      "JSON payload field extraction + per-type aggregation",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      t(spark, dir)("events")
+        .groupBy(col("event_type"))
+        .agg(sum(k).as("k_sum"), max(k).as("k_max"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // Streaming-style tumbling-window aggregation (batch equivalent).
     "q_window_agg" -> QueryDef(
       "tumbling 1-hour window aggregation over the event stream",

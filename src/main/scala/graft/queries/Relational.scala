@@ -48,6 +48,32 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ROLLUP: per-(source, lang), per-source, and grand-total rows in
+    // one pass — Spark expands grouping sets map-side, so the shuffle
+    // carries each input row once per grouping set with partial
+    // aggregation, not one full re-scan per level. Rolled-up keys
+    // coalesce to 'ALL' (the driver's comparator can't hash NULLs) and
+    // the grouping_id disambiguates a genuine 'ALL' value.
+    "q_rollup" -> QueryDef(
+      "ROLLUP aggregation over documents by (source, lang)",
+      """SELECT coalesce(source, 'ALL') AS src, coalesce(lang, 'ALL') AS lng,
+        |  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY gid, src, lng""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          (grouping(col("source")).cast(LongType) * 2 +
+            grouping(col("lang")).cast(LongType)).as("gid"))
+        .select(coalesce(col("source"), lit("ALL")).as("src"),
+          coalesce(col("lang"), lit("ALL")).as("lng"),
+          col("gid"), col("n_docs"), col("n_chars"))
+        .orderBy("gid", "src", "lng")
+    },
+
     // Exact grouped quantiles: Spark's `percentile` and DuckDB's
     // `quantile_cont` share the same definition (sort, index p·(n−1),
     // linear interpolation); round(6) absorbs last-ulp interpolation

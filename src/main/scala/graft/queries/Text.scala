@@ -283,6 +283,25 @@ object Text {
         .orderBy("content_hash")
     },
 
+    // Incremental dedup: a new batch (doc_id % 7 < 2) against the
+    // already-ingested corpus. The bloom prefilter makes the exact
+    // anti-join touch only the duplicate slice; the RESULT is exact
+    // (no false negatives), so the oracle is the plain anti-join.
+    "q_bloom_dedup" -> QueryDef(
+      "bloom-prefiltered incremental dedup of a batch vs the seen corpus",
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 7 < 2),
+        |seen AS (SELECT * FROM documents WHERE doc_id % 7 >= 2)
+        |SELECT b.doc_id, b.source FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE md5(s.text) = md5(b.text))
+        |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val batch = d.where(col("doc_id") % 7 < 2)
+      val seen = d.where(col("doc_id") % 7 >= 2)
+      Dedup.bloomNovel(batch, seen, "text", expectedItems = 100000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     "q_dedup_ngram" -> QueryDef(
       "exact n-gram Jaccard near-dup pairs (complete prefix filtering)",
       s"""WITH $gramsCte,
