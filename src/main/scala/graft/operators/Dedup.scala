@@ -286,7 +286,8 @@ object Dedup {
       edges0: DataFrame,
       uCol: String,
       vCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // Canonical orientation (u > v), self-loops dropped.
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col(uCol), col(vCol)).as("u"),
@@ -308,11 +309,26 @@ object Dedup {
       childAndParent.union(multiParent).isEmpty
     }
     var e = canon(edges0).localCheckpoint(true)
+    // The checkpoint just materialized the canonical edge set, so this
+    // count reads cached blocks — and it buys the adaptive choice
+    // below PLUS replaces the initial isEmpty probe.
+    val nEdges = e.count()
+    // Adaptive small-graph path — the local analogue of a broadcast-
+    // join threshold. Duplicate graphs are sparse relative to the
+    // corpus (edges come out of an exact verifier); when the whole
+    // edge set fits one task comfortably, each star ROUND here costs
+    // more in stage scheduling (~6 stages/round) than a single-task
+    // union-find costs in total, so the iteration is pure overhead.
+    // Above the threshold the O(log n)-round distributed algorithm is
+    // the only thing that works — that path is unchanged.
+    if (nEdges > 0 && nEdges <= localEdgeThreshold &&
+        e.schema.fields.forall(_.dataType == LongType))
+      return localComponents(e)
     var iter = 0
     // Do-while, not while: probing the raw input costs a round-sized
     // action and real edge lists are essentially never already stars —
     // a wasted round on star input is the cheaper rare case.
-    var converged = e.isEmpty
+    var converged = nEdges == 0
     while (!converged && iter < maxIter) {
       // Large-star: for every node u (both orientations), attach each
       // STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}). Emissions are
@@ -348,6 +364,38 @@ object Dedup {
     nodes.join(e.select(col("u").as("id"), col("v").as("component")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Single-task union-find over a small canonical edge set — the
+    * [[connectedComponents]] fast path. Runs as ONE executor task (not
+    * a driver collect): path-compressed union-by-min, so every node
+    * roots at its component minimum, identical to the star algorithm's
+    * fixed point. */
+  private def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (u, v) =>
+          if (!parent.contains(u)) parent.update(u, u)
+          if (!parent.contains(v)) parent.update(v, v)
+          val ru = find(u)
+          val rv = find(v)
+          if (ru < rv) parent.update(rv, ru)
+          else if (rv < ru) parent.update(ru, rv)
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "component")
   }
 
   /** Novel-content filter for INCREMENTAL ingestion: the rows of

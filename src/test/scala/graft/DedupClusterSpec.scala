@@ -9,9 +9,18 @@ import graft.operators.{Dedup, TextAnalysis}
 class DedupClusterSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** Runs BOTH the single-task union-find fast path (default
+    * threshold) and the distributed star algorithm (threshold 0),
+    * asserts they agree, returns the result. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val local = Dedup.connectedComponents(df, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(df, "a", "b", localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "local union-find and star rounds must agree")
+    local
+  }
 
   test("chain, clique, and singleton components all root at the minimum") {
     // components: {1,2,3} (chain), {10,11,12} (triangle), {20,21}
