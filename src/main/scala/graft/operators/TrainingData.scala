@@ -133,4 +133,39 @@ object TrainingData {
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity))
   }
+
+  /** Deterministic sharded corpus output — the terminal stage of a
+    * pretraining-prep pipeline. Each row lands in directory
+    * `shard = md5(key) mod numShards` (a pure function of the key, so
+    * the layout is reproducible across runs and cluster sizes — unlike
+    * `repartition(n)` round-robin, which depends on input
+    * partitioning), rows inside a shard are sorted by the key, and
+    * `maxRecordsPerFile` caps file size so a downstream loader gets
+    * uniform splittable files.
+    *
+    * One shuffle (co-locating each shard), sort local to each task, no
+    * driver involvement. At 100 TB this is exactly the write you want:
+    * shard count chosen for target file sizes, deterministic placement
+    * for resumable/verifiable output, and per-file row caps so no
+    * reducer emits a monster file.
+    */
+  def writeShards(
+      docs: DataFrame,
+      keyCol: String,
+      outDir: String,
+      numShards: Int,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    docs
+      .withColumn("shard",
+        (conv(substring(md5(col(keyCol).cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType) % numShards).cast(IntegerType))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write
+      .partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(outDir)
+  }
 }
