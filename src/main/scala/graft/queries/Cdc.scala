@@ -299,6 +299,31 @@ object Cdc {
         .orderBy("event_type")
     },
 
+    // Per-user event funnel: the first five event types in time order,
+    // rendered as a path string — the sequence-mining readout. One
+    // keyed aggregation; the per-user sort is bounded by the user's
+    // event count and runs inside the aggregate, not as a global sort.
+    // Deterministic: (ts, event_id) is a total order.
+    "q_funnel" -> QueryDef(
+      "first-5 event-type funnel path per user",
+      """SELECT user_id,
+        |  array_to_string(
+        |    list_slice(list(event_type ORDER BY epoch_ns(ts), event_id), 1, 5),
+        |    '>') AS path,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val steps = sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type"))))
+      t(spark, dir)("events")
+        .groupBy(col("user_id"))
+        .agg(steps.as("__s"), count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          concat_ws(">",
+            slice(col("__s"), 1, 5).getField("event_type")).as("path"),
+          col("n_events"))
+        .orderBy("user_id")
+    },
+
     // Semi-structured payload extraction: JSON path → typed column,
     // aggregated. The extraction is a pure codegen projection
     // (get_json_object), so at scale it rides the scan with zero extra

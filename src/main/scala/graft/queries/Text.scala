@@ -283,6 +283,62 @@ object Text {
         .orderBy("content_hash")
     },
 
+    // Deterministic stratified sampling: the first n of each stratum
+    // in md5 order — a reproducible "random" sample that is a pure
+    // function of the keys (stable across engines, runs, and cluster
+    // layouts; same mechanism as q_sample_split's buckets). One window
+    // per stratum — strata are numerous and small, so the sort is
+    // bounded per group.
+    "q_stratified" -> QueryDef(
+      "deterministic 3-per-stratum sample by md5 order",
+      """SELECT source, lang, doc_id FROM (
+        |  SELECT source, lang, doc_id,
+        |    row_number() OVER (PARTITION BY source, lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 3
+        |ORDER BY source, lang, doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(spark, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"), col("lang"))
+            .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))))
+        .where(col("rk") <= 3)
+        .select(col("source"), col("lang"), col("doc_id"))
+        .orderBy("source", "lang", "doc_id")
+    },
+
+    // Grouped z-score outlier filter: two-pass shape (tiny per-group
+    // stats aggregate, broadcast back, pure-projection filter — the
+    // corpus never shuffles). Mean/variance come from EXACT integer
+    // sums (n_chars and its squares sum exactly in 64 bits), so both
+    // engines derive bit-identical doubles and the 2σ threshold can't
+    // flip on summation order.
+    "q_outliers" -> QueryDef(
+      "per-source length outliers beyond 2 population-stddevs",
+      """WITH s AS (SELECT source,
+        |             CAST(sum(n_chars) AS DOUBLE) AS sx,
+        |             CAST(sum(n_chars * n_chars) AS DOUBLE) AS sxx,
+        |             CAST(count(*) AS DOUBLE) AS n
+        |           FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  round((d.n_chars - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS z
+        |FROM documents d JOIN s USING (source)
+        |WHERE abs(d.n_chars - sx / n) > 2 * sqrt(sxx / n - (sx / n) * (sx / n))
+        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val s = d.groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast(DoubleType).as("sx"),
+          sum(col("n_chars") * col("n_chars")).cast(DoubleType).as("sxx"),
+          count(lit(1)).cast(DoubleType).as("n"))
+      val mu = col("sx") / col("n")
+      val sd = sqrt(col("sxx") / col("n") - mu * mu)
+      d.join(broadcast(s), "source")
+        .where(abs(col("n_chars") - mu) > lit(2) * sd)
+        .select(col("doc_id"), col("source"),
+          round((col("n_chars") - mu) / sd, 6).as("z"))
+        .orderBy("doc_id")
+    },
+
     // Incremental dedup: a new batch (doc_id % 7 < 2) against the
     // already-ingested corpus. The bloom prefilter makes the exact
     // anti-join touch only the duplicate slice; the RESULT is exact
