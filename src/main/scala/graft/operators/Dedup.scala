@@ -211,7 +211,7 @@ object Dedup {
   /** (id, band, bh) rows: one md5-hashed band signature per doc per
     * band — the LSH bucket key shared by pair generation and cluster
     * edge generation. */
-  private[operators] def bandedSignatures(
+  private[graft] def bandedSignatures(
       gramArrs: DataFrame, idCol: String): DataFrame = {
     val sigs = minhashSignatures(gramArrs, idCol)
     val bandCols = (0 until numBands).map { bnd =>

@@ -286,6 +286,51 @@ object Relational {
     },
 
     // Semi/anti-join surface: orders with no lineitems at all.
+    // Semi join: the probe side never materializes payload columns of
+    // the build side, and Catalyst pushes the totalprice filter below
+    // the join — the EXISTS shape large fact-dim filters take.
+    "q_semijoin" -> QueryDef(
+      "semi join: customers with at least one large open order",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderstatus = 'O' AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val c = t(spark, dir)("customer")
+      val o = t(spark, dir)("orders")
+        .where(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // Pivot with an EXPLICIT value list: Spark's pivot without values
+    // first runs a distinct-collect job over the pivot column — at
+    // 100 TB that is a full extra pass (and an unbounded column
+    // explosion); declaring the domain keeps it one single-pass
+    // aggregation. The oracle is the equivalent conditional-sum SQL.
+    "q_pivot" -> QueryDef(
+      "pivot: order counts and exact totals per priority × status",
+      """SELECT o_orderpriority,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("total"))
+        .select(col("o_orderpriority"),
+          coalesce(col("O_n"), lit(0L)).as("n_open"),
+          coalesce(col("F_n"), lit(0L)).as("n_filled"),
+          coalesce(col("P_n"), lit(0L)).as("n_pending"),
+          col("O_total").cast(DoubleType).as("total_open"))
+        .orderBy("o_orderpriority")
+    },
+
     "q_antijoin" -> QueryDef(
       "anti join: orders without any lineitem",
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -413,6 +413,70 @@ object Text {
     // Dedup.lshBucketEdges (star edges, O(size) per bucket). The
     // oracle rebuilds the same pairs in DuckDB and closes them with a
     // recursive CTE.
+    // Inverted-index conjunctive keyword search. The scale shape is
+    // the index, not the scan: postings (term → doc) are one exploded
+    // projection, the query terms prune the postings FIRST (predicate
+    // pushdown into the posting build — at 100 TB the index is
+    // pre-materialized term-bucketed parquet and this becomes a
+    // partition-pruned read of |terms| buckets), and a doc matches the
+    // AND-query when its surviving posting count equals the term count.
+    // No LIKE scan over the corpus text ever runs.
+    "q_keyword_search" -> QueryDef(
+      "inverted-index AND search: docs containing all query terms",
+      """SELECT doc_id, source FROM documents
+        |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'dup')
+        |  AND list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'merge')
+        |  AND list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'scan')
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val terms = Seq("dup", "merge", "scan")
+      val d = docs(spark, dir)
+      val postings = d
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+        .where(col("term").isin(terms: _*))
+      val hits = postings.groupBy("doc_id")
+        .agg(count(lit(1)).as("__nt"))
+        .where(col("__nt") === terms.size)
+      d.join(hits, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // The KEEP side of near-dup removal — what a dedup pipeline
+    // actually ships: every document that is either untouched by the
+    // duplicate graph or the canonical (minimum-id) member of its
+    // cluster. Composes the verified-pair + connected-components
+    // machinery of q_dup_clusters; the anti-join against the
+    // non-canonical cluster members is broadcast-sized (clusters are
+    // the rare case by construction — at 100 TB the survivors list is
+    // ~the corpus, the DROP list is the small side, so the join
+    // broadcasts the drop list, never the corpus).
+    "q_dedup_keep" -> QueryDef(
+      "surviving corpus after near-dup removal (cluster-canonical keep)",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+         |walk AS (
+         |  SELECT DISTINCT u AS node, u AS reach FROM edges
+         |  UNION
+         |  SELECT e.v AS node, w.reach FROM edges e JOIN walk w ON w.node = e.u),
+         |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+         |SELECT d.doc_id, d.source, d.lang FROM documents d LEFT JOIN comp c
+         |  ON d.doc_id = c.node
+         |WHERE c.node IS NULL OR c.component = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val pairs = Dedup.minhashPairs(
+        TextAnalysis.gramArrays(d, "doc_id", "text", 5), "doc_id", 3, 5)
+      val drop = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      d.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     "q_dup_clusters" -> QueryDef(
       "duplicate clusters: connected components over verified near-dup pairs",
       s"""WITH RECURSIVE $minhashPairsCtes,
