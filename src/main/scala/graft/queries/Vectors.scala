@@ -180,6 +180,34 @@ object Vectors {
       Similarity.semDedup(corpus, tau = 0.3, nLists = 16).orderBy("vec_id")
     },
 
+    // Gram matrix XᵀX in ONE map pass ([[graft.functions.VecGramAgg]]):
+    // per-partition fixed-size triangle buffers, shuffle carries one
+    // buffer per partition — the PCA/whitening precursor. The naive
+    // explode²+groupBy form would shuffle |corpus|·dim² rows. Sums
+    // round to 6 decimals (same convention as every vector readout) so
+    // partition/engine accumulation order can't flip a digit.
+    "q_gram_matrix" -> QueryDef(
+      "embedding gram matrix (XᵀX upper triangle) in one aggregate pass",
+      """WITH d AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT i, j, v[i] * v[j] AS p
+        |      FROM d, unnest(range(1, 65)) AS u(i), unnest(range(1, 65)) AS w(j)
+        |      WHERE j >= i)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  round(sum(p), 6) AS xtx
+        |FROM x GROUP BY i, j ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      val dim = 64
+      val tri = for { i <- 0 until dim; j <- i until dim } yield (i + 1, j + 1)
+      val idxLit = array(tri.map { case (i, j) =>
+        struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"))
+      }: _*)
+      emb(spark, dir)
+        .agg(graft.functions.VecGramAgg.gram(col("vec"), dim).as("__g"))
+        .select(explode(arrays_zip(idxLit.as("ij"), col("__g").as("v"))).as("__e"))
+        .select(col("__e.ij.i").as("i"), col("__e.ij.j").as("j"),
+          round(col("__e.v"), 6).as("xtx"))
+        .orderBy("i", "j")
+    },
+
     // Symmetric int8 quantization — the vector-storage transform.
     // Scale rounds to 6 decimals before quantizing so both engines
     // multiply by the identical factor; checksums are exact integers.
