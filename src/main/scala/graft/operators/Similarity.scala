@@ -273,6 +273,60 @@ object Similarity {
     means
   }
 
+  /** Top principal component by power iteration over the one-pass
+    * gram matrix ([[graft.functions.VecGramAgg]]), then the corpus
+    * projected onto it — the dimensionality-reduction readout
+    * (PCA-whitening prep, embedding drift monitoring).
+    *
+    * Scale shape: the corpus contributes exactly ONE aggregation pass
+    * (per-partition dim·(dim+1)/2 triangle buffers, one buffer per
+    * partition through the shuffle); only the dim×dim matrix — never
+    * corpus data — reaches the driver, where the `iters` power steps
+    * are O(iters·dim²) scalar work; the projection is a second map
+    * pass with the eigenvector inlined as a literal (pure codegen, no
+    * join). Same driver-literal feedback pattern as [[kmeansRefine]].
+    *
+    * Determinism (oracle-replayable like the k-means oracle): the
+    * matrix entries, every matrix-vector component, the squared norm,
+    * the norm, and each normalized component round to 6 decimals with
+    * HALF_UP — the iteration trajectory is then engine-independent,
+    * and the SQL oracle replays it as chained CTEs. v0 is the uniform
+    * unit vector (exactly 0.125 per component at dim=64).
+    *
+    * @return (vec_id, pc1): projection of each vector onto the
+    *         iterated component, rounded to 6 decimals
+    */
+  def pcaProject(corpus: DataFrame, dim: Int, iters: Int = 3): DataFrame = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tri = corpus.agg(
+        graft.functions.VecGramAgg.gram(col("vec"), dim).as("g"))
+      .collect()(0).getSeq[Double](0)
+    val m = Array.ofDim[Double](dim, dim)
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val e = r6(tri(k)); m(i)(j) = e; m(j)(i) = e; k += 1; j += 1
+      }
+      i += 1
+    }
+    var v = Array.fill(dim)(r6(1.0 / math.sqrt(dim)))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { a =>
+        var s = 0.0
+        var b = 0
+        while (b < dim) { s += m(a)(b) * v(b); b += 1 }
+        r6(s)
+      }
+      val nrm = r6(math.sqrt(r6(w.map(x => x * x).sum)))
+      v = w.map(x => r6(x / nrm))
+    }
+    corpus.select(col("nid").as("vec_id"),
+      round(dot(col("vec"), typedlit(v.toSeq)), 6).as("pc1"))
+  }
+
   /** SemDeDup-style semantic deduplication: vectors are assigned to
     * k-means cells (argmax cosine over the same deterministic seed
     * centroids as [[ivfTopK]]) and near-duplicate pairs are searched

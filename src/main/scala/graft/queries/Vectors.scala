@@ -208,6 +208,19 @@ object Vectors {
         .orderBy("i", "j")
     },
 
+    // PCA top component: gram matrix (one corpus pass) → driver power
+    // iteration (3 steps, every quantity rounded to 6 decimals) →
+    // projection with the eigenvector inlined as a literal. The oracle
+    // replays the identical trajectory as chained CTEs (matrix build,
+    // three matvec+normalize steps, projection) — the same
+    // literal-feedback replay technique as the k-means oracle.
+    "q_pca_project" -> QueryDef(
+      "corpus projected onto the power-iterated top principal component",
+      pcaOracleSql(dim = 64, iters = 3)) { (spark, dir) =>
+      val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      Similarity.pcaProject(corpus, dim = 64, iters = 3).orderBy("vec_id")
+    },
+
     // Symmetric int8 quantization — the vector-storage transform.
     // Scale rounds to 6 decimals before quantizing so both engines
     // multiply by the identical factor; checksums are exact integers.
@@ -228,6 +241,34 @@ object Vectors {
           emb(spark, dir).select(col("vec_id").as("nid"), col("vec")))
         .orderBy("vec_id")
     })
+
+  /** Generated DuckDB oracle for [[Similarity.pcaProject]]: the gram
+    * matrix, each power step (matvec, squared norm, norm, normalize —
+    * all rounded to 6 decimals exactly like the Scala driver loop) and
+    * the final projection, as one chained-CTE pipeline. */
+  private def pcaOracleSql(dim: Int, iters: Int): String = {
+    val v0 = BigDecimal(1.0 / math.sqrt(dim))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val steps = (1 to iters).map { s =>
+      val prev = if (s == 1) "v0" else s"v${s - 1}"
+      s"""w$s AS (SELECT M.i, round(sum(M.m * $prev.val), 6) AS w
+         |        FROM M JOIN $prev ON M.j = $prev.i GROUP BY M.i),
+         |n$s AS (SELECT round(sqrt(round(sum(w*w), 6)), 6) AS n FROM w$s),
+         |v$s AS (SELECT i, round(w / n, 6) AS val FROM w$s, n$s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |xu AS (SELECT i, j, round(sum(v[i]*v[j]), 6) AS m
+       |       FROM d, unnest(range(1, ${dim + 1})) AS u(i),
+       |            unnest(range(1, ${dim + 1})) AS w(j)
+       |       WHERE j >= i GROUP BY i, j),
+       |M AS (SELECT i, j, m FROM xu
+       |      UNION ALL SELECT j AS i, i AS j, m FROM xu WHERE i <> j),
+       |v0 AS (SELECT i, $v0 AS val FROM unnest(range(1, ${dim + 1})) AS u(i)),
+       |$steps
+       |SELECT d.vec_id, round(sum(d.v[e.i] * e.val), 6) AS pc1
+       |FROM d, v$iters e
+       |GROUP BY d.vec_id ORDER BY d.vec_id""".stripMargin
+  }
 
   private def kmeansOracleSql: String =
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
