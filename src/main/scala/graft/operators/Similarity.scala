@@ -273,58 +273,81 @@ object Similarity {
     means
   }
 
-  /** Top principal component by power iteration over the one-pass
-    * gram matrix ([[graft.functions.VecGramAgg]]), then the corpus
+  /** Top principal component of the embedding second-moment
+    * (covariance-scale) matrix by power iteration, then the corpus
     * projected onto it — the dimensionality-reduction readout
     * (PCA-whitening prep, embedding drift monitoring).
     *
     * Scale shape: the corpus contributes exactly ONE aggregation pass
-    * (per-partition dim·(dim+1)/2 triangle buffers, one buffer per
-    * partition through the shuffle); only the dim×dim matrix — never
-    * corpus data — reaches the driver, where the `iters` power steps
-    * are O(iters·dim²) scalar work; the projection is a second map
-    * pass with the eigenvector inlined as a literal (pure codegen, no
-    * join). Same driver-literal feedback pattern as [[kmeansRefine]].
+    * ([[graft.functions.VecGramAgg]]: per-partition dim·(dim+1)/2
+    * triangle buffers, one buffer per partition through the shuffle);
+    * only the dim×dim matrix — never corpus data — reaches the driver,
+    * where the `iters` power steps are O(iters·dim²) scalar work; the
+    * projection is a second map pass with the eigenvector inlined as a
+    * literal (pure codegen, no join). Same driver-literal feedback
+    * pattern as [[kmeansRefine]]. Dividing by n (covariance scale,
+    * same eigenvectors as the raw gram) keeps matrix entries O(1) at
+    * any corpus size, so the exact integer iteration below cannot
+    * overflow as the corpus grows.
     *
-    * Determinism (oracle-replayable like the k-means oracle): the
-    * matrix entries, every matrix-vector component, the squared norm,
-    * the norm, and each normalized component round to 6 decimals with
-    * HALF_UP — the iteration trajectory is then engine-independent,
-    * and the SQL oracle replays it as chained CTEs. v0 is the uniform
-    * unit vector (exactly 0.125 per component at dim=64).
+    * Determinism: floating-point trajectories flip rounding boundaries
+    * between engines — MEASURED: with v0 uniform the matvec sums land
+    * exactly ON a 5e-7 boundary for ~1/8 of components, making float
+    * round-trips an engine coin flip. So the whole iteration runs in
+    * EXACT scaled-integer arithmetic (micro-units, half-away-from-zero
+    * via integer division); the only floating steps are the IEEE sqrt
+    * (correctly rounded on identical input in any engine) and the
+    * final projection dot, both rounding non-granular reals where a
+    * boundary hit has ~1e-10 probability. The SQL oracle replays the
+    * integer trajectory verbatim.
     *
     * @return (vec_id, pc1): projection of each vector onto the
     *         iterated component, rounded to 6 decimals
     */
   def pcaProject(corpus: DataFrame, dim: Int, iters: Int = 3): DataFrame = {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val tri = corpus.agg(
-        graft.functions.VecGramAgg.gram(col("vec"), dim).as("g"))
-      .collect()(0).getSeq[Double](0)
-    val m = Array.ofDim[Double](dim, dim)
+    val S = 1000000L
+    // half-away-from-zero of a/b at integer precision (b > 0)
+    def hup(a: Long, b: Long): Long = {
+      val r = (2L * math.abs(a) + b) / (2L * b)
+      if (a >= 0) r else -r
+    }
+    val row = corpus.agg(
+        graft.functions.VecGramAgg.gram(col("vec"), dim).as("g"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val tri = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    require(n > 0, "pcaProject needs a non-empty corpus")
+    // covariance-scale matrix in exact micro-units: hup(tri / (n·1e6))
+    val m = Array.ofDim[Long](dim, dim)
     var k = 0
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val e = r6(tri(k)); m(i)(j) = e; m(j)(i) = e; k += 1; j += 1
+        val e = hup(tri(k), n * S); m(i)(j) = e; m(j)(i) = e; k += 1; j += 1
       }
       i += 1
     }
-    var v = Array.fill(dim)(r6(1.0 / math.sqrt(dim)))
+    val v0micro = (BigDecimal(1.0 / math.sqrt(dim))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(S)).toLongExact
+    var v = Array.fill(dim)(v0micro)
     for (_ <- 1 to iters) {
       val w = Array.tabulate(dim) { a =>
-        var s = 0.0
+        var sum = 0L
         var b = 0
-        while (b < dim) { s += m(a)(b) * v(b); b += 1 }
-        r6(s)
+        while (b < dim) { sum += m(a)(b) * v(b); b += 1 }
+        hup(sum, S) // micro-units
       }
-      val nrm = r6(math.sqrt(r6(w.map(x => x * x).sum)))
-      v = w.map(x => r6(x / nrm))
+      val s2 = hup(w.map(x => x * x).sum, S) // micro of Σw²
+      val nrm = BigDecimal(math.sqrt(s2.toDouble / S))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val nrmMicro = (nrm * BigDecimal(S)).toLongExact
+      v = w.map(x => hup(x * S, nrmMicro))
     }
+    val vec = v.map(_.toDouble / S).toSeq
     corpus.select(col("nid").as("vec_id"),
-      round(dot(col("vec"), typedlit(v.toSeq)), 6).as("pc1"))
+      round(dot(col("vec"), typedlit(vec)), 6).as("pc1"))
   }
 
   /** SemDeDup-style semantic deduplication: vectors are assigned to

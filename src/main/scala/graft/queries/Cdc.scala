@@ -79,6 +79,49 @@ object Cdc {
         .orderBy("group_key")
     },
 
+    // Snapshot reconciliation: the batch diff of two table versions —
+    // what a CDC consumer computes when it must re-baseline (added /
+    // removed / changed keys). One FULL OUTER equi-join on the key;
+    // unchanged rows (the overwhelming majority at 100 TB) are
+    // filtered BEFORE the sort, and the join shuffles on the key with
+    // no skew amplification (each key appears once per side).
+    "q_snapshot_diff" -> QueryDef(
+      "snapshot diff: added/removed/changed keys between two table versions",
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |       FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+        |       WHEN v2.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  coalesce(v1.o_totalprice, -1) AS old_price,
+        |  coalesce(v2.o_totalprice, -1) AS new_price
+        |FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+        |   OR v1.o_totalprice <> v2.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val v1 = o.where(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v2 = o.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val a = v1.select(col("o_orderkey").as("__k1"), col("o_totalprice").as("old_price"))
+      val b = v2.select(col("o_orderkey").as("__k2"), col("o_totalprice").as("new_price"))
+      a.join(b, col("__k1") === col("__k2"), "full_outer")
+        .where(col("__k1").isNull || col("__k2").isNull ||
+          col("old_price") =!= col("new_price"))
+        .select(coalesce(col("__k1"), col("__k2")).as("o_orderkey"),
+          when(col("__k1").isNull, "added")
+            .when(col("__k2").isNull, "removed")
+            .otherwise("changed").as("status"),
+          coalesce(col("old_price"), lit(-1.0)).as("old_price"),
+          coalesce(col("new_price"), lit(-1.0)).as("new_price"))
+        .orderBy("o_orderkey")
+    },
+
     // Q-INCR: chunked incremental replay through the IVM engine must
     // equal a from-scratch batch join — verified against a plain SQL
     // oracle that never saw the incremental path.

@@ -315,7 +315,7 @@ object Relational {
         |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
         |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
         |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_open
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_open
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
       t(spark, dir)("orders")
@@ -327,7 +327,7 @@ object Relational {
           coalesce(col("O_n"), lit(0L)).as("n_open"),
           coalesce(col("F_n"), lit(0L)).as("n_filled"),
           coalesce(col("P_n"), lit(0L)).as("n_pending"),
-          col("O_total").cast(DoubleType).as("total_open"))
+          coalesce(col("O_total").cast(DoubleType), lit(0.0)).as("total_open"))
         .orderBy("o_orderpriority")
     },
 

@@ -413,6 +413,55 @@ object Text {
     // Dedup.lshBucketEdges (star edges, O(size) per bucket). The
     // oracle rebuilds the same pairs in DuckDB and closes them with a
     // recursive CTE.
+    // Term co-occurrence with pointwise mutual information — the
+    // collocation/phrase-mining readout. Pair fan-out is quadratic in
+    // PER-DOC DISTINCT terms (bounded by doc length, and at web scale
+    // pruned to each doc's top terms first), never in the corpus; the
+    // pair counts then aggregate with map-side combine, and the
+    // marginals join back on the (Zipf-bounded) vocabulary — the same
+    // broadcast-sized df join as TF-IDF. PMI's one transcendental
+    // rounds to 6 decimals over exact integer counts, so ranking is
+    // engine-stable.
+    "q_cooccur" -> QueryDef(
+      "token co-occurrence PMI over per-document distinct terms",
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+        |           FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+        |m AS (SELECT w, count(*) AS nw FROM t GROUP BY w),
+        |p AS (SELECT a.w AS term_a, b.w AS term_b, count(*) AS n_ab
+        |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY 1, 2),
+        |s AS (SELECT term_a, term_b, n_ab,
+        |        round(ln(CAST(n_ab AS DOUBLE) * n.n_docs / (ma.nw * mb.nw)), 6) AS pmi
+        |      FROM p, n
+        |      JOIN m ma ON term_a = ma.w JOIN m mb ON term_b = mb.w)
+        |SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab, pmi
+        |FROM s WHERE n_ab >= 5
+        |ORDER BY term_a, term_b""".stripMargin) { (spark, dir) =>
+      val toks = docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+        .localCheckpoint(true)
+      val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+      val marg = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+      val pairs = toks.select(col("doc_id"), col("w").as("term_a"))
+        .join(toks.select(col("doc_id"), col("w").as("term_b")), "doc_id")
+        .where(col("term_a") < col("term_b"))
+        .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 5)
+      pairs
+        .join(broadcast(marg.withColumnRenamed("w", "term_a")
+          .withColumnRenamed("nw", "__na")), "term_a")
+        .join(broadcast(marg.withColumnRenamed("w", "term_b")
+          .withColumnRenamed("nw", "__nb")), "term_b")
+        .crossJoin(broadcast(nDocs))
+        .select(col("term_a"), col("term_b"), col("n_ab"),
+          round(log(col("n_ab").cast(DoubleType) * col("n_docs") /
+            (col("__na") * col("__nb"))), 6).as("pmi"))
+        .orderBy("term_a", "term_b")
+    },
+
     // Inverted-index conjunctive keyword search. The scale shape is
     // the index, not the scan: postings (term → doc) are one exploded
     // projection, the query terms prune the postings FIRST (predicate

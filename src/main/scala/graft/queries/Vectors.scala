@@ -183,17 +183,21 @@ object Vectors {
     // Gram matrix XᵀX in ONE map pass ([[graft.functions.VecGramAgg]]):
     // per-partition fixed-size triangle buffers, shuffle carries one
     // buffer per partition — the PCA/whitening precursor. The naive
-    // explode²+groupBy form would shuffle |corpus|·dim² rows. Sums
-    // round to 6 decimals (same convention as every vector readout) so
-    // partition/engine accumulation order can't flip a digit.
+    // explode²+groupBy form would shuffle |corpus|·dim² rows. The
+    // aggregate quantizes elements to 6 decimals and sums exact scaled
+    // integers, so the result is bit-identical under ANY partitioning
+    // or merge order — raw double partial sums were measured to flip a
+    // 6th decimal between runs when a sum landed on a rounding
+    // boundary (nondeterministic bench/oracle outcomes).
     "q_gram_matrix" -> QueryDef(
       "embedding gram matrix (XᵀX upper triangle) in one aggregate pass",
       """WITH d AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
-        |x AS (SELECT i, j, v[i] * v[j] AS p
-        |      FROM d, unnest(range(1, 65)) AS u(i), unnest(range(1, 65)) AS w(j)
+        |q AS (SELECT list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS y FROM d),
+        |x AS (SELECT i, j, y[i] * y[j] AS p
+        |      FROM q, unnest(range(1, 65)) AS u(i), unnest(range(1, 65)) AS w(j)
         |      WHERE j >= i)
         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-        |  round(sum(p), 6) AS xtx
+        |  round(CAST(sum(p) AS DOUBLE) / 1000000000000.0, 6) AS xtx
         |FROM x GROUP BY i, j ORDER BY i, j""".stripMargin) { (spark, dir) =>
       val dim = 64
       val tri = for { i <- 0 until dim; j <- i until dim } yield (i + 1, j + 1)
@@ -204,7 +208,7 @@ object Vectors {
         .agg(graft.functions.VecGramAgg.gram(col("vec"), dim).as("__g"))
         .select(explode(arrays_zip(idxLit.as("ij"), col("__g").as("v"))).as("__e"))
         .select(col("__e.ij.i").as("i"), col("__e.ij.j").as("j"),
-          round(col("__e.v"), 6).as("xtx"))
+          round(col("__e.v").cast(DoubleType) / lit(1.0e12), 6).as("xtx"))
         .orderBy("i", "j")
     },
 
@@ -242,30 +246,43 @@ object Vectors {
         .orderBy("vec_id")
     })
 
-  /** Generated DuckDB oracle for [[Similarity.pcaProject]]: the gram
-    * matrix, each power step (matvec, squared norm, norm, normalize —
-    * all rounded to 6 decimals exactly like the Scala driver loop) and
-    * the final projection, as one chained-CTE pipeline. */
+  /** Generated DuckDB oracle for [[Similarity.pcaProject]]: the
+    * quantized covariance-scale matrix and every power step replayed
+    * in EXACT integer micro-unit arithmetic (half-away-from-zero as
+    * `(2|a|+b) // (2b)`), mirroring the Scala driver loop bit for bit;
+    * only the IEEE sqrt and the final projection dot are floating
+    * point, per the determinism note on pcaProject. */
   private def pcaOracleSql(dim: Int, iters: Int): String = {
-    val v0 = BigDecimal(1.0 / math.sqrt(dim))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val steps = (1 to iters).map { s =>
-      val prev = if (s == 1) "v0" else s"v${s - 1}"
-      s"""w$s AS (SELECT M.i, round(sum(M.m * $prev.val), 6) AS w
-         |        FROM M JOIN $prev ON M.j = $prev.i GROUP BY M.i),
-         |n$s AS (SELECT round(sqrt(round(sum(w*w), 6)), 6) AS n FROM w$s),
-         |v$s AS (SELECT i, round(w / n, 6) AS val FROM w$s, n$s)""".stripMargin
+    val S = 1000000L
+    val v0micro = (BigDecimal(1.0 / math.sqrt(dim))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(S)).toLongExact
+    def hupSql(a: String, b: String): String =
+      s"CASE WHEN $a >= 0 THEN (2*($a) + $b) // (2*($b)) " +
+        s"ELSE -((2*(-($a)) + $b) // (2*($b))) END"
+    val steps = (1 to iters).map { st =>
+      val prev = if (st == 1) "v0" else s"v${st - 1}"
+      s"""x$st AS (SELECT M.i, CAST(sum(M.m * $prev.val) AS BIGINT) AS wx
+         |         FROM M JOIN $prev ON M.j = $prev.i GROUP BY M.i),
+         |w$st AS (SELECT i, ${hupSql("wx", S.toString)} AS w FROM x$st),
+         |n$st AS (SELECT CAST(round(round(sqrt(
+         |           CAST(${hupSql(s"CAST(sum(w*w) AS BIGINT)", S.toString)} AS DOUBLE)
+         |             / $S.0), 6) * $S) AS BIGINT) AS nm FROM w$st),
+         |v$st AS (SELECT i, ${hupSql(s"w*$S", "nm")} AS val FROM w$st, n$st)""".stripMargin
     }.mkString(",\n")
     s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |xu AS (SELECT i, j, round(sum(v[i]*v[j]), 6) AS m
-       |       FROM d, unnest(range(1, ${dim + 1})) AS u(i),
+       |qz AS (SELECT list_transform(v, x -> CAST(round(x * $S) AS BIGINT)) AS y FROM d),
+       |nd AS (SELECT count(*) AS n FROM d),
+       |xu AS (SELECT i, j, CAST(sum(y[i]*y[j]) AS BIGINT) AS t
+       |       FROM qz, unnest(range(1, ${dim + 1})) AS u(i),
        |            unnest(range(1, ${dim + 1})) AS w(j)
        |       WHERE j >= i GROUP BY i, j),
-       |M AS (SELECT i, j, m FROM xu
-       |      UNION ALL SELECT j AS i, i AS j, m FROM xu WHERE i <> j),
-       |v0 AS (SELECT i, $v0 AS val FROM unnest(range(1, ${dim + 1})) AS u(i)),
+       |Mt AS (SELECT i, j, ${hupSql("t", s"n*$S")} AS m FROM xu, nd),
+       |M AS (SELECT i, j, m FROM Mt
+       |      UNION ALL SELECT j AS i, i AS j, m FROM Mt WHERE i <> j),
+       |v0 AS (SELECT i, CAST($v0micro AS BIGINT) AS val
+       |       FROM unnest(range(1, ${dim + 1})) AS u(i)),
        |$steps
-       |SELECT d.vec_id, round(sum(d.v[e.i] * e.val), 6) AS pc1
+       |SELECT d.vec_id, round(sum(d.v[e.i] * (e.val / $S.0)), 6) AS pc1
        |FROM d, v$iters e
        |GROUP BY d.vec_id ORDER BY d.vec_id""".stripMargin
   }

@@ -5,44 +5,56 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VecGramAgg
 
-/** [[VecGramAgg]]: the one-pass gram matrix must equal the relational
-  * explode²+groupBy form, be invariant to partitioning (after the
-  * 6-decimal rounding convention), and skip null/wrong-length rows. */
+/** [[VecGramAgg]]: the one-pass gram matrix must equal an exact
+  * reference computation over the quantized elements, be BIT-identical
+  * under any partitioning (integer sums commute — the raw-double
+  * predecessor flipped a 6th decimal between runs), and skip
+  * null/wrong-length rows. */
 class VecGramSpec extends AnyFunSuite with SparkSpec {
 
   private val dim = 4
 
-  private def vecs(n: Int) = {
+  private def rawVecs(n: Int): Seq[Seq[Double]] =
+    (0 until n).map { r =>
+      (0 until dim).map(c => ((r * 31 + c * 17) % 13 - 6) / 3.0 + 0.0000007 * r)
+    }
+
+  private def df(vs: Seq[Seq[Double]]) = {
     val spark0 = spark
     import spark0.implicits._
-    (0 until n).map { r =>
-      (r.toLong, (0 until dim).map(c => ((r * 31 + c * 17) % 13 - 6) / 3.0))
-    }.toDF("id", "vec")
+    vs.toDF("vec")
   }
 
-  private def triIdx = for { i <- 0 until dim; j <- i until dim } yield (i, j)
-
-  test("matches the relational explode form exactly") {
-    val df = vecs(57)
-    val got = df.agg(VecGramAgg.gram(col("vec"), dim).as("g"))
-      .select(col("g")).collect()(0).getSeq[Double](0)
-    val exp = triIdx.map { case (i, j) =>
-      df.select(sum(col("vec").getItem(i) * col("vec").getItem(j)))
-        .collect()(0).getDouble(0)
-    }
-    got.zip(exp).foreach { case (g, e) =>
-      assert(math.abs(g - e) < 1e-9, s"got $g expected $e")
-    }
+  private def quantize(x: Double): Long = {
+    val s = x * 1e6
+    if (s >= 0) Math.round(s) else -Math.round(-s)
   }
 
-  test("partition-order invariant after round-6") {
-    val df = vecs(101)
+  /** Exact driver-side reference over quantized elements. */
+  private def reference(vs: Seq[Seq[Double]]): Seq[Long] = {
+    val out = Array.fill(dim * (dim + 1) / 2)(0L)
+    vs.foreach { v =>
+      val q = v.map(quantize)
+      var k = 0
+      for (i <- 0 until dim; j <- i until dim) { out(k) += q(i) * q(j); k += 1 }
+    }
+    out.toSeq
+  }
+
+  test("matches the exact quantized reference") {
+    val vs = rawVecs(57)
+    val got = df(vs).agg(VecGramAgg.gram(col("vec"), dim).as("g"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == reference(vs))
+  }
+
+  test("bit-identical under any partitioning") {
+    val vs = rawVecs(101)
     def run(parts: Int) =
-      df.repartition(parts)
+      df(vs).repartition(parts)
         .agg(VecGramAgg.gram(col("vec"), dim).as("g"))
-        .select(explode(col("g")).as("v"))
-        .select(round(col("v"), 6)).collect().map(_.getDouble(0)).toSeq
-    assert(run(1) == run(7))
+        .collect()(0).getSeq[Long](0)
+    assert(run(1) == run(7) && run(7) == run(29))
   }
 
   test("null and wrong-length vectors are skipped") {
@@ -52,9 +64,9 @@ class VecGramSpec extends AnyFunSuite with SparkSpec {
     val noisy = (base.map(Option(_)) ++
       Seq(Option.empty[Seq[Double]], Some(Seq(9.0)))).toDF("vec")
     val clean = base.toDF("vec")
-    def g(df: org.apache.spark.sql.DataFrame) =
-      df.agg(VecGramAgg.gram(col("vec"), dim).as("g"))
-        .collect()(0).getSeq[Double](0)
+    def g(d: org.apache.spark.sql.DataFrame) =
+      d.agg(VecGramAgg.gram(col("vec"), dim).as("g"))
+        .collect()(0).getSeq[Long](0)
     assert(g(noisy) == g(clean))
   }
 }
