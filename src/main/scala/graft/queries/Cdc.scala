@@ -386,6 +386,39 @@ object Cdc {
         .orderBy("event_type")
     },
 
+    // Sliding windows (1 h window, 15 min slide): each event lands in
+    // exactly window/slide = 4 windows, expanded MAP-SIDE as a bounded
+    // integer explode before one keyed aggregation — the same plan
+    // Structured Streaming's window(slide) produces, with no range
+    // join and shuffle volume = 4·|events|. Integer nano arithmetic
+    // end-to-end (ts exceeds double's exact range).
+    "q_sliding_window" -> QueryDef(
+      "sliding 1-hour/15-min window counts over the event stream",
+      """WITH e AS (SELECT epoch_ns(ts) AS ns, value FROM events),
+        |x AS (SELECT ((ns // 900000000000) - k) * 900000000000 AS ws, value
+        |      FROM e, unnest(range(0, 4)) AS u(k)
+        |      WHERE ns < ((ns // 900000000000) - k) * 900000000000 + 3600000000000)
+        |SELECT CAST(ws AS BIGINT) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY ws ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      val slide = 900000000000L // 15 min in ns
+      val win = 3600000000000L
+      t(spark, dir)("events")
+        .select(col("ts"), col("value"))
+        // `div` = integer division on the epoch-nano longs (plain `/`
+        // would go through doubles past their exact range)
+        .withColumn("__base", expr("ts div 900000000000"))
+        .withColumn("ws",
+          explode(transform(sequence(lit(0), lit(3)),
+            k => (col("__base") - k.cast(LongType)) * lit(slide))))
+        .where(col("ts") < col("ws") + lit(win))
+        .groupBy(col("ws").as("window_start"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .orderBy("window_start")
+    },
+
     // Streaming-style tumbling-window aggregation (batch equivalent).
     "q_window_agg" -> QueryDef(
       "tumbling 1-hour window aggregation over the event stream",

@@ -286,6 +286,26 @@ object Relational {
     },
 
     // Semi/anti-join surface: orders with no lineitems at all.
+    // Set operators in one query: customers with open orders INTERSECT
+    // customers with finished orders, EXCEPT customers with pending
+    // ones. Spark rewrites INTERSECT/EXCEPT into semi/anti joins over
+    // pre-aggregated distinct sides — keyed shuffles, no sort-based
+    // set difference, dedup pushed below the joins.
+    "q_set_ops" -> QueryDef(
+      "set ops: INTERSECT + EXCEPT over per-status customer key sets",
+      """SELECT c FROM (
+        |  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'P') t
+        |ORDER BY c""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      def keys(st: String) = o.where(col("o_orderstatus") === st)
+        .select(col("o_custkey").as("c"))
+      keys("O").intersect(keys("F")).except(keys("P")).orderBy("c")
+    },
+
     // Semi join: the probe side never materializes payload columns of
     // the build side, and Catalyst pushes the totalprice filter below
     // the join — the EXISTS shape large fact-dim filters take.
