@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JacksonParser, J
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => sstreaming}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,7 +86,7 @@ class ChangelogTable(path: String, schema: StructType, splits: Int)
   override def name(): String = s"graft-changelog(`$path`)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangelogScanBuilder(path, schema, splits)
 }
@@ -114,6 +115,59 @@ class ChangelogScan(path: String, required: StructType, splits: Int)
     val per = (nPairs + n - 1) / math.max(n, 1)
     (0 until n).map { i =>
       ChangelogInputPartition(path, i * per, math.min((i + 1) * per, nPairs))
+    }.filter(p => p.startPair < p.endPair).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
+    new ChangelogMicroBatchStream(path, required, splits)
+}
+
+/** Record-index offset for the streaming face of the changelog: the
+  * number of line pairs consumed so far — monotone because the fixture
+  * log is append-only, exactly the reference's per-topic Kafka offset
+  * model (BASELINE.md: log-offset time). */
+case class ChangelogOffset(pairs: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pairs.toString
+}
+
+/** MicroBatchStream over the append-only changelog file: each batch
+  * covers the record range (committed, latest]; ranges split into the
+  * same [[ChangelogInputPartition]]s as the batch scan, so the exact
+  * reader code serves both execution modes. Offsets checkpoint as the
+  * consumed pair count — a restart resumes mid-log, and records
+  * appended between runs arrive in the next batch (verified in
+  * ChangelogSourceSpec by appending to the log across restarts). */
+class ChangelogMicroBatchStream(path: String, required: StructType, splits: Int)
+    extends sstreaming.MicroBatchStream {
+
+  private def countPairs(): Long = {
+    val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
+    try (lines.count() + 1) / 2 finally lines.close()
+  }
+
+  override def initialOffset(): sstreaming.Offset = ChangelogOffset(0L)
+  override def latestOffset(): sstreaming.Offset = ChangelogOffset(countPairs())
+  override def deserializeOffset(json: String): sstreaming.Offset =
+    ChangelogOffset(json.trim.toLong)
+  override def commit(end: sstreaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: sstreaming.Offset,
+      end: sstreaming.Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ChangelogOffset].pairs
+    val until = end.asInstanceOf[ChangelogOffset].pairs
+    val total = math.max(0L, until - from)
+    if (total == 0) return Array.empty
+    val n = math.max(1, math.min(splits.toLong, total).toInt)
+    val per = (total + n - 1) / n
+    (0 until n).map { i =>
+      ChangelogInputPartition(path,
+        from + i * per, math.min(from + (i + 1) * per, until))
     }.filter(p => p.startPair < p.endPair).toArray[InputPartition]
   }
 
