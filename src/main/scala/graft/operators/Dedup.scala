@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.BloomBridge
 import org.apache.spark.sql.types._
+import graft.core.Ckpt.CkptOps
 
 /** Deduplication operators for training-data pipelines: exact hashing,
   * n-gram Jaccard similarity join, MinHash+LSH, and SimHash.
@@ -72,7 +73,7 @@ object Dedup {
     // size estimate for a lazy explode mis-plans the downstream joins.
     val g = gramArrs0
       .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
-      .localCheckpoint(true)
+      .graftCkptMem()
     val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     // Per-doc prefix in ONE keyed aggregation: collect (df, gram),
     // sort by the global (df, gram) order, slice to the prefix length
@@ -91,7 +92,7 @@ object Dedup {
       .select(col("id"), size(col("gs")).cast(LongType).as("n"),
         slice(sort_array(col("gs")), lit(1), plen(size(col("gs")).cast(LongType)))
           .getField("gram").as("pfx"))
-      .localCheckpoint(true)
+      .graftCkptMem()
     val sizes = docPrefix.select(col("id"), col("n"))
     // The self-join keys on xxhash64(gram), not the gram string: a
     // 64-bit hash compares/hashes faster and shuffles fewer bytes. A
@@ -158,7 +159,7 @@ object Dedup {
     // upstream exist precisely to make them few) but their plan is the
     // expensive half of the query — every reuse below must NOT
     // re-derive it.
-    val c = cands.localCheckpoint(true)
+    val c = cands.graftCkptMem()
     // Restrict both gram sides to docs that actually appear in a
     // candidate pair BEFORE the intersection join: the candidate id
     // sets are tiny relative to the corpus (AQE broadcasts them), so
@@ -234,7 +235,7 @@ object Dedup {
     // the verification join — materialize the compact array form once
     // (localCheckpoint: lineage-truncating block reuse) instead of
     // re-deriving it from text 4×.
-    val gramArrs = gramArrs0.localCheckpoint(true)
+    val gramArrs = gramArrs0.graftCkptMem()
     val banded = bandedSignatures(gramArrs, idCol)
     val l = banded.select(col("id").as("doc_a"), col("band"), col("bh"))
     val r = banded.select(col("id").as("doc_b"), col("band"), col("bh"))
@@ -308,7 +309,7 @@ object Dedup {
         .where(col("k") > 1).select(lit(1).as("bad"))
       childAndParent.union(multiParent).isEmpty
     }
-    var e = canon(edges0).localCheckpoint(true)
+    var e = canon(edges0).graftCkptMem()
     // The checkpoint just materialized the canonical edge set, so this
     // count reads cached blocks — and it buys the adaptive choice
     // below PLUS replaces the initial isEmpty probe.
@@ -350,7 +351,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .graftCkptMem()
       converged = isStarForest(e)
       iter += 1
     }

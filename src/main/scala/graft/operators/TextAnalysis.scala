@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.core.Ckpt.CkptOps
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, quality scoring, heuristic language ID,
@@ -182,7 +183,7 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .graftCkptMem()
     val ctf = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
     val tot = tf.agg(sum(col("tf")).as("tot"))
     val logp = ctf.crossJoin(broadcast(tot))
@@ -230,7 +231,7 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .graftCkptMem()
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     tf.join(dfs, "term")

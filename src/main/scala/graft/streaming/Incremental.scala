@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Relation
+import graft.core.Ckpt.CkptOps
 import graft.functions.CanonicalKey.canonicalPk
 import graft.operators.{Compaction, Denormalize, Filters}
 import graft.operators.Filters.{FilterMode, RecordFilter}
@@ -100,7 +101,7 @@ final class IncrementalDenormalizer(
   private val statePartitions: Int =
     math.max(spark.sparkContext.defaultParallelism / 2, 4)
   private def persistState(df: DataFrame): DataFrame =
-    df.coalesce(statePartitions).localCheckpoint(true)
+    df.coalesce(statePartitions).graftCkptMem()
 
   /** Materialize independent state tables concurrently. Each eager
     * localCheckpoint is a blocking Spark job with a handful of tasks at
@@ -111,13 +112,13 @@ final class IncrementalDenormalizer(
   private def parMaterialize(dfs: Seq[DataFrame], tag: String = ""): Seq[DataFrame] = {
     val t0 = System.nanoTime()
     val out =
-      if (dfs.lengthCompare(2) < 0) dfs.map(_.localCheckpoint(true))
+      if (dfs.lengthCompare(2) < 0) dfs.map(_.graftCkptMem())
       else {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec = materializeEc
         Await.result(
-          Future.sequence(dfs.map(df => Future(df.localCheckpoint(true)))),
+          Future.sequence(dfs.map(df => Future(df.graftCkptMem()))),
           Duration.Inf)
       }
     if (IncrementalDenormalizer.timing)
@@ -238,16 +239,16 @@ final class IncrementalDenormalizer(
     * missing tables keep their current (usually empty) content. */
   def loadStateTables(tables: Map[String, DataFrame]): Unit = {
     snapshots = snapshots.map { case (e, old) =>
-      e -> tables.get(s"snapshot__$e").map(_.localCheckpoint(true)).getOrElse(old)
+      e -> tables.get(s"snapshot__$e").map(_.graftCkptMem()).getOrElse(old)
     }
     links = links.map { case (id, old) =>
-      id -> tables.get(s"links__${safeName(id)}").map(_.localCheckpoint(true)).getOrElse(old)
+      id -> tables.get(s"links__${safeName(id)}").map(_.graftCkptMem()).getOrElse(old)
     }
     rootmaps = rootmaps.map { case (id, old) =>
-      id -> tables.get(s"rootmap__${safeName(id)}").map(_.localCheckpoint(true)).getOrElse(old)
+      id -> tables.get(s"rootmap__${safeName(id)}").map(_.graftCkptMem()).getOrElse(old)
     }
     docState = docState.map { case (n, old) =>
-      n -> tables.get(s"docs__$n").map(_.localCheckpoint(true)).getOrElse(old)
+      n -> tables.get(s"docs__$n").map(_.graftCkptMem()).getOrElse(old)
     }
   }
 
@@ -431,7 +432,7 @@ final class IncrementalDenormalizer(
         if (pendingMedium(name).count() >= mediumTriggerRows) {
           dirtySets = dirtySets.updated(name,
             dirtySets(name).union(pendingMedium(name)).distinct()
-              .localCheckpoint(true))
+              .graftCkptMem())
           pendingMedium = pendingMedium.updated(name, emptyDf(spark, dirtySchema))
         }
       }
