@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, Tables}
+import graft.core.Ckpt.CkptOps
 import graft.operators.{Dedup, Multimodal, TextAnalysis, TrainingData}
 
 /** Text-analysis + deduplication queries over the `documents` table.
@@ -442,7 +443,7 @@ object Text {
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
-        .localCheckpoint(true)
+        .graftCkptMem()
       val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
       val marg = toks.groupBy("w").agg(count(lit(1)).as("nw"))
       val pairs = toks.select(col("doc_id"), col("w").as("term_a"))
@@ -569,6 +570,40 @@ object Text {
       val withPayload = docs(spark, dir)
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       Multimodal.decodeFeatures(withPayload, "doc_id").orderBy("doc_id")
+    },
+
+    // Frame sampling — the explode side of multimodal plumbing: one
+    // output row per sampled frame (offset + content hash), the shape
+    // a vision pipeline feeds per-frame encoders with. Pure codegen
+    // (sequence + explode + substring on the payload) — no UDF, no
+    // mapPartitions; frame count/stride derive deterministically from
+    // payload length (the stub decoder's convention), so at 100 TB
+    // this is a map-only pass whose output is bounded by Σ n_frames.
+    "q_frames" -> QueryDef(
+      "deterministic frame sampling: one row per sampled payload frame",
+      """WITH f AS (SELECT doc_id, text,
+        |    strlen(text) AS n, strlen(text) % 7 + 1 AS nf
+        |  FROM documents),
+        |x AS (SELECT doc_id, text, n, nf, n // nf AS stride,
+        |    unnest(range(0, nf)) AS frame_idx
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * stride AS BIGINT) AS byte_off,
+        |  md5(substr(text, CAST(frame_idx * stride + 1 AS BIGINT), CAST(stride AS BIGINT))) AS frame_md5
+        |FROM x WHERE stride > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast(LongType).as("n"),
+          (length(col("text")).cast(LongType) % 7 + 1).as("nf"))
+        .withColumn("stride", expr("n div nf"))
+        .where(col("stride") > 0)
+        .select(col("doc_id"), col("text"), col("stride"),
+          explode(sequence(lit(0L), col("nf") - 1)).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * col("stride")).as("byte_off"),
+          md5(expr("cast(substring(text, cast(frame_idx * stride + 1 as int), cast(stride as int)) as binary)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     },
 
     // Reproducible stratified train/eval split: the bucket is a pure
@@ -704,7 +739,7 @@ object Text {
       // shingle derivation is planned (and run) twice — same measured
       // pattern as Dedup.ngramJaccardPairs
       val g = TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5)
-        .localCheckpoint(true)
+        .graftCkptMem()
       val dfs = g.groupBy("gram").agg(count(lit(1)).as("df"))
       g.join(dfs, "gram")
         .groupBy("doc_id")
