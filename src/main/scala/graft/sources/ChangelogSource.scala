@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => sstreaming}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,29 +93,67 @@ class ChangelogTable(path: String, schema: StructType, splits: Int)
 }
 
 class ChangelogScanBuilder(path: String, fullSchema: StructType, splits: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var minPair = 0L
+  private var maxPairExcl = Long.MaxValue
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ChangelogScan(path, required, splits)
+
+  /** Offset-range predicates prune at PLANNING time (the Kafka
+    * startingOffsets analogue): `offset >= / > / < / <= / =` bounds
+    * map to the record-range partitioner, so a catch-up query over the
+    * log tail never plans readers for already-consumed records. All
+    * other filters stay residual (Spark re-evaluates them). */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (accepted, residual) = filters.partition {
+      case sources.GreaterThanOrEqual("offset", v: Long) => minPair = math.max(minPair, v); true
+      case sources.GreaterThan("offset", v: Long) => minPair = math.max(minPair, v + 1); true
+      case sources.LessThan("offset", v: Long) => maxPairExcl = math.min(maxPairExcl, v); true
+      case sources.LessThanOrEqual("offset", v: Long) => maxPairExcl = math.min(maxPairExcl, v + 1); true
+      case sources.EqualTo("offset", v: Long) =>
+        minPair = math.max(minPair, v); maxPairExcl = math.min(maxPairExcl, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    residual // non-offset filters evaluate above the scan
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan =
+    new ChangelogScan(path, required, splits, minPair, maxPairExcl)
 }
 
-class ChangelogScan(path: String, required: StructType, splits: Int)
+class ChangelogScan(
+    path: String,
+    required: StructType,
+    splits: Int,
+    minPair: Long = 0L,
+    maxPairExcl: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-changelog $path (pruned to ${required.fieldNames.mkString(",")})"
+    s"graft-changelog $path (pruned to ${required.fieldNames.mkString(",")}, " +
+      s"offsets [$minPair, ${if (maxPairExcl == Long.MaxValue) "end" else maxPairExcl}))"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // One cheap driver pass for the record count (fixture planning —
     // a log-store variant would consult segment metadata instead).
     val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
     val nPairs = try ((lines.count() + 1) / 2) finally lines.close()
-    val n = math.max(1, math.min(splits.toLong, nPairs).toInt)
-    val per = (nPairs + n - 1) / math.max(n, 1)
+    val from = math.max(0L, minPair)
+    val until = math.min(nPairs, maxPairExcl)
+    val total = math.max(0L, until - from)
+    if (total == 0) return Array.empty
+    val n = math.max(1, math.min(splits.toLong, total).toInt)
+    val per = (total + n - 1) / n
     (0 until n).map { i =>
-      ChangelogInputPartition(path, i * per, math.min((i + 1) * per, nPairs))
+      ChangelogInputPartition(path,
+        from + i * per, math.min(from + (i + 1) * per, until))
     }.filter(p => p.startPair < p.endPair).toArray[InputPartition]
   }
 

@@ -71,6 +71,20 @@ class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
     assert(latest(many) == latest(one))
   }
 
+  test("offset predicates prune input partitions at planning time") {
+    val all = readV2(splits = 1).count()
+    val filtered = readV2(splits = 8).where(col("offset") >= 5 && col("offset") < 8)
+    val parts = filtered.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.get
+    // 3 records remain -> at most 3 single-record partitions, not 8
+    assert(parts <= 3, s"offset pushdown did not prune partitions: $parts")
+    assert(filtered.count() == math.min(all, 8L) - 5)
+    assert(filtered.select(min(col("offset")), max(col("offset")))
+      .collect()(0).toSeq == Seq(5L, math.min(all, 8L) - 1))
+  }
+
   test("micro-batch stream resumes from checkpointed offsets across appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog-stream")
     val log = dir.resolve("topic.json")
