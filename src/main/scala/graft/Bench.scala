@@ -43,7 +43,12 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       // Release checkpointed blocks of the finished query so block-
-      // manager pressure doesn't bleed into the next measurement.
+      // manager pressure doesn't bleed into the next measurement —
+      // unpersist the checkpoint RDDs directly (GC + ContextCleaner
+      // would reclaim them eventually, but 'eventually' lands inside
+      // the NEXT query's timing).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       spark.sqlContext.clearCache()
       System.gc()
       name -> (if (ok) dt else -dt)

@@ -572,6 +572,52 @@ object Text {
       Multimodal.decodeFeatures(withPayload, "doc_id").orderBy("doc_id")
     },
 
+    // The whole corpus-prep pipeline as ONE lazy plan — scrub → token
+    // quality gate → exact-dedup keep (min doc id per scrubbed
+    // content) → deterministic split — the composition a training-data
+    // run actually executes (SURVEY §7.4's registry-open requirement,
+    // here oracle-checked end to end, not just spec'd). Catalyst fuses
+    // the scrub + gate + hash projections into the scan pass; the only
+    // shuffles are the dedup aggregation and the final rollup.
+    "q_pipeline" -> QueryDef(
+      "end-to-end corpus prep: scrub, quality gate, dedup keep, split",
+      s"""WITH s AS (SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${TextAnalysis.emailPat}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.ipv4Pat}', '<IP>', 'g'),
+         |      '${TextAnalysis.longDigitsPat}', '<NUM>', 'g') AS clean
+         |  FROM documents),
+         |q AS (SELECT doc_id, source, clean,
+         |        len(regexp_extract_all(lower(clean), '[a-z0-9]+')) AS n_tokens
+         |      FROM s WHERE len(regexp_extract_all(lower(clean), '[a-z0-9]+')) >= 20),
+         |d AS (SELECT md5(clean) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1),
+         |k AS (SELECT q.doc_id, q.source, q.n_tokens,
+         |        CASE WHEN ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+         |             THEN 'train' ELSE 'eval' END AS split
+         |      FROM q JOIN d ON q.doc_id = d.doc_id)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM k GROUP BY split, source ORDER BY split, source""".stripMargin) { (spark, dir) =>
+      val scrubbed = docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.scrubPii(col("text")).getField("clean").as("clean"))
+      val gated = scrubbed
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("clean"))).cast(LongType))
+        .where(col("n_tokens") >= 20)
+      val keep = gated.groupBy(md5(col("clean")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      gated.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("n_tokens"),
+          when(TextAnalysis.hashBucket(col("doc_id"), 100) < 80, "train")
+            .otherwise("eval").as("split"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split", "source")
+    },
+
     // Frame sampling — the explode side of multimodal plumbing: one
     // output row per sampled frame (offset + content hash), the shape
     // a vision pipeline feeds per-frame encoders with. Pure codegen
