@@ -386,6 +386,51 @@ object Cdc {
         .orderBy("event_type")
     },
 
+    // Time-series similarity search over the event stream: each user's
+    // hourly activity profile (24-dim exact-decimal sums) becomes a
+    // vector, and similar users rank through the SAME map-side top-k
+    // cosine machinery as the embedding ANN queries — the profile
+    // aggregation is one keyed shuffle, the search never cross-joins
+    // (probe side broadcasts, per-partition top-k partials). The
+    // stream → profile → vector-search composition is the distributed
+    // time-series-similarity shape (cf. EDBT'19 streaming TS search).
+    "q_ts_profile" -> QueryDef(
+      "similar users by cosine of hourly event-activity profiles",
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 3600000000000) % 24 AS h,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |s AS (SELECT user_id, h, CAST(sum(v) AS DOUBLE) AS sv FROM e GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |grid AS (SELECT u.user_id, g.h FROM u, unnest(range(0, 24)) AS g(h)),
+        |prof AS (SELECT grid.user_id, list(coalesce(s.sv, 0) ORDER BY grid.h) AS vec
+        |         FROM grid LEFT JOIN s ON grid.user_id = s.user_id AND grid.h = s.h
+        |         GROUP BY grid.user_id),
+        |sc AS (SELECT p.user_id AS qid, c.user_id AS nid,
+        |         round(list_cosine_similarity(p.vec, c.vec), 6) AS cos
+        |       FROM prof p JOIN prof c ON p.user_id <> c.user_id
+        |       WHERE p.user_id < 8),
+        |r AS (SELECT qid, nid, cos,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT qid, rank, nid, cos FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(18, 2)
+      val e = t(spark, dir)("events").select(col("user_id"),
+        pmod(expr("ts div 3600000000000"), lit(24L)).as("h"),
+        col("value").cast(dec).as("v"))
+      val prof = e.groupBy("user_id", "h")
+        .agg(sum(col("v")).cast(DoubleType).as("sv"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("h"), col("sv")))).as("m"))
+        .select(col("user_id"),
+          transform(sequence(lit(0L), lit(23L)),
+            h => coalesce(element_at(col("m"), h), lit(0.0))).as("vec"))
+      val probes = prof.where(col("user_id") < 8)
+        .select(col("user_id").as("qid"), col("vec"))
+      val corpus = prof.select(col("user_id").as("nid"), col("vec"))
+      graft.operators.Similarity.bruteForceTopK(probes, corpus, 3)
+        .orderBy("qid", "rank")
+    },
+
     // Sliding windows (1 h window, 15 min slide): each event lands in
     // exactly window/slide = 4 windows, expanded MAP-SIDE as a bounded
     // integer explode before one keyed aggregation — the same plan
