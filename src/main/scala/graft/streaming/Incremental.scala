@@ -273,16 +273,15 @@ final class IncrementalDenormalizer(
   /** Process one micro-batch of changelog DataFrames per entity
     * (columns: offset Long, key struct, value struct|null).
     *
-    * Materialization is organized into TWO fused waves before the
-    * per-tree rebuild (measured: wave barriers, not data volume, are
-    * the per-batch cost at micro-batch scale):
-    *
-    *  wave 1 — the per-entity delta folds (everything downstream
-    *           consumes them, so they checkpoint first);
-    *  wave 2 — dirty-root sets, snapshot updates, link updates AND
-    *           deferred-priority sets concurrently: all of them read
-    *           only wave-1 deltas plus PRE-batch state, so they are
-    *           mutually independent by construction.
+    * Materialization is ONE fused wave before the per-tree rebuild
+    * (measured: wave barriers, not data volume, are the per-batch cost
+    * at micro-batch scale): the per-entity delta folds checkpoint
+    * concurrently with the dirty-root sets, snapshot updates, link
+    * updates and deferred-priority sets — the derived plans re-derive
+    * the (cheap, map-side-combinable) fold inline from LAZY delta
+    * views instead of waiting for the fold's checkpoint, and all of
+    * them read only PRE-batch state, so they are mutually independent
+    * by construction. The checkpointed folds then feed the rebuild.
     */
   // Counter-experiment (kept for the record): disabling AQE for the
   // batch's many small fixed-shape jobs does NOT help — 15.7s vs 15.1s
@@ -305,25 +304,24 @@ final class IncrementalDenormalizer(
             df.observe(s"graft_in_$entity", count(lit(1)).as("n")))
           .observe(s"graft_delta_$entity", count(lit(1)).as("n"))
     }.toSeq
-    val deltas: Map[String, DataFrame] =
-      deltaPairs.map(_._1).zip(parMaterialize(deltaPairs.map(_._2), "deltas")).toMap
-    deltaPairs.foreach { case (entity, observedDf) =>
-      observed(observedDf, s"graft_in_$entity")
-        .foreach(r => bump("records_consumed", r.getLong(0)))
-      observed(observedDf, s"graft_delta_$entity")
-        .foreach(r => bump("delta_keys", r.getLong(0)))
-    }
+    // LAZY delta views feed the same wave's derived plans: each derived
+    // plan re-runs the (cheap, map-side-combinable) fold inline rather
+    // than waiting for the fold's checkpoint — one barrier instead of
+    // two per batch. The checkpointed outputs below become `deltas`
+    // for the rebuild phase; derived plans and checkpoints read the
+    // SAME pre-batch state either way, so results are identical.
+    val lazyDeltas: Map[String, DataFrame] = deltaPairs.toMap
 
-    // 2. ONE wave for everything derived from (deltas, pre-batch
-    // state): per-tree per-priority dirty-root sets plus snapshot and
-    // link updates. State vars are reassigned only after the wave, so
-    // every plan in it reads consistent pre-batch state.
+    // Per-tree per-priority dirty-root sets plus snapshot and link
+    // updates, all derived from (lazy deltas, pre-batch state). State
+    // vars are reassigned only after the wave, so every plan in it
+    // reads consistent pre-batch state.
     val drainLowNow = batchIndex % math.max(lowDrainEvery, 1) == 0
 
     // (tree, priority) -> dirty parts from this batch's deltas
     def dirtyParts(tree: Relation,
         wanted: QueueingStrategy.Priority => Boolean): Seq[DataFrame] =
-      deltas.toSeq.flatMap { case (entity, delta) =>
+      lazyDeltas.toSeq.flatMap { case (entity, delta) =>
         val name = tree.denormalizedName.get
         val pri = strategy.priority(name, entity)
         if (!wanted(pri)) None
@@ -343,18 +341,6 @@ final class IncrementalDenormalizer(
     def unionParts(parts: Seq[DataFrame]): DataFrame =
       if (parts.isEmpty) emptyDf(spark, dirtySchema)
       else parts.reduce(_ union _).distinct()
-
-    // NONE drops are counted off the already-observed delta sizes —
-    // no extra job (reference Southpaw.java:618-637 load shedding).
-    trees.foreach { tree =>
-      deltaPairs.foreach { case (entity, observedDf) =>
-        val affects = tree.entity == entity || firstEdgeFor(tree, entity).nonEmpty
-        if (affects &&
-            strategy.priority(tree.denormalizedName.get, entity) == QueueingStrategy.None)
-          observed(observedDf, s"graft_delta_$entity")
-            .foreach(r => bump("rebuilds_dropped_none", r.getLong(0)))
-      }
-    }
 
     val mediumImmediate = mediumTriggerRows <= 0L
     // per tree: drain-now set, plus pending medium/low ONLY when the
@@ -378,7 +364,7 @@ final class IncrementalDenormalizer(
            unionParts(low :+ pendingLow(name)).coalesce(statePartitions))))
     }
 
-    val snapUpdates: Seq[(String, DataFrame)] = deltas.toSeq.map {
+    val snapUpdates: Seq[(String, DataFrame)] = lazyDeltas.toSeq.map {
       case (entity, delta) =>
         val snap = snapshots(entity)
         val changedKeys = delta.select(col("__pk"))
@@ -387,7 +373,7 @@ final class IncrementalDenormalizer(
           delta.where(col("value").isNotNull).select(col("__pk"), col("value")))
         entity -> updated.coalesce(statePartitions)
     }
-    val linkUpdates: Seq[(String, DataFrame)] = deltas.toSeq.flatMap {
+    val linkUpdates: Seq[(String, DataFrame)] = lazyDeltas.toSeq.flatMap {
       case (entity, delta) =>
         edges.filter(_.child.entity == entity).map { edge =>
           val jkField = edge.child.joinKey.get
@@ -401,11 +387,31 @@ final class IncrementalDenormalizer(
         }
     }
 
-    val waveInputs = wavePlans.map(_._3) ++
+    val waveInputs = deltaPairs.map(_._2) ++ wavePlans.map(_._3) ++
       snapUpdates.map(_._2) ++ linkUpdates.map(_._2)
-    val waveOut = parMaterialize(waveInputs, "dirty+state")
-    val (dirtyOut, rest) = waveOut.splitAt(wavePlans.size)
+    val waveOut = parMaterialize(waveInputs, "deltas+state")
+    val (deltaOut, rest0) = waveOut.splitAt(deltaPairs.size)
+    val (dirtyOut, rest) = rest0.splitAt(wavePlans.size)
     val (snapOut, linkOut) = rest.splitAt(snapUpdates.size)
+    val deltas: Map[String, DataFrame] =
+      deltaPairs.map(_._1).zip(deltaOut).toMap
+    deltaPairs.foreach { case (entity, observedDf) =>
+      observed(observedDf, s"graft_in_$entity")
+        .foreach(r => bump("records_consumed", r.getLong(0)))
+      observed(observedDf, s"graft_delta_$entity")
+        .foreach(r => bump("delta_keys", r.getLong(0)))
+    }
+    // NONE drops are counted off the already-observed delta sizes —
+    // no extra job (reference Southpaw.java:618-637 load shedding).
+    trees.foreach { tree =>
+      deltaPairs.foreach { case (entity, observedDf) =>
+        val affects = tree.entity == entity || firstEdgeFor(tree, entity).nonEmpty
+        if (affects &&
+            strategy.priority(tree.denormalizedName.get, entity) == QueueingStrategy.None)
+          observed(observedDf, s"graft_delta_$entity")
+            .foreach(r => bump("rebuilds_dropped_none", r.getLong(0)))
+      }
+    }
 
     var dirtySets = Map.empty[String, DataFrame]
     wavePlans.map { case (name, kind, _) => (name, kind) }.zip(dirtyOut).foreach {
