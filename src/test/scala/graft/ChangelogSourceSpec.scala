@@ -85,6 +85,44 @@ class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).toSeq == Seq(5L, math.min(all, 8L) - 1))
   }
 
+  test("connector streams drive the IVM engine to golden parity") {
+    import graft.core.Relation
+    import graft.streaming.StreamRunner
+    val trees = Relation.parseFile(
+      s"${ReferenceFixtures.root}/relations2.sample.json")
+    val entities = trees.flatMap(_.entities).distinct
+    def src(e: String) = spark.readStream.format("graft-changelog")
+      .option("keySchema", ReferenceFixtures.keySchema(e).toDDL)
+      .option("valueSchema", ReferenceFixtures.valueSchemas(e).toDDL)
+      .load(s"${ReferenceFixtures.root}/topic/$e.json")
+      .select(lit(e).as("entity"), col("offset"),
+        to_json(col("key")).as("key_json"),
+        to_json(col("value")).as("value_json"))
+    val changelog = entities.map(src).reduce(_ unionByName _)
+    val (engine, q) = StreamRunner.start(spark, changelog, trees,
+      keyFields = entities.map(e => e -> ReferenceFixtures.keyFields(e)).toMap,
+      keySchemas = entities.map(e => e -> ReferenceFixtures.keySchema(e)).toMap,
+      valueSchemas = entities.map(e => e -> ReferenceFixtures.valueSchemas(e)).toMap,
+      filter = ReferenceFixtures.testFilter)
+    q.awaitTermination(120000)
+    q.stop()
+    val name = "DenormalizedPlayer"
+    val live = engine.docs(name).where(!col("__deleted"))
+      .select(col("__pk"), col("doc_json")).collect()
+      .map(r => BigInt(1, r.getAs[Array[Byte]]("__pk")).toLong ->
+        r.getAs[String]("doc_json")).toMap
+    val golden = ReferenceFixtures.goldenDocs(name)
+    golden.foreach {
+      case (key, Some(doc)) =>
+        assert(live.contains(key), s"$name/$key missing from streamed docs")
+        assert(ReferenceFixtures.normalizeJson(live(key)) ==
+          ReferenceFixtures.normalize(doc), s"$name/$key mismatch")
+      case (key, None) =>
+        assert(!live.contains(key), s"$name/$key should be tombstoned")
+    }
+    assert(live.keySet.subsetOf(golden.keySet))
+  }
+
   test("micro-batch stream resumes from checkpointed offsets across appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog-stream")
     val log = dir.resolve("topic.json")
