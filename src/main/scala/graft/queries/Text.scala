@@ -744,6 +744,66 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Contamination accounting, rolled up to the level a corpus owner
+    // acts on: per SOURCE, how many train docs leak eval n-grams and
+    // how bad the worst leak is. Same broadcast semi-join scale shape
+    // as q_decontaminate (train corpus never shuffles; eval grams are
+    // the broadcast side) plus one tiny rollup.
+    "q_contamination_matrix" -> QueryDef(
+      "per-source eval-contamination counts over the train split",
+      """WITH toks AS (SELECT doc_id, source,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |       FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS gram
+        |      FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS u(i)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |hits AS (SELECT g.doc_id, any_value(g.source) AS source,
+        |           CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 <> 0
+        |         GROUP BY g.doc_id),
+        |tr AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train
+        |       FROM toks WHERE doc_id % 50 <> 0 GROUP BY source)
+        |SELECT tr.source, tr.n_train,
+        |  CAST(coalesce(count(hits.doc_id), 0) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(max(hits.n_hits), 0) AS BIGINT) AS max_hits
+        |FROM tr LEFT JOIN hits ON tr.source = hits.source
+        |GROUP BY tr.source, tr.n_train ORDER BY tr.source""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val train = d.where(col("doc_id") % 50 =!= 0)
+      val hits = TrainingData.contamination(
+          train, d.where(col("doc_id") % 50 === 0), "doc_id", "text", 3)
+        .join(train.select(col("doc_id"), col("source")), "doc_id")
+      val trainCounts = train.groupBy("source")
+        .agg(count(lit(1)).as("n_train"))
+      trainCounts.join(hits.groupBy("source")
+          .agg(count(lit(1)).as("n_contaminated"), max(col("n_hits")).as("max_hits")),
+        Seq("source"), "left_outer")
+        .select(col("source"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("max_hits"), lit(0L)).as("max_hits"))
+        .orderBy("source")
+    },
+
+    // Corpus length histogram — the standard pre-training QA readout
+    // (what does the length distribution look like per language?). One
+    // map-side bucket projection + one aggregation; integer bucket
+    // arithmetic so both engines bin identically.
+    "q_length_hist" -> QueryDef(
+      "per-language document-length histogram (100-char buckets)",
+      """SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .groupBy(col("lang"), expr("n_chars div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "bucket")
+    },
+
     // Temperature-scaled mixture weights per source — the sampling
     // recipe that balances a multi-corpus pretraining mix. The
     // normalizer is an exact DECIMAL sum of rounded per-source n^α
