@@ -17,8 +17,14 @@ import org.apache.spark.storage.StorageLevel
   * storage instead (README: scale design).
   */
 object Ckpt {
+  /** The MEMORY_ONLY envelope is tuned to the 24g/128GiB bench host;
+    * smaller hosts can demote eviction-vulnerable blocks to disk with
+    * GRAFT_CKPT_LEVEL=MEMORY_AND_DISK instead of editing code. */
+  private val level: StorageLevel = sys.env.get("GRAFT_CKPT_LEVEL")
+    .map(StorageLevel.fromString).getOrElse(StorageLevel.MEMORY_ONLY)
+
   def mem(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true, storageLevel = StorageLevel.MEMORY_ONLY)
+    df.localCheckpoint(eager = true, storageLevel = level)
 
   /** `df.graftCkptMem()` sugar so call sites read like the built-in. */
   implicit class CkptOps(private val df: DataFrame) extends AnyVal {

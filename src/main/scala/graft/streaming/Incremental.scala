@@ -71,7 +71,8 @@ final class IncrementalDenormalizer(
     filter: RecordFilter = Compaction.passThrough,
     strategy: QueueingStrategy = QueueingStrategy.allMedium,
     mediumTriggerRows: Long = 0L,
-    lowDrainEvery: Int = 1) {
+    lowDrainEvery: Int = 1,
+    backend: StateBackend = StateBackend.Memory) {
 
   import IncrementalDenormalizer._
 
@@ -97,32 +98,39 @@ final class IncrementalDenormalizer(
     * their inputs' partition counts, so without this the state would
     * gain partitions every batch (tiny-task explosion); coalescing to
     * a constant before each checkpoint keeps per-batch stage counts
-    * flat. On a cluster this is where bucketed state storage goes. */
+    * flat. The durable backend re-buckets on its own key column. */
   private val statePartitions: Int =
     math.max(spark.sparkContext.defaultParallelism / 2, 4)
-  private def persistState(df: DataFrame): DataFrame =
-    df.coalesce(statePartitions).graftCkptMem()
+
+  /** Materialization thunks: intra-batch temporaries always go to the
+    * memory checkpoint; cross-batch STATE tables go through the
+    * configured [[StateBackend]] under their stable [[stateTables]]
+    * name (the durable backend writes bucketed parquet generations). */
+  private def matTemp(df: DataFrame): () => DataFrame =
+    () => df.graftCkptMem()
+  private def matState(name: String, df: DataFrame): () => DataFrame =
+    () => backend.persist(name, df.coalesce(statePartitions))
 
   /** Materialize independent state tables concurrently. Each eager
-    * localCheckpoint is a blocking Spark job with a handful of tasks at
+    * materialization is a blocking Spark job with a handful of tasks at
     * state-table scale, so running them back-to-back leaves most cores
     * idle; submitting them from a small thread pool overlaps the jobs
     * (Spark's scheduler is thread-safe). Order of results matches the
     * input order. */
-  private def parMaterialize(dfs: Seq[DataFrame], tag: String = ""): Seq[DataFrame] = {
+  private def parMaterialize(thunks: Seq[() => DataFrame], tag: String = ""): Seq[DataFrame] = {
     val t0 = System.nanoTime()
     val out =
-      if (dfs.lengthCompare(2) < 0) dfs.map(_.graftCkptMem())
+      if (thunks.lengthCompare(2) < 0) thunks.map(_.apply())
       else {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec = materializeEc
         Await.result(
-          Future.sequence(dfs.map(df => Future(df.graftCkptMem()))),
+          Future.sequence(thunks.map(t => Future(t.apply()))),
           Duration.Inf)
       }
     if (IncrementalDenormalizer.timing)
-      System.err.println(f"[ivm] wave $tag%-12s ${dfs.size}%2d jobs ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      System.err.println(f"[ivm] wave $tag%-12s ${thunks.size}%2d jobs ${(System.nanoTime() - t0) / 1e9}%6.2fs")
     out
   }
 
@@ -228,28 +236,42 @@ final class IncrementalDenormalizer(
 
   private def safeName(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** All state tables by stable name (for [[StateOps]] backup). */
+  /** All state tables by stable name (for [[StateOps]] backup and the
+    * durable backend's directory layout). */
   def stateTables: Map[String, DataFrame] =
     snapshots.map { case (e, df) => s"snapshot__$e" -> df } ++
       links.map { case (id, df) => s"links__${safeName(id)}" -> df } ++
       rootmaps.map { case (id, df) => s"rootmap__${safeName(id)}" -> df } ++
-      docState.map { case (n, df) => s"docs__$n" -> df }
+      docState.map { case (n, df) => s"docs__${safeName(n)}" -> df } ++
+      pendingMedium.map { case (n, df) => s"pending_med__${safeName(n)}" -> df } ++
+      pendingLow.map { case (n, df) => s"pending_low__${safeName(n)}" -> df }
 
-  /** Replace state tables from a backup (names as in [[stateTables]]);
-    * missing tables keep their current (usually empty) content. */
+  /** Replace state tables from a backup or a durable state root (names
+    * as in [[stateTables]]); missing tables keep their current (usually
+    * empty) content. Loaded tables re-persist through the configured
+    * backend, so a durable engine's restored state is durable too. */
   def loadStateTables(tables: Map[String, DataFrame]): Unit = {
+    def load(name: String, old: DataFrame): DataFrame =
+      tables.get(name).map(df => backend.persist(name, df)).getOrElse(old)
     snapshots = snapshots.map { case (e, old) =>
-      e -> tables.get(s"snapshot__$e").map(_.graftCkptMem()).getOrElse(old)
+      e -> load(s"snapshot__$e", old)
     }
     links = links.map { case (id, old) =>
-      id -> tables.get(s"links__${safeName(id)}").map(_.graftCkptMem()).getOrElse(old)
+      id -> load(s"links__${safeName(id)}", old)
     }
     rootmaps = rootmaps.map { case (id, old) =>
-      id -> tables.get(s"rootmap__${safeName(id)}").map(_.graftCkptMem()).getOrElse(old)
+      id -> load(s"rootmap__${safeName(id)}", old)
     }
     docState = docState.map { case (n, old) =>
-      n -> tables.get(s"docs__$n").map(_.graftCkptMem()).getOrElse(old)
+      n -> load(s"docs__${safeName(n)}", old)
     }
+    pendingMedium = pendingMedium.map { case (n, old) =>
+      n -> load(s"pending_med__${safeName(n)}", old)
+    }
+    pendingLow = pendingLow.map { case (n, old) =>
+      n -> load(s"pending_low__${safeName(n)}", old)
+    }
+    backend.gc()
   }
 
   /** Index-invariant checks (the reference's --verify-state,
@@ -357,11 +379,9 @@ final class IncrementalDenormalizer(
         if (drainLowNow) Seq(pendingLow(name)) else Nil
       Seq((name, "drain", unionParts(drainNowParts ++ drainBase))) ++
         (if (mediumImmediate) Nil
-         else Seq((name, "pmed",
-           unionParts(med :+ pendingMedium(name)).coalesce(statePartitions)))) ++
+         else Seq((name, "pmed", unionParts(med :+ pendingMedium(name))))) ++
         (if (drainLowNow) Nil
-         else Seq((name, "plow",
-           unionParts(low :+ pendingLow(name)).coalesce(statePartitions))))
+         else Seq((name, "plow", unionParts(low :+ pendingLow(name)))))
     }
 
     val snapUpdates: Seq[(String, DataFrame)] = lazyDeltas.toSeq.map {
@@ -371,7 +391,7 @@ final class IncrementalDenormalizer(
         val kept = snap.join(changedKeys, Seq("__pk"), "left_anti")
         val updated = kept.unionByName(
           delta.where(col("value").isNotNull).select(col("__pk"), col("value")))
-        entity -> updated.coalesce(statePartitions)
+        entity -> updated
     }
     val linkUpdates: Seq[(String, DataFrame)] = lazyDeltas.toSeq.flatMap {
       case (entity, delta) =>
@@ -383,12 +403,19 @@ final class IncrementalDenormalizer(
             .where(col("__jk").isNotNull)
           val keptLinks = links(edge.id).join(
             delta.select(col("__pk").as("__cpk")), Seq("__cpk"), "left_anti")
-          edge.id -> keptLinks.unionByName(newLinks).coalesce(statePartitions)
+          edge.id -> keptLinks.unionByName(newLinks)
         }
     }
 
-    val waveInputs = deltaPairs.map(_._2) ++ wavePlans.map(_._3) ++
-      snapUpdates.map(_._2) ++ linkUpdates.map(_._2)
+    val waveInputs: Seq[() => DataFrame] =
+      deltaPairs.map(p => matTemp(p._2)) ++
+        wavePlans.map {
+          case (_, "drain", df) => matTemp(df)
+          case (name, "pmed", df) => matState(s"pending_med__${safeName(name)}", df)
+          case (name, _, df) => matState(s"pending_low__${safeName(name)}", df)
+        } ++
+        snapUpdates.map { case (e, df) => matState(s"snapshot__$e", df) } ++
+        linkUpdates.map { case (id, df) => matState(s"links__${safeName(id)}", df) }
     val waveOut = parMaterialize(waveInputs, "deltas+state")
     val (deltaOut, rest0) = waveOut.splitAt(deltaPairs.size)
     val (dirtyOut, rest) = rest0.splitAt(wavePlans.size)
@@ -450,6 +477,9 @@ final class IncrementalDenormalizer(
       val dirty = dirtySets(name)
       if (!dirty.isEmpty) rebuild(tree, dirty)
     }
+    // 4. with every wave complete, no job can still be reading a
+    // superseded durable generation — drop them.
+    backend.gc()
   }
 
   /** Fold one entity's batch changes into a per-key delta:
@@ -594,7 +624,6 @@ final class IncrementalDenormalizer(
         // the two sides are disjoint by construction.
         edge.id -> rootmaps(edge.id)
           .unionByName(regs.select(col("__jk"), col("__rpk")))
-          .coalesce(statePartitions)
       }
 
     // Upsert document state; dirty roots with no assembled doc get a
@@ -602,10 +631,16 @@ final class IncrementalDenormalizer(
     // observe metrics. newDocs, the rootmap re-registrations AND the
     // kept-documents side all derive from restrictedRoot + dirty +
     // pre-rebuild state, so they materialize as ONE wave (assembly,
-    // path walks and the anti-join overlap); the post-batch docState
-    // is then just the LAZY union of two checkpointed frames — its
-    // lineage stays two levels deep forever because the next batch's
-    // `kept` re-materializes it, so no extra barrier is ever paid.
+    // path walks and the anti-join overlap).
+    //
+    // Memory backend: the post-batch docState is the LAZY union of the
+    // two checkpointed frames — its lineage stays two levels deep
+    // forever because the next batch's `kept` re-materializes it, so
+    // no extra barrier is ever paid. Durable backend: one wave thunk
+    // chains the newDocs checkpoint (lastChanged + observe metrics
+    // ride it) into the docs-table write — the union re-reads the
+    // just-checkpointed blocks, so the assembly still runs once, and
+    // the rootmap writes overlap the whole chain.
     val newDocs = dirty.join(assembled, dirty("__rpk") === assembled("__pk"), "left_outer")
       .select(col("__rpk").as("__pk"), col("doc_json"),
         col("doc_json").isNull.as("__deleted"))
@@ -614,19 +649,36 @@ final class IncrementalDenormalizer(
         sum(when(col("doc_json").isNull, 1L).otherwise(0L)).as("tomb"))
     val kept = docState(name).join(dirty.withColumnRenamed("__rpk", "__pk"),
       Seq("__pk"), "left_anti")
-      .coalesce(statePartitions)
-    val waveOut = parMaterialize(rootmapUpdates.map(_._2) ++ Seq(newDocs, kept), "rebuild")
+    val rootmapThunks = rootmapUpdates.map {
+      case (id, df) => matState(s"rootmap__${safeName(id)}", df)
+    }
+    val newDocsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val docThunks: Seq[() => DataFrame] =
+      if (!backend.durable)
+        Seq(matTemp(newDocs), matTemp(kept.coalesce(statePartitions)))
+      else Seq(() => {
+        val nd = newDocs.graftCkptMem()
+        newDocsRef.set(nd)
+        backend.persist(s"docs__${safeName(name)}",
+          kept.unionByName(nd).coalesce(statePartitions))
+      })
+    val waveOut = parMaterialize(rootmapThunks ++ docThunks, "rebuild")
     rootmapUpdates.map(_._1).zip(waveOut)
       .foreach { case (id, df) => rootmaps = rootmaps.updated(id, df) }
-    val newDocsCp = waveOut(rootmapUpdates.size)
-    val keptCp = waveOut.last
     observed(newDocs, s"graft_docs_${safeName(name)}_$batchIndex").foreach { r =>
       val tomb = if (r.isNullAt(1)) 0L else r.getLong(1)
       bump("docs_written", r.getLong(0) - tomb)
       bump("docs_tombstoned", tomb)
     }
-    lastChanged = lastChanged.updated(name, newDocsCp)
-    docState = docState.updated(name, keptCp.unionByName(newDocsCp))
+    if (!backend.durable) {
+      val newDocsCp = waveOut(rootmapUpdates.size)
+      val keptCp = waveOut.last
+      lastChanged = lastChanged.updated(name, newDocsCp)
+      docState = docState.updated(name, keptCp.unionByName(newDocsCp))
+    } else {
+      lastChanged = lastChanged.updated(name, newDocsRef.get())
+      docState = docState.updated(name, waveOut.last)
+    }
   }
 }
 

@@ -135,10 +135,12 @@ object StreamRunner {
       sink: DocSink = DocSinks.noop,
       onBatch: (IncrementalDenormalizer, Long) => Unit = (_, _) => (),
       stateRoot: Option[String] = None,
-      backupEvery: Int = 1)
+      backupEvery: Int = 1,
+      backend: StateBackend = StateBackend.Memory)
       : (IncrementalDenormalizer, StreamingQuery) = {
     val engine = new IncrementalDenormalizer(
-      spark, trees, keyFields, valueSchemas, filter, strategy)
+      spark, trees, keyFields, valueSchemas, filter, strategy,
+      backend = backend)
     // Restart consistency: the streaming checkpoint makes committed
     // offsets skip on restart, so the engine state MUST resume from
     // where those offsets left it. With a stateRoot, state is restored

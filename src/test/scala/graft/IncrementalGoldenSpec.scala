@@ -40,9 +40,12 @@ class IncrementalGoldenSpec extends SparkSpec {
       e -> changelog(spark, e).orderBy("offset").collect()
     }.toMap
 
-  def replay(strategy: QueueingStrategy): IncrementalDenormalizer = {
+  def replay(strategy: QueueingStrategy,
+      backend: graft.streaming.StateBackend = graft.streaming.StateBackend.Memory)
+      : IncrementalDenormalizer = {
     val engine = new IncrementalDenormalizer(
-      spark, trees, keyFields, valueSchemas, testFilter, strategy)
+      spark, trees, keyFields, valueSchemas, testFilter, strategy,
+      backend = backend)
     val passes = logs.values.map(_.length).max
     (0 until passes).foreach { pass =>
       val batch = logs.collect { case (e, rows) if pass < rows.length =>
@@ -60,7 +63,14 @@ class IncrementalGoldenSpec extends SparkSpec {
         Option(r.getAs[String]("doc_json"))
     }.toMap
 
-  lazy val goldenEngine: IncrementalDenormalizer = replay(testStrategy)
+  /** The golden replay runs against the DURABLE bucketed-parquet
+    * backend: every golden assertion below (docs, JK/PaK indices,
+    * backup/restore, invariants) exercises disk-backed state — the
+    * deployment shape — not just the in-memory bench envelope. */
+  lazy val goldenEngine: IncrementalDenormalizer = replay(testStrategy,
+    new graft.streaming.BucketedParquetBackend(spark,
+      "file://" + java.nio.file.Files.createTempDirectory("graft_golden_state"),
+      buckets = 4))
 
   def checkGolden(name: String): Unit = {
     val got = docsOf(goldenEngine, name)
