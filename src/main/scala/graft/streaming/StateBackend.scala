@@ -75,7 +75,8 @@ object StateBackend {
   * tasks×buckets small files. Readers go through the session catalog
   * (`spark.table`) so they see the bucket spec: a join or aggregation
   * keyed on the bucket column plans NO Exchange on the state side
-  * (asserted in BucketingSpec / DurableStateSpec).
+  * (asserted in BucketingSpec for the mechanism and in DurableStateSpec
+  * on a recovered state table).
   *
   * Restart recovery: [[BucketedParquetBackend.latest]] lists the
   * newest committed (_SUCCESS) generation of every table under a root
@@ -86,7 +87,7 @@ object StateBackend {
   */
 final class BucketedParquetBackend(
     spark: SparkSession,
-    root: String,
+    val root: String,
     buckets: Int = 16) extends StateBackend {
 
   val durable = true

@@ -143,12 +143,21 @@ object StreamRunner {
       backend = backend)
     // Restart consistency: the streaming checkpoint makes committed
     // offsets skip on restart, so the engine state MUST resume from
-    // where those offsets left it. With a stateRoot, state is restored
-    // here (when_needed: a fresh engine loads the newest readable
-    // backup) and backed up after every `backupEvery`-th batch — pair
-    // it with `checkpointDir` for consistent restarts. Without one,
-    // restarting an existing checkpointLocation over in-memory state
-    // would silently skip data — use a fresh checkpoint dir then.
+    // where those offsets left it. A durable backend recovers first,
+    // from its own committed generations (the state written by the last
+    // completed batch — BucketedParquetBackend.latest); a stateRoot
+    // then restores the newest readable explicit backup only if the
+    // backend had nothing (when_needed), and keeps backing up every
+    // `backupEvery`-th batch. Pair either with `checkpointDir` for
+    // consistent restarts: restarting an existing checkpointLocation
+    // over purely in-memory state would silently skip data — use a
+    // fresh checkpoint dir then.
+    backend match {
+      case b: BucketedParquetBackend =>
+        val gens = BucketedParquetBackend.latest(spark, b.root)
+        if (gens.nonEmpty) engine.loadStateTables(gens)
+      case _ => ()
+    }
     stateRoot.foreach(r =>
       StateOps.restore(engine, r, StateOps.RestoreMode.WhenNeeded))
     val entities = trees.flatMap(_.entities).distinct
