@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{QueryDef, Relation, Tables}
+import graft.core.{Ckpt, QueryDef, Relation, Tables}
 import graft.operators.Temporal
-import graft.streaming.IncrementalDenormalizer
+import graft.streaming.{BucketedParquetBackend, IncrementalDenormalizer}
 
 /** Changelog / CDC semantics over the `events` table, interpreted as a
   * keyed change stream: key = user_id, order = event_id (offset order),
@@ -159,6 +159,59 @@ object Cdc {
           get_json_object(col("doc_json"), "$.Record.o_orderkey").cast(LongType).as("o_orderkey"),
           get_json_object(col("doc_json"), "$.Children.customer[0].Record.c_name").as("c_name"))
         .orderBy("o_orderkey")
+    },
+
+    // Q-INCR-DURABLE: the same IVM replay through the DURABLE
+    // bucketed-parquet backend — the deployment shape — including an
+    // engine handoff mid-replay: a SECOND engine recovers the first
+    // one's state purely from the on-disk generations
+    // (BucketedParquetBackend.latest → loadStateTables, the restart
+    // path) before applying the tombstone batch. Same oracle as q_incr:
+    // durability and recovery must be invisible in the result.
+    "q_incr_durable" -> QueryDef(
+      "IVM through the durable bucketed-parquet backend, with a mid-replay recovery from disk",
+      """SELECT o_orderkey, c_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = t(spark, dir)("orders")
+      val c = t(spark, dir)("customer")
+      val tree = Relation.root("DenormalizedOrder", "orders",
+        Relation.child("customer", "c_custkey", "o_custkey"))
+      val stateRoot = "file://" +
+        java.nio.file.Files.createTempDirectory("graft_q_incr_durable")
+      def newEngine(b: BucketedParquetBackend) = new IncrementalDenormalizer(
+        spark, Seq(tree),
+        Map("orders" -> Seq("o_orderkey"), "customer" -> Seq("c_custkey")),
+        Map("orders" -> o.schema, "customer" -> c.schema), backend = b)
+      def changelog(df: org.apache.spark.sql.DataFrame, keyCol: String) = df.select(
+        col(keyCol).as("offset"),
+        struct(col(keyCol)).as("key"),
+        struct(df.columns.map(col): _*).as("value"))
+      val b1 = new BucketedParquetBackend(spark, stateRoot, buckets = 8)
+      val e1 = newEngine(b1)
+      (0 until 2).foreach { i =>
+        e1.processBatch(Map(
+          "orders" -> changelog(o.where(pmod(col("o_orderkey"), lit(2)) === i), "o_orderkey"),
+          "customer" -> changelog(c.where(pmod(col("c_custkey"), lit(2)) === i), "c_custkey")))
+      }
+      // handoff: recover from committed generations only, then delete
+      val b2 = new BucketedParquetBackend(spark, stateRoot, buckets = 8)
+      val e2 = newEngine(b2)
+      e2.loadStateTables(BucketedParquetBackend.latest(spark, stateRoot))
+      val tomb = o.where(col("o_orderkey") % 97 === 0).select(
+        col("o_orderkey").as("offset"),
+        struct(col("o_orderkey")).as("key"),
+        lit(null).cast(o.schema).as("value"))
+      e2.processBatch(Map("orders" -> tomb))
+      // materialize off the state tables, then drop the temp state root
+      val out = Ckpt.mem(e2.docs("DenormalizedOrder").where(!col("__deleted"))
+        .select(
+          get_json_object(col("doc_json"), "$.Record.o_orderkey").cast(LongType).as("o_orderkey"),
+          get_json_object(col("doc_json"), "$.Children.customer[0].Record.c_name").as("c_name"))
+        .orderBy("o_orderkey"))
+      b2.deleteAll(); b1.deleteAll()
+      out
     },
 
     // Sessionization: session_window with a 30-minute gap — the
