@@ -1,8 +1,8 @@
 package graft.streaming
 
-import java.io.File
-
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Operational state management for the incremental engine — the
   * Spark-native analogue of the reference's RocksDB backup/restore/
@@ -18,8 +18,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * the reference's restore modes (`backups.restore.mode` =
   * always / when_needed / never, RocksDBState.java:355-461) and rolls
   * back to the previous backup when the newest is corrupt
-  * (RocksDBState.java:639-708). On a cluster the same layout lands on
-  * S3/HDFS — parquet + rename is the cloud-native BackupEngine.
+  * (RocksDBState.java:639-708).
+  *
+  * All listing/pruning/deletion goes through the Hadoop FileSystem
+  * API, so a root may be a bare local path or any scheme-qualified
+  * URI the session can reach — file:///, hdfs://, s3a:// — the same
+  * reach as the reference's S3-aware backup URI
+  * (util/S3Helper.java, Southpaw.java backup.uri).
   */
 object StateOps {
 
@@ -45,12 +50,26 @@ object StateOps {
 
   private val backupPrefix = "backup_"
 
+  /** Hadoop conf of the live session when there is one (carries its
+    * fs.* credentials/settings); defaults otherwise. */
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf())
+
   /** Backup directories under `root`, oldest first (zero-padded millis
     * timestamps sort lexicographically = chronologically). */
-  def backups(root: String): Seq[File] =
-    Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(backupPrefix))
-      .sortBy(_.getName).toSeq
+  def backups(root: String): Seq[Path] = {
+    val r = new Path(root)
+    val f = fs(r)
+    if (!f.exists(r)) Nil
+    else f.listStatus(r).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(backupPrefix))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath)
+  }
 
   /** Persist every state table of a live engine into a NEW timestamped
     * backup under `root`, then prune to the newest `backupsToKeep`
@@ -58,15 +77,17 @@ object StateOps {
   def backup(engine: IncrementalDenormalizer, root: String,
       backupsToKeep: Int = 5): String = {
     require(backupsToKeep >= 1, "must keep at least one backup")
+    val r = new Path(root)
+    val f = fs(r)
     var ts = System.currentTimeMillis()
-    var dir = new File(root, f"$backupPrefix$ts%013d")
-    while (dir.exists()) { ts += 1; dir = new File(root, f"$backupPrefix$ts%013d") }
+    def dirFor(t: Long) = new Path(r, f"$backupPrefix$t%013d")
+    var dir = dirFor(ts)
+    while (f.exists(dir)) { ts += 1; dir = dirFor(ts) }
     engine.stateTables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(new File(dir, name).getAbsolutePath)
+      df.write.mode(SaveMode.Overwrite).parquet(new Path(dir, name).toString)
     }
-    backups(root).dropRight(backupsToKeep).foreach(deleteRecursively)
-    dir.getAbsolutePath
+    backups(root).dropRight(backupsToKeep).foreach(p => f.delete(p, true))
+    dir.toString
   }
 
   /** Load persisted state back into an engine according to `mode`,
@@ -88,9 +109,9 @@ object StateOps {
           // EXISTING but empty root (the normal first run — the caller
           // just created the directory) is "nothing backed up yet",
           // not a corrupt backup.
-          val flat = new File(root)
-          if (Option(flat.listFiles()).exists(_.exists(_.isDirectory)))
-            Seq(flat)
+          val r = new Path(root)
+          val f = fs(r)
+          if (f.exists(r) && f.listStatus(r).exists(_.isDirectory)) Seq(r)
           else Nil
         }
       }
@@ -103,7 +124,7 @@ object StateOps {
         val restored = candidates.view.map(dir => dir -> tryLoad(engine, dir))
           .collectFirst { case (dir, Some(tables)) =>
             engine.loadStateTables(tables)
-            dir.getAbsolutePath
+            dir.toString
           }
         Some(restored.getOrElse(throw new IllegalStateException(
           s"every backup under $root is unreadable — nothing to restore")))
@@ -118,31 +139,30 @@ object StateOps {
     * corrupt or truncated parquet fails here, triggering rollback to
     * the previous backup — RocksDBState.java:639-708 semantics). */
   private def tryLoad(engine: IncrementalDenormalizer,
-      dir: File): Option[Map[String, DataFrame]] =
+      dir: Path): Option[Map[String, DataFrame]] =
     try {
       val spark = engine.session
-      val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+      val tables = fs(dir).listStatus(dir).toSeq
         .filter(_.isDirectory)
         .map { d =>
-          val df = spark.read.parquet(d.getAbsolutePath)
+          val df = spark.read.parquet(d.getPath.toString)
           df.count() // force a full read — surfaces data corruption
-          d.getName -> df
+          d.getPath.getName -> df
         }.toMap
       if (tables.isEmpty) None else Some(tables)
     } catch {
       case e: Exception =>
         System.err.println(
-          s"[graft] backup ${dir.getAbsolutePath} unreadable (${e.getMessage}); rolling back")
+          s"[graft] backup $dir unreadable (${e.getMessage}); rolling back")
         None
     }
 
   /** Delete a persisted state root (the reference's --delete-state /
     * --delete-backup). */
-  def deleteState(root: String): Unit = deleteRecursively(new File(root))
-
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
+  def deleteState(root: String): Unit = {
+    val p = new Path(root)
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
   }
 
   /** Index-invariant check (the reference's --verify-state,

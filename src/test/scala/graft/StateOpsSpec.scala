@@ -75,6 +75,20 @@ class StateOpsSpec extends SparkSpec {
     assert(StateOps.RestoreMode.byName("when_needed") == RestoreMode.WhenNeeded)
   }
 
+  test("rotation and restore work through a scheme-qualified file:/// root") {
+    val root = "file://" + tmpRoot()
+    val engine = newEngine()
+    engine.processBatch(Map("item" -> changelog(Seq((1L, 1L, 10L)))))
+    (1 to 4).foreach(_ => StateOps.backup(engine, root, backupsToKeep = 2))
+    assert(StateOps.backups(root).size == 2)
+    val fresh = newEngine()
+    val from = StateOps.restore(fresh, root, RestoreMode.WhenNeeded)
+    assert(from.exists(_.startsWith("file:")))
+    assert(snapshotMap(fresh) == Map(1L -> 10L))
+    StateOps.deleteState(root)
+    assert(StateOps.backups(root).isEmpty)
+  }
+
   test("corrupt newest backup rolls back to the previous one, state intact") {
     val root = tmpRoot()
     val engine = newEngine()
