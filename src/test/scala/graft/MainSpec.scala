@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.StateOps
+
+/** The operator CLI end-to-end (reference Southpaw.java:490-553): every
+  * flag runs against a self-contained temp state root — build over a
+  * two-entity changelog, verify-state, restore, delete-state,
+  * delete-backup.
+  */
+class MainSpec extends SparkSpec {
+
+  private def write(dir: String, name: String, text: String): String = {
+    val p = Paths.get(dir, name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, text.getBytes("UTF-8"))
+    p.toString
+  }
+
+  // item(id, qty, owner_id) ⟕ owner(id, name)
+  private lazy val base: String = {
+    val dir = Files.createTempDirectory("graft-cli").toString
+    write(dir, "relations.json",
+      """[{"DenormalizedName":"DenormItem","Entity":"item","Children":[
+        |  {"Entity":"owner","JoinKey":"id","ParentKey":"owner_id"}]}]""".stripMargin)
+    write(dir, "topics/item.json",
+      """{"id":1}
+        |{"id":1,"qty":10,"owner_id":100}
+        |{"id":2}
+        |{"id":2,"qty":20,"owner_id":200}
+        |""".stripMargin)
+    write(dir, "topics/owner.json",
+      """{"id":100}
+        |{"id":100,"name":"ann"}
+        |{"id":200}
+        |{"id":200,"name":"bob"}
+        |""".stripMargin)
+    write(dir, "conf.json",
+      s"""{
+         |  "topicsDir": "$dir/topics",
+         |  "backupUri": "file://$dir/backups",
+         |  "backend": "bucketed",
+         |  "backendRoot": "file://$dir/state",
+         |  "buckets": 4,
+         |  "checkpointDir": "$dir/ckpt",
+         |  "sink": "parquet",
+         |  "sinkPath": "$dir/out"
+         |}""".stripMargin)
+    dir
+  }
+
+  private def cli(flags: String*): Main.Cli =
+    Main.parse((Seq("--config", s"$base/conf.json",
+      "--relations", s"$base/relations.json") ++ flags).toArray)
+
+  test("argument parsing: flags, multi-relations, unknown flag rejected") {
+    val c = Main.parse(Array("--config", "c.json", "--relations", "a.json,b.json",
+      "--build", "--verify-state"))
+    assert(c.config.contains("c.json") && c.relations == Seq("a.json", "b.json"))
+    assert(c.build && c.verifyState && !c.deleteState)
+    intercept[IllegalArgumentException](Main.parse(Array("--frobnicate")))
+    assert(Main.run(Main.Cli(help = true), spark) == 0)
+  }
+
+  test("--build consumes the changelog and writes denormalized docs + backups + durable state") {
+    assert(Main.run(cli("--build"), spark) == 0)
+    val docs = spark.read.parquet(s"$base/out/DenormItem")
+    assert(docs.count() == 2)
+    val joined = docs.collect().map(_.getAs[String]("doc_json")).mkString
+    assert(joined.contains("\"ann\"") && joined.contains("\"bob\""),
+      s"docs missing joined owner names: $joined")
+    assert(StateOps.backups(s"file://$base/backups").nonEmpty, "no backup written")
+    assert(Files.list(Paths.get(s"$base/state")).count() > 0, "no durable generations")
+  }
+
+  test("--verify-state exits 0 on consistent restored state") {
+    assert(Main.run(cli("--verify-state"), spark) == 0)
+  }
+
+  test("--restore restores from the newest backup") {
+    assert(Main.run(cli("--restore"), spark) == 0)
+  }
+
+  test("--delete-state / --delete-backup remove the roots") {
+    assert(Main.run(cli("--delete-state", "--delete-backup"), spark) == 0)
+    assert(!Files.exists(Paths.get(s"$base/state")))
+    assert(!Files.exists(Paths.get(s"$base/backups")))
+  }
+}
