@@ -154,36 +154,76 @@ object AvroConversions {
     else s
 }
 
+/** Writer-schema lookup by Confluent registry id — the shim the
+  * reference resolves through its schema registry client
+  * (serde/AvroSerde.java:45-85: the 4-byte id after the magic byte
+  * selects the writer schema the payload was encoded with, so one
+  * stream can carry records written under different schema versions).
+  * A live deployment implements this against the registry's REST API;
+  * [[SchemaResolver.InMemory]] is the offline/test fake. Instances are
+  * shipped to executors inside the decode expression — implementations
+  * must be Serializable and are expected to cache. */
+trait SchemaResolver extends Serializable {
+  /** Writer schema JSON for a registry id; throw on unknown ids. */
+  def schemaFor(id: Int): String
+}
+
+object SchemaResolver {
+  final case class InMemory(schemas: Map[Int, String]) extends SchemaResolver {
+    override def schemaFor(id: Int): String = schemas.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"schema id $id not in registry (have: ${schemas.keys.toSeq.sorted.mkString(",")})"))
+  }
+}
+
 /** Decode Confluent-framed Avro bytes into a struct of `schema`.
-  * Null or empty input → null (tombstone). */
+  * Null or empty input → null (tombstone).
+  *
+  * With a [[SchemaResolver]], the frame's 4-byte schema id picks the
+  * writer schema per record (readers are cached per id), so payloads
+  * written under different schema versions decode in one stream —
+  * the reference's registry behavior. Without one, all payloads are
+  * assumed written with `writerSchemaJson` and the id is ignored
+  * (what our own encoder produces). */
 case class AvroDecodeExpr(
     child: Expression,
     schema: StructType,
     writerSchemaJson: String,
-    confluentHeader: Boolean) extends UnaryExpression with CodegenFallback {
+    confluentHeader: Boolean,
+    resolver: Option[SchemaResolver] = None)
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = schema
   override def nullable: Boolean = true
 
-  @transient private lazy val writerSchema: Schema =
-    new Schema.Parser().parse(writerSchemaJson)
-  @transient private lazy val reader: GenericDatumReader[Any] =
-    new GenericDatumReader[Any](writerSchema)
+  @transient private lazy val defaultReader: GenericDatumReader[Any] =
+    new GenericDatumReader[Any](new Schema.Parser().parse(writerSchemaJson))
+  @transient private lazy val readersById =
+    new java.util.concurrent.ConcurrentHashMap[Int, GenericDatumReader[Any]]()
+
+  private def readerFor(id: Int): GenericDatumReader[Any] = resolver match {
+    case None => defaultReader
+    case Some(r) => readersById.computeIfAbsent(id,
+      i => new GenericDatumReader[Any](new Schema.Parser().parse(r.schemaFor(i))))
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
     if (bytes.isEmpty) return null // tombstone
     var off = 0
     var len = bytes.length
+    var schemaId = 0
     if (confluentHeader) {
       require(len >= 5 && bytes(0) == 0,
         s"not Confluent-framed Avro: len=$len magic=${if (len > 0) bytes(0) else -1}")
+      schemaId = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
       off = 5; len -= 5
     }
     // A fresh decoder per call: Expression instances are shared across
     // tasks in local mode, so no mutable per-instance buffer reuse.
     val decoder = DecoderFactory.get().binaryDecoder(bytes, off, len, null)
-    AvroConversions.toCatalyst(reader.read(null, decoder), schema)
+    AvroConversions.toCatalyst(readerFor(schemaId).read(null, decoder), schema)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -91,6 +91,29 @@ object Serdes {
     override def encode(value: Column): Column = AvroCodec.encode(value)
   }
 
+  /** Registry-aware Avro codec: each record's writer schema comes from
+    * its Confluent 5-byte header id via the [[SchemaResolver]], so one
+    * stream decodes records written under different schema versions —
+    * the reference's production path (serde/AvroSerde.java:45-85). */
+  def avro(resolver: SchemaResolver): RecordCodec = new RecordCodec {
+    override def decode(raw: Column, schema: StructType): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        AvroDecodeExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(raw.cast("binary")),
+          schema,
+          AvroConversions.toAvroSchema(schema, "Record").toString,
+          confluentHeader = true, resolver = Some(resolver)))
+    override def encode(value: Column): Column = AvroCodec.encode(value)
+  }
+
+  /** Encode with an explicit registry schema id stamped into the
+    * Confluent header (the id [[avro(resolver*]] reads back). */
+  def avroEncode(value: Column, schemaId: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      AvroEncodeExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(value),
+        schemaId = schemaId, confluentHeader = true))
+
   private val registry: Map[String, RecordCodec] = Map(
     "json" -> JsonCodec,
     "json-schemaless" -> SchemalessJsonCodec,

@@ -56,9 +56,32 @@ object StreamRunner {
     def parquet(root: String): DocSink = (name, docs) =>
       docs.select(hex(col("__pk")).as("pk"), col("doc_json"), col("__deleted"))
         .write.mode("append").parquet(s"$root/$name")
-    /** Kafka producer sink (drop-in; requires the Kafka connector):
-      * docs.selectExpr("__pk AS key", "doc_json AS value")
-      *   .write.format("kafka").option(...).save() */
+
+    /** One tree's changed docs in the Kafka producer record shape
+      * `(key binary, value binary, topic string)` — the reference's
+      * output-topic write (topic/KafkaTopic.java:425-434): key = the
+      * document's canonical-PK bytes (the very bytes the engine keys
+      * state by, so keyed compaction of the output topic groups
+      * correctly), value = the doc JSON in bytes (the reference's
+      * jackson output serde, H5) — NULL for a tombstoned doc, Kafka's
+      * native delete marker. For Avro-valued output topics swap the
+      * value column for `Serdes.byName("avro").encode(...)`. */
+    def kafkaFrame(name: String, docs: DataFrame, topicPrefix: String = ""): DataFrame =
+      docs.select(
+        col("__pk").as("key"),
+        when(col("__deleted"), lit(null).cast(BinaryType))
+          .otherwise(col("doc_json").cast(BinaryType)).as("value"),
+        lit(topicPrefix + name).as("topic"))
+
+    /** Kafka producer sink. The frame side is unit-tested
+      * (KafkaWiringSpec round-trips it through [[kafkaToChangelog]]);
+      * the final `.save()` needs the spark-sql-kafka connector jar,
+      * absent in this offline environment. */
+    def kafka(servers: String, topicPrefix: String = ""): DocSink = (name, docs) =>
+      kafkaFrame(name, docs, topicPrefix)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .save()
   }
 
   /** Unified changelog schema for streaming sources. */
@@ -100,8 +123,21 @@ object StreamRunner {
       raw: DataFrame,
       topicPrefix: String,
       keySchemas: Map[String, StructType],
-      valueSchemas: Map[String, StructType]): DataFrame = {
-    val codec = graft.sources.Serdes.byName("avro")
+      valueSchemas: Map[String, StructType]): DataFrame =
+    kafkaAvroToChangelog(raw, topicPrefix, keySchemas, valueSchemas,
+      graft.sources.Serdes.byName("avro"))
+
+  /** Registry-aware variant: payloads decode against the writer schema
+    * their Confluent header id names (pass
+    * `Serdes.avro(resolver: SchemaResolver)`), so topics carrying
+    * records written under several schema versions decode in one
+    * stream — the reference's registry path (serde/AvroSerde.java:45-85). */
+  def kafkaAvroToChangelog(
+      raw: DataFrame,
+      topicPrefix: String,
+      keySchemas: Map[String, StructType],
+      valueSchemas: Map[String, StructType],
+      codec: graft.sources.Serdes.RecordCodec): DataFrame = {
     val entity = expr(s"substring(topic, ${topicPrefix.length + 1})")
     def decodeBy(schemas: Map[String, StructType], c: Column): Column =
       schemas.foldLeft(lit(null).cast(StringType)) { case (acc, (e, schema)) =>
@@ -136,7 +172,8 @@ object StreamRunner {
       onBatch: (IncrementalDenormalizer, Long) => Unit = (_, _) => (),
       stateRoot: Option[String] = None,
       backupEvery: Int = 1,
-      backend: StateBackend = StateBackend.Memory)
+      backend: StateBackend = StateBackend.Memory,
+      trigger: Trigger = Trigger.AvailableNow())
       : (IncrementalDenormalizer, StreamingQuery) = {
     val engine = new IncrementalDenormalizer(
       spark, trees, keyFields, valueSchemas, filter, strategy,
@@ -187,7 +224,7 @@ object StreamRunner {
           }
         } finally cached.unpersist()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
     val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
     (engine, q)
   }

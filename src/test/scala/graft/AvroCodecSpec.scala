@@ -108,6 +108,59 @@ class AvroCodecSpec extends SparkSpec {
     assert(got.isNullAt(got.fieldIndex("b"))) // declared but never written
   }
 
+  test("schema registry shim: two writer-schema ids decode in one stream") {
+    import graft.sources.SchemaResolver
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val v2 = v1.add(StructField("note", StringType))
+    // records written under two registry versions, ids stamped into the
+    // Confluent header by the encoder
+    val a = Seq((1L, 10L)).toDF("id", "qty")
+      .select(Serdes.avroEncode(struct(col("id"), col("qty")), 1).as("bytes"))
+    val b = Seq((2L, 20L, "hi")).toDF("id", "qty", "note")
+      .select(Serdes.avroEncode(struct(col("id"), col("qty"), col("note")), 2).as("bytes"))
+    val resolver = SchemaResolver.InMemory(Map(
+      1 -> AvroConversions.toAvroSchema(v1, "Record").toString,
+      2 -> AvroConversions.toAvroSchema(v2, "Record").toString))
+    val got = a.unionByName(b)
+      .select(Serdes.avro(resolver).decode(col("bytes"), v2).as("r"))
+      .select(col("r.*")).orderBy("id").collect()
+    assert(got(0).getAs[Long]("qty") == 10L)
+    assert(got(0).isNullAt(got(0).fieldIndex("note"))) // v1 record: evolved field null
+    assert(got(1).getAs[Long]("qty") == 20L)
+    assert(got(1).getAs[String]("note") == "hi")
+    // an id the registry doesn't know must fail loudly, not misdecode
+    val unknown = Seq((3L, 30L)).toDF("id", "qty")
+      .select(Serdes.avroEncode(struct(col("id"), col("qty")), 3).as("bytes"))
+    val err = intercept[Exception] {
+      unknown.select(Serdes.avro(resolver).decode(col("bytes"), v2).as("r")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("registry-aware kafka mapping decodes mixed-version topics") {
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val v2 = v1.add(StructField("note", StringType))
+    val keySchema = StructType(Seq(StructField("id", LongType)))
+    // registry ids are global: the key schema has its own id (3), the
+    // two value-schema versions have theirs (1, 2)
+    val resolver = graft.sources.SchemaResolver.InMemory(Map(
+      1 -> AvroConversions.toAvroSchema(v1, "Record").toString,
+      2 -> AvroConversions.toAvroSchema(v2, "Record").toString,
+      3 -> AvroConversions.toAvroSchema(keySchema, "Record").toString))
+    val raw = Seq((1L, 10L, 1), (2L, 20L, 2)).toDF("id", "qty", "ver")
+      .select(
+        Serdes.avroEncode(struct(col("id")), 3).as("key"),
+        when(col("ver") === 1, Serdes.avroEncode(struct(col("id"), col("qty")), 1))
+          .otherwise(Serdes.avroEncode(
+            struct(col("id"), col("qty"), lit("x").as("note")), 2)).as("value"),
+        lit("pfx.item").as("topic"), lit(0).as("partition"), col("id").as("offset"))
+    val got = graft.streaming.StreamRunner.kafkaAvroToChangelog(
+      raw, "pfx.", Map("item" -> keySchema), Map("item" -> v2),
+      Serdes.avro(resolver)).orderBy("offset").collect()
+    assert(got(0).getAs[String]("value_json") == """{"id":1,"qty":10}""")
+    assert(got(1).getAs[String]("value_json") == """{"id":2,"qty":20,"note":"x"}""")
+  }
+
   test("map keys and strings normalize from Avro Utf8 to plain strings") {
     // Decode straight through the generic-datum layer: Avro hands back
     // Utf8 for strings and Utf8-keyed maps — both must surface as

@@ -64,6 +64,36 @@ class KafkaWiringSpec extends SparkSpec {
     assert(changelog(2).isNullAt(changelog(2).fieldIndex("value_json")))
   }
 
+  test("kafka doc-sink frame round-trips through the changelog mapping") {
+    import graft.functions.CanonicalKey
+    val docs = Seq(
+      (CanonicalKey.encodeValue(1L), """{"Record":{"id":1,"qty":10}}""", false),
+      (CanonicalKey.encodeValue(2L), null.asInstanceOf[String], true)) // tombstone
+      .toDF("__pk", "doc_json", "__deleted")
+    val frame = StreamRunner.DocSinks.kafkaFrame("DenormItem", docs, "docs.")
+    assert(frame.schema.map(f => f.name -> f.dataType.typeName) ==
+      Seq("key" -> "binary", "value" -> "binary", "topic" -> "string"))
+    val rows = frame.orderBy(hex(col("key"))).collect()
+    // key = the document's canonical-PK bytes, verbatim
+    assert(rows(0).getAs[Array[Byte]]("key").toSeq == CanonicalKey.encodeValue(1L).toSeq)
+    assert(rows(0).getAs[String]("topic") == "docs.DenormItem")
+    assert(new String(rows(0).getAs[Array[Byte]]("value"), "UTF-8") ==
+      """{"Record":{"id":1,"qty":10}}""")
+    // tombstoned doc = null value, Kafka's delete marker
+    assert(rows(1).isNullAt(rows(1).fieldIndex("value")))
+
+    // broker echo: the producer frame re-read through the consumer
+    // mapping gives back the same documents
+    val echoed = frame
+      .withColumn("partition", lit(0))
+      .withColumn("offset", when(col("value").isNull, 2L).otherwise(1L))
+    val back = StreamRunner.kafkaToChangelog(echoed, "docs.")
+      .orderBy("offset").collect()
+    assert(back.map(_.getAs[String]("entity")).toSeq == Seq("DenormItem", "DenormItem"))
+    assert(back(0).getAs[String]("value_json") == """{"Record":{"id":1,"qty":10}}""")
+    assert(back(1).isNullAt(back(1).fieldIndex("value_json")))
+  }
+
   test("checkpointed restart with a state root resumes consistently") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
@@ -144,6 +174,6 @@ class KafkaWiringSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("qty")).toMap
     assert(live == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
     StateOps.deleteState(ckpt)
-    StateOps.deleteState(new java.net.URI(backendRoot).getPath)
+    StateOps.deleteState(backendRoot)
   }
 }

@@ -65,4 +65,51 @@ class StreamingSpec extends SparkSpec {
       assert(normalizeJson(j) == normalizeJson(batch(k)), s"doc $k diverged")
     }
   }
+
+  test("metrics listener reports engine counters under reference names after a 2-batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tree = Relation.root("DenormItem", "item")
+    val itemSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.LongType)))
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(itemSchema("id")))
+
+    val stream = MemoryStream[(String, Long, String, String)]
+    stream.addData(Seq(
+      ("item", 1L, """{"id":1}""", """{"id":1,"qty":10}"""),
+      ("item", 2L, """{"id":2}""", """{"id":2,"qty":20}""")))
+
+    // a continuous trigger so the second chunk lands in a SECOND
+    // micro-batch (AvailableNow would drain both ordinals in one)
+    val (engine, query) = graft.streaming.StreamRunner.start(
+      spark, stream.toDF().toDF("entity", "offset", "key_json", "value_json"),
+      Seq(tree), Map("item" -> Seq("id")),
+      Map("item" -> keySchema), Map("item" -> itemSchema),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    val listener = new graft.streaming.EngineMetricsListener(engine)
+    spark.streams.addListener(listener)
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    try {
+      waitFor("batch 1")(engine.counters("batches") == 1L)
+      stream.addData(Seq(("item", 3L, """{"id":1}""", null))) // batch 2: tombstone
+      waitFor("batch 2")(engine.counters("batches") == 2L)
+      // listener-bus delivery is async relative to batch completion
+      waitFor("progress event")(
+        listener.reported.getOrElse("graft.batches.processed", 0L) == 2L)
+      assert(listener.reported("graft.records.consumed") == 3L)
+      assert(listener.reported("graft.denormalized.records.created") >= 2L)
+      assert(listener.reported("graft.denormalized.records.tombstoned") == 1L)
+      // the Dropwizard gauges read the same live counters
+      assert(listener.registry.getGauges.get("graft.records.consumed")
+        .getValue.asInstanceOf[Long] == 3L)
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
