@@ -625,6 +625,14 @@ object Text {
     // mapPartitions; frame count/stride derive deterministically from
     // payload length (the stub decoder's convention), so at 100 TB
     // this is a map-only pass whose output is bounded by Σ n_frames.
+    //
+    // BYTE semantics throughout, matching a real binary payload: n is
+    // octet_length (not characters), frames slice the UTF-8 BYTES, and
+    // the fingerprint is md5 over the slice's uppercase hex — the one
+    // frame encoding Spark (hex of binary substring) and DuckDB
+    // (substring of to_hex(encode(...))) both compute byte-exactly, so
+    // multi-byte characters cannot skew frame boundaries (planted
+    // non-ASCII parity in PipelineOpsSpec).
     "q_frames" -> QueryDef(
       "deterministic frame sampling: one row per sampled payload frame",
       """WITH f AS (SELECT doc_id, text,
@@ -635,20 +643,22 @@ object Text {
         |  FROM f)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(frame_idx * stride AS BIGINT) AS byte_off,
-        |  md5(substr(text, CAST(frame_idx * stride + 1 AS BIGINT), CAST(stride AS BIGINT))) AS frame_md5
+        |  md5(substring(to_hex(encode(text)),
+        |      CAST(frame_idx * stride * 2 + 1 AS BIGINT),
+        |      CAST(stride * 2 AS BIGINT))) AS frame_md5
         |FROM x WHERE stride > 0
         |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
       docs(spark, dir)
         .select(col("doc_id"), col("text"),
-          length(col("text")).cast(LongType).as("n"),
-          (length(col("text")).cast(LongType) % 7 + 1).as("nf"))
+          octet_length(col("text")).cast(LongType).as("n"),
+          (octet_length(col("text")).cast(LongType) % 7 + 1).as("nf"))
         .withColumn("stride", expr("n div nf"))
         .where(col("stride") > 0)
         .select(col("doc_id"), col("text"), col("stride"),
           explode(sequence(lit(0L), col("nf") - 1)).as("frame_idx"))
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * col("stride")).as("byte_off"),
-          md5(expr("cast(substring(text, cast(frame_idx * stride + 1 as int), cast(stride as int)) as binary)")).as("frame_md5"))
+          md5(expr("cast(hex(substring(cast(text as binary), cast(frame_idx * stride + 1 as int), cast(stride as int))) as binary)")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     },
 

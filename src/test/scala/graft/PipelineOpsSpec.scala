@@ -253,4 +253,30 @@ class PipelineOpsSpec extends SparkSpec {
     val kept = rows.length.toDouble / nRaw
     assert(kept > 0.6 && kept < 0.95, s"train fraction $kept")
   }
+
+  test("q_frames samples byte-exact frames on non-ASCII payloads (planted)") {
+    // multi-byte characters must not skew frame boundaries: n is the
+    // UTF-8 BYTE length and frames slice bytes, so char-based length
+    // would produce different nf/stride AND different content hashes
+    val text = "héllo wörld — ∑∆ bytes ünicode payload"
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length > text.length, "planted text must be non-ASCII")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-frames").toString
+    Seq((1L, text)).toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q_frames")(spark, tmp).collect()
+    val n = bytes.length
+    val nf = (n % 7) + 1
+    val stride = n / nf
+    assert(got.length == nf, s"expected $nf frames, got ${got.length}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("frame_idx") == i.toLong)
+      assert(r.getAs[Long]("byte_off") == i.toLong * stride)
+      val hexUpper = bytes.slice(i * stride, i * stride + stride)
+        .map(b => f"${b & 0xff}%02X").mkString
+      val expected = md.digest(hexUpper.getBytes("US-ASCII"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(r.getAs[String]("frame_md5") == expected, s"frame $i fingerprint diverged")
+    }
+  }
 }
