@@ -160,8 +160,12 @@ class ChangelogScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangelogReaderFactory(required)
 
+  /** Pushed offset bounds carry into the streaming face too: a
+    * catch-up stream over `offset >= k` starts its offset ledger at k
+    * instead of replaying the head, and an upper bound caps
+    * latestOffset — the startingOffsets/endingOffsets analogue. */
   override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
-    new ChangelogMicroBatchStream(path, required, splits)
+    new ChangelogMicroBatchStream(path, required, splits, minPair, maxPairExcl)
 }
 
 /** Record-index offset for the streaming face of the changelog: the
@@ -180,7 +184,12 @@ case class ChangelogOffset(pairs: Long)
   * consumed pair count — a restart resumes mid-log, and records
   * appended between runs arrive in the next batch (verified in
   * ChangelogSourceSpec by appending to the log across restarts). */
-class ChangelogMicroBatchStream(path: String, required: StructType, splits: Int)
+class ChangelogMicroBatchStream(
+    path: String,
+    required: StructType,
+    splits: Int,
+    minPair: Long = 0L,
+    maxPairExcl: Long = Long.MaxValue)
     extends sstreaming.MicroBatchStream {
 
   private def countPairs(): Long = {
@@ -188,8 +197,10 @@ class ChangelogMicroBatchStream(path: String, required: StructType, splits: Int)
     try (lines.count() + 1) / 2 finally lines.close()
   }
 
-  override def initialOffset(): sstreaming.Offset = ChangelogOffset(0L)
-  override def latestOffset(): sstreaming.Offset = ChangelogOffset(countPairs())
+  override def initialOffset(): sstreaming.Offset =
+    ChangelogOffset(math.max(0L, minPair))
+  override def latestOffset(): sstreaming.Offset =
+    ChangelogOffset(math.max(math.min(countPairs(), maxPairExcl), math.max(0L, minPair)))
   override def deserializeOffset(json: String): sstreaming.Offset =
     ChangelogOffset(json.trim.toLong)
   override def commit(end: sstreaming.Offset): Unit = ()
@@ -249,15 +260,19 @@ class ChangelogPartitionReader(
   private val keyParser = parserFor(keyIdx)
   private val valueParser = parserFor(valueIdx)
 
-  private val lines: Seq[String] = {
-    val all = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(part.path)).asScala
-    val from = (part.startPair * 2).toInt
-    val until = math.min(part.endPair * 2, all.size.toLong).toInt
-    all.slice(from, until).toSeq
+  // Streamed slice read: the reader skips to its start pair and pulls
+  // line pairs on demand — the partition never buffers the whole log
+  // (a 100 TB log slice must stream), and every position is a Long
+  // (the previous toInt slicing silently truncated past ~2^31 lines).
+  private val reader: java.io.BufferedReader =
+    java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(part.path))
+  locally {
+    var skipped = 0L
+    val toSkip = part.startPair * 2
+    while (skipped < toSkip && reader.readLine() != null) skipped += 1
   }
   private var pair = 0L
-  private val nPairs = (lines.size + 1) / 2
+  private val nPairs = part.endPair - part.startPair
 
   private var current: InternalRow = _
 
@@ -267,8 +282,9 @@ class ChangelogPartitionReader(
 
   override def next(): Boolean = {
     if (pair >= nPairs) return false
-    val k = lines((pair * 2).toInt)
-    val v = if (pair * 2 + 1 < lines.size) lines((pair * 2 + 1).toInt) else ""
+    val k = reader.readLine()
+    if (k == null) return false // planned range past EOF (truncated log)
+    val v = Option(reader.readLine()).getOrElse("")
     val row = new GenericInternalRow(required.length)
     offsetIdx.foreach(i => row.update(i, part.startPair + pair))
     keyParser.foreach(p => row.update(keyIdx.get, parse(p, k)))
@@ -281,5 +297,5 @@ class ChangelogPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = reader.close()
 }

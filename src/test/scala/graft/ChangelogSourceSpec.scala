@@ -85,6 +85,28 @@ class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).toSeq == Seq(5L, math.min(all, 8L) - 1))
   }
 
+  test("pushed offset bounds carry into the micro-batch stream (catch-up semantics)") {
+    import graft.sources.v2.{ChangelogOffset, ChangelogScan, ChangelogInputPartition}
+    val schema = graft.sources.v2.ChangelogTable.tableSchema(
+      ReferenceFixtures.keySchema(entity), ReferenceFixtures.valueSchemas(entity))
+    val total = readV2(splits = 1).count()
+    assert(total > 8, s"fixture too small for this test: $total")
+    // a scan carrying pushed bounds [5, 8) hands them to its stream:
+    // the offset ledger starts at 5 (no head replay) and tops out at 8
+    val stream = new ChangelogScan(path, schema, splits = 4,
+      minPair = 5L, maxPairExcl = 8L).toMicroBatchStream("unused")
+    assert(stream.initialOffset() == ChangelogOffset(5L))
+    assert(stream.latestOffset() == ChangelogOffset(8L))
+    val parts = stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
+      .map(_.asInstanceOf[ChangelogInputPartition])
+    assert(parts.forall(p => p.startPair >= 5L && p.endPair <= 8L))
+    assert(parts.map(p => p.endPair - p.startPair).sum == 3L)
+    // an unbounded scan still starts at the head
+    val unbounded = new ChangelogScan(path, schema, splits = 4).toMicroBatchStream("unused")
+    assert(unbounded.initialOffset() == ChangelogOffset(0L))
+    assert(unbounded.latestOffset() == ChangelogOffset(total))
+  }
+
   test("connector streams drive the IVM engine to golden parity") {
     import graft.core.Relation
     import graft.streaming.StreamRunner
