@@ -249,7 +249,14 @@ final class IncrementalDenormalizer(
   /** Replace state tables from a backup or a durable state root (names
     * as in [[stateTables]]); missing tables keep their current (usually
     * empty) content. Loaded tables re-persist through the configured
-    * backend, so a durable engine's restored state is durable too. */
+    * backend, so a durable engine's restored state is durable too.
+    *
+    * Deferred-priority rows (pending_med/pending_low) restore with the
+    * rest, so no queued rebuild is ever lost across a restart; only the
+    * DRAIN CADENCE restarts (batchIndex resets to 0), meaning a
+    * `lowDrainEvery`-batch engine may drain its LOW backlog up to N-1
+    * batches later than an uninterrupted run — the same steady-state
+    * lag bound as before the restart. */
   def loadStateTables(tables: Map[String, DataFrame]): Unit = {
     def load(name: String, old: DataFrame): DataFrame =
       tables.get(name).map(df => backend.persist(name, df)).getOrElse(old)
