@@ -23,11 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default on hosts with >=48 GiB (the 128 GiB bench host): the 8g
+// default left the 32-thread shuffles + memory-only checkpoints
+// GC-bound (measured ~6% off the full sf0.1 bench). Smaller hosts get
+// ~half their RAM so the forked JVM never overcommits the machine.
+// SPARK_DRIVER_MEM always overrides.
+val defaultHeap: String = {
+  val memTotalKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal:"))
+      .map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  val totalGb = memTotalKb / (1024 * 1024)
+  if (totalGb >= 48 || totalGb == 0) "24g"
+  else s"${math.max(2L, totalGb / 2)}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default on the 128 GiB bench host: the 8g default left the
-  // 32-thread shuffles + memory-only checkpoints GC-bound (measured
-  // ~6% off the full sf0.1 bench). SPARK_DRIVER_MEM still overrides.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

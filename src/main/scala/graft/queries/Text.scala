@@ -662,6 +662,57 @@ object Text {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Exact repeated-substring detection with CONTENT-DEFINED anchors —
+    // the shuffle-friendly re-expression of suffix-array substring
+    // dedup (Lee et al., "Deduplicating Training Data Makes Language
+    // Models Better"): a 40-char window starts wherever the 8-gram at
+    // that position hashes to anchor class 0 (~1/8 of positions).
+    // Because the anchor decision depends only on CONTENT, two copies
+    // of a repeated span pick the SAME windows regardless of their
+    // byte alignment — the rolling-anchor trick fixed-stride sampling
+    // gets wrong (stride-S windows only line up when the copies agree
+    // mod S). Everything up to the aggregation is map-side: positions
+    // explode, ~7/8 die on the anchor filter BEFORE any shuffle, the
+    // surviving windows ship as fixed-width md5 keys (never the text),
+    // and the two-level keyed aggregation (span×doc, then span) is
+    // partial-agg-combinable. At 100 TB: ~bytes/8 fixed-width rows
+    // into one hash aggregation — no global sort, no suffix array.
+    "q_span_dedup" -> QueryDef(
+      "exact repeated substrings across docs via content-defined anchor windows",
+      """WITH pos AS (
+        |  SELECT doc_id, text, CAST(t.s AS BIGINT) AS p
+        |  FROM documents, unnest(range(0, length(text) - 40 + 1)) AS t(s)
+        |  WHERE length(text) >= 40
+        |),
+        |anch AS (
+        |  SELECT doc_id, md5(substring(text, p + 1, 40)) AS span_md5
+        |  FROM pos
+        |  WHERE ('0x' || substr(md5(substring(text, p + 1, 8)), 1, 15))::BIGINT % 8 = 0
+        |),
+        |d AS (SELECT span_md5, doc_id, count(*) AS occ FROM anch GROUP BY 1, 2)
+        |SELECT span_md5,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(occ) AS BIGINT) AS n_occurrences,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        |FROM d GROUP BY span_md5 HAVING count(*) >= 2
+        |ORDER BY span_md5""".stripMargin) { (spark, dir) =>
+      val W = 40
+      val spans = docs(spark, dir)
+        .where(length(col("text")) >= W)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - W)).as("p"))
+        .where(TextAnalysis.hashBucket(
+          expr("substring(text, p + 1, 8)"), 8) === 0)
+        .select(col("doc_id"),
+          md5(expr(s"cast(substring(text, p + 1, $W) as binary)")).as("span_md5"))
+      spans.groupBy("span_md5", "doc_id").agg(count(lit(1)).as("occ"))
+        .groupBy("span_md5")
+        .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
+          min(col("doc_id")).as("min_doc_id"))
+        .where(col("n_docs") >= 2)
+        .orderBy("span_md5")
+    },
+
     // Reproducible stratified train/eval split: the bucket is a pure
     // function of the record key (md5-derived), so the split is stable
     // across engines, runs, and cluster layouts — the standard way to

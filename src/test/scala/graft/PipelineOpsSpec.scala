@@ -254,6 +254,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept > 0.6 && kept < 0.95, s"train fraction $kept")
   }
 
+  test("span dedup: content-defined anchors catch repeats at different alignments") {
+    // the same 120-char span planted at DIFFERENT offsets in two docs:
+    // fixed-stride windows would only line up if the offsets agreed
+    // mod stride; content-defined anchors must catch it regardless
+    val shared = "this exact shared passage is deliberately long enough to contain " +
+      "several content-defined anchor positions within its body"
+    assert(shared.length >= 120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span").toString
+    Seq(
+      (1L, "short head " + shared + " tail one"),
+      (2L, "a much longer and differently sized preamble precedes " + shared + " here"),
+      (3L, "entirely unrelated filler content that repeats nothing from the others at all"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q_span_dedup")(spark, tmp).collect()
+    assert(got.nonEmpty, "planted cross-alignment repeat not detected")
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2L)
+      assert(r.getAs[Long]("min_doc_id") == 1L)
+    }
+  }
+
   test("q_frames samples byte-exact frames on non-ASCII payloads (planted)") {
     // multi-byte characters must not skew frame boundaries: n is the
     // UTF-8 BYTE length and frames slice bytes, so char-based length
