@@ -1,13 +1,26 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Filters.{FilterMode, RecordFilter}
 import graft.streaming.StateOps
+
+/** A no-arg filter hook loadable through the CLI's `filterClass`
+  * config (the reference's filter.class): drops items with qty 13. */
+class CliTestFilter extends RecordFilter {
+  override def filter(entity: String, record: Row, old: Option[Row]): FilterMode =
+    if (entity == "item" && record.getAs[Any]("qty") == 13L) FilterMode.Delete
+    else FilterMode.Update
+}
 
 /** The operator CLI end-to-end (reference Southpaw.java:490-553): every
   * flag runs against a self-contained temp state root — build over a
   * two-entity changelog, verify-state, restore, delete-state,
-  * delete-backup.
+  * delete-backup — plus a checkpointed re-build over an appended log
+  * (the restart workflow) and a config-loaded filter hook.
   */
 class MainSpec extends SparkSpec {
 
@@ -72,6 +85,60 @@ class MainSpec extends SparkSpec {
       s"docs missing joined owner names: $joined")
     assert(StateOps.backups(s"file://$base/backups").nonEmpty, "no backup written")
     assert(Files.list(Paths.get(s"$base/state")).count() > 0, "no durable generations")
+  }
+
+  test("--build again after a log append resumes from the checkpoint (operator restart)") {
+    // two new changelog records: an update for item 1 and a new item 3
+    Files.write(Paths.get(s"$base/topics/item.json"),
+      """{"id":1}
+        |{"id":1,"qty":11,"owner_id":200}
+        |{"id":3}
+        |{"id":3,"qty":30,"owner_id":100}
+        |""".stripMargin.getBytes("UTF-8"), StandardOpenOption.APPEND)
+    assert(Main.run(cli("--build"), spark) == 0)
+    // the sink appends per batch: the SECOND build must emit exactly
+    // the two changed docs (offsets before the checkpoint are skipped,
+    // state was restored, so doc 2 is untouched)
+    val docs = spark.read.parquet(s"$base/out/DenormItem")
+    assert(docs.count() == 4, "restart re-emitted already-committed documents")
+    val latest = docs.collect().map(_.getAs[String]("doc_json")).mkString
+    assert(latest.contains("\"qty\":11") && latest.contains("\"qty\":30"))
+    // item 1 now joins owner 200 ("bob")
+    val doc1 = docs.where(col("doc_json").contains("\"qty\":11"))
+      .collect().head.getAs[String]("doc_json")
+    assert(doc1.contains("\"bob\""), s"FK flip not applied on restart: $doc1")
+  }
+
+  test("--build honors a config-loaded filter hook (filterClass)") {
+    val dir = Files.createTempDirectory("graft-cli-filter").toString
+    write(dir, "relations.json",
+      """[{"DenormalizedName":"DenormItem","Entity":"item","Children":[
+        |  {"Entity":"owner","JoinKey":"id","ParentKey":"owner_id"}]}]""".stripMargin)
+    write(dir, "topics/item.json",
+      """{"id":1}
+        |{"id":1,"qty":10,"owner_id":100}
+        |{"id":2}
+        |{"id":2,"qty":13,"owner_id":100}
+        |""".stripMargin)
+    write(dir, "topics/owner.json",
+      """{"id":100}
+        |{"id":100,"name":"ann"}
+        |""".stripMargin)
+    write(dir, "conf.json",
+      s"""{
+         |  "topicsDir": "$dir/topics",
+         |  "checkpointDir": "$dir/ckpt",
+         |  "sink": "parquet",
+         |  "sinkPath": "$dir/out",
+         |  "filterClass": "graft.CliTestFilter"
+         |}""".stripMargin)
+    val c = Main.parse(Array("--config", s"$dir/conf.json",
+      "--relations", s"$dir/relations.json", "--build"))
+    assert(Main.run(c, spark) == 0)
+    val docs = spark.read.parquet(s"$dir/out/DenormItem")
+    val live = docs.where(!col("__deleted")).collect().map(_.getAs[String]("doc_json"))
+    assert(live.length == 1 && live.head.contains("\"qty\":10"),
+      s"filter hook not applied: ${live.mkString(";")}")
   }
 
   test("--verify-state exits 0 on consistent restored state") {
