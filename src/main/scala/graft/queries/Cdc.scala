@@ -188,6 +188,9 @@ object Cdc {
         col(keyCol).as("offset"),
         struct(col(keyCol)).as("key"),
         struct(df.columns.map(col): _*).as("value"))
+      // buckets=8 measured best at sf0.1 (11.0s vs 11.8s @4, 12.8s @16:
+      // fewer buckets under-parallelize the state writes, more buckets
+      // pay per-file/task overhead at this state size)
       val b1 = new BucketedParquetBackend(spark, stateRoot, buckets = 8)
       val e1 = newEngine(b1)
       (0 until 2).foreach { i =>
