@@ -197,6 +197,19 @@ object StreamRunner {
     }
     stateRoot.foreach(r =>
       StateOps.restore(engine, r, StateOps.RestoreMode.WhenNeeded))
+    // The dangerous restart shape deserves a loud warning, not a
+    // silent wrong answer: a checkpoint with committed batches skips
+    // those offsets on restart, so resuming it over purely in-memory
+    // state (no durable backend, no backups) loses their effects.
+    for (d <- checkpointDir if !backend.durable && stateRoot.isEmpty) {
+      val commits = new org.apache.hadoop.fs.Path(d, "commits")
+      val fs = commits.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(commits) && fs.listStatus(commits).nonEmpty)
+        System.err.println(
+          "[graft] WARNING: resuming a committed checkpoint over in-memory " +
+            "engine state — the skipped offsets' state is gone. Use a durable " +
+            "backend or a stateRoot, or start from a fresh checkpoint dir.")
+    }
     val entities = trees.flatMap(_.entities).distinct
     val writer = changelog.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
