@@ -145,6 +145,24 @@ class DurableStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recovered bucketed state table re-shuffled on its own key:\n$plan")
   }
 
+  test("recovery skips uncommitted generations (_SUCCESS gating)") {
+    // a write that died mid-flight leaves data files but no _SUCCESS;
+    // recovery must land on the last COMMITTED generation, not the wreck
+    val spark = SparkSpec.session
+    val before = graft.streaming.BucketedParquetBackend.latest(spark, stateRoot)
+    assert(before.nonEmpty)
+    val table = before.keys.find(_.startsWith("snapshot__")).getOrElse(before.keys.head)
+    val goodRows = contents(before(table))
+    val wreck = new org.apache.hadoop.fs.Path(stateRoot, s"$table/g999")
+    spark.range(3).toDF("garbage").write.parquet(wreck.toString)
+    val fs = wreck.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(wreck, "_SUCCESS"), false),
+      "test setup: expected a _SUCCESS marker to remove")
+    val after = graft.streaming.BucketedParquetBackend.latest(spark, stateRoot)
+    assert(contents(after(table)) == goodRows,
+      "recovery read an uncommitted generation")
+  }
+
   override def afterAll(): Unit = {
     val dir = new java.io.File(new java.net.URI(stateRoot))
     def rm(f: java.io.File): Unit = {
