@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.StructType
 import graft.core.Relation
 import graft.operators.Filters.RecordFilter
 import graft.operators.Compaction
-import graft.streaming.{BucketedParquetBackend, IncrementalDenormalizer,
-  QueueingStrategy, StateBackend, StateOps, StreamRunner}
+import graft.streaming.{BucketedParquetBackend, EngineMetricsListener,
+  IncrementalDenormalizer, QueueingStrategy, StateBackend, StateOps, StreamRunner}
 
 /** Operator CLI — the reference's entry point re-expressed over the
   * streaming engine (reference: Southpaw.java:490-553):
@@ -34,6 +34,8 @@ import graft.streaming.{BucketedParquetBackend, IncrementalDenormalizer,
   *  - `backupsToKeep`, `restoreMode` (always|when_needed|never)
   *  - `backend`     "memory" | "bucketed"; `backendRoot`, `buckets`
   *  - `checkpointDir` streaming checkpoint location
+  *  - `triggerMs`   continuous micro-batch cadence; absent = one
+  *    bounded drain (Trigger.AvailableNow)
   *  - `sink`        "noop" | "console" | "parquet"; `sinkPath`
   *  - `filterClass`, `strategyClass`  fully-qualified hook classes
   *    (the reference's filter.class / queueing.strategy.class)
@@ -211,6 +213,12 @@ object Main {
       }
       val changelog =
         changelogStream(spark, topicsDir, entities, keySchemas, valueSchemas)
+      // `triggerMs` switches to a continuous micro-batch cadence (the
+      // reference's run-forever loop); default is one bounded drain.
+      val trigger = Option(conf.get("triggerMs")).map(_.asLong()) match {
+        case Some(ms) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)
+        case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      }
       val (engine, query) = StreamRunner.start(
         spark, changelog, trees, keyFields, keySchemas, valueSchemas,
         filter, strategy,
@@ -218,10 +226,16 @@ object Main {
         sink = sink,
         stateRoot = backupUri,
         backupEvery = Option(conf.get("backupEvery")).map(_.asInt()).getOrElse(1),
-        backend = newBackend())
-      query.awaitTermination()
-      engine.counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        println(s"[graft] counter $k = $v")
+        backend = newBackend(),
+        trigger = trigger)
+      val metrics = new EngineMetricsListener(engine)
+      spark.streams.addListener(metrics)
+      try query.awaitTermination()
+      finally spark.streams.removeListener(metrics)
+      // gauges read the live counters — the reference's end-of-run
+      // metrics report under its dotted names (metric/Metrics.java)
+      metrics.registry.getGauges.forEach { (name, g) =>
+        println(s"[graft] $name = ${g.getValue}")
       }
     }
     0
