@@ -134,6 +134,38 @@ class KafkaWiringSpec extends SparkSpec {
     StateOps.deleteState(ckpt); StateOps.deleteState(stateRoot)
   }
 
+  test("resuming a committed checkpoint over in-memory state warns loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ckpt-warn").toString
+    val tree = Relation.root("DenormItem", "item")
+    def startRunner(stream: MemoryStream[(String, Long, String, String)]) =
+      StreamRunner.start(spark,
+        stream.toDF().toDF("entity", "offset", "key_json", "value_json"),
+        Seq(tree), Map("item" -> Seq("id")),
+        Map("item" -> keySchema), Map("item" -> itemSchema),
+        checkpointDir = Some(ckpt)) // no stateRoot, memory backend
+
+    val s1 = MemoryStream[(String, Long, String, String)]
+    s1.addData(Seq(("item", 1L, """{"id":1}""", """{"id":1,"qty":10}""")))
+    val (_, q1) = startRunner(s1)
+    q1.awaitTermination(120000)
+
+    // second start over the now-committed checkpoint: the engine state
+    // for the skipped offsets is gone — the dangerous shape
+    val buf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      val s2 = MemoryStream[(String, Long, String, String)]
+      s2.addData(Seq(("item", 1L, """{"id":1}""", """{"id":1,"qty":10}""")))
+      val (_, q2) = startRunner(s2)
+      q2.awaitTermination(120000)
+    } finally System.setErr(realErr)
+    assert(buf.toString.contains("WARNING: resuming a committed checkpoint"),
+      "expected the in-memory-state restart warning")
+    StateOps.deleteState(ckpt)
+  }
+
   test("checkpointed restart recovers from the durable backend's own generations") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft-ckpt-dur").toString
