@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Relation
+import graft.operators.{Compaction, Denormalize}
+import graft.streaming.IncrementalDenormalizer
+
+/** Randomized IVM convergence (SURVEY §7.2 item 5's "random op-log
+  * replay"): a seeded random operation log — upserts, deletes, and FK
+  * flips against a two-entity tree — replayed through the incremental
+  * engine in random chunkings must converge to the from-scratch batch
+  * compilation of the same log. Fixtures exercise the reference's
+  * scripted interleavings; this sweeps the interaction space they
+  * don't (delete-then-reinsert across batch boundaries, FK flips of
+  * children whose parent is itself churning, keys touched many times
+  * inside one batch). Seeds are FIXED — failures reproduce exactly.
+  */
+class IncrementalFuzzSpec extends SparkSpec {
+
+  private val parentSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+  private val childSchema = StructType(Seq(
+    StructField("id", LongType), StructField("pid", LongType),
+    StructField("v", LongType)))
+
+  private val tree = Relation.root("FuzzDoc", "parent",
+    Relation.child("child", "pid", "id"))
+  private val keyFields = Map("parent" -> Seq("id"), "child" -> Seq("id"))
+  private val valueSchemas = Map("parent" -> parentSchema, "child" -> childSchema)
+
+  /** One entity's random op log as changelog rows (offset, key, value). */
+  private def opLog(rnd: scala.util.Random, entity: String, nOps: Int,
+      keySpace: Long): Seq[Row] =
+    (0 until nOps).map { i =>
+      val id = 1L + rnd.nextInt(keySpace.toInt)
+      val delete = rnd.nextDouble() < 0.25
+      val value: Row =
+        if (delete) null
+        else if (entity == "parent") Row(id, s"p$id-v$i")
+        else Row(id, 1L + rnd.nextInt(10), rnd.nextLong(1000))
+      Row(i.toLong, Row(id), value)
+    }
+
+  private def changelogDf(rows: Seq[Row], valueSchema: StructType): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("offset", LongType),
+      StructField("key", StructType(Seq(StructField("id", LongType)))),
+      StructField("value", valueSchema)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Random split points → offset-ordered chunks (order preserved). */
+  private def chunk(rnd: scala.util.Random, rows: Seq[Row], nChunks: Int): Seq[Seq[Row]] = {
+    val cuts = Seq.fill(nChunks - 1)(rnd.nextInt(rows.size + 1)).sorted
+    (0L +: cuts.map(_.toLong) :+ rows.size.toLong).sliding(2).map {
+      case Seq(a, b) => rows.slice(a.toInt, b.toInt)
+    }.toSeq
+  }
+
+  private def liveDocs(df: DataFrame): Map[Long, Any] =
+    df.collect().map { r =>
+      BigInt(1, r.getAs[Array[Byte]]("__pk")).toLong ->
+        ReferenceFixtures.normalizeJson(r.getAs[String]("doc_json"))
+    }.toMap
+
+  for (seed <- Seq(42, 1337, 20260813)) {
+    test(s"random op-log chunked replay converges to batch compilation (seed=$seed)") {
+      val rnd = new scala.util.Random(seed)
+      val parentLog = opLog(rnd, "parent", 60, 10)
+      val childLog = opLog(rnd, "child", 140, 30)
+
+      // incremental: replay in random chunkings (different per entity)
+      val engine = new IncrementalDenormalizer(
+        spark, Seq(tree), keyFields, valueSchemas)
+      val pChunks = chunk(rnd, parentLog, 1 + rnd.nextInt(6))
+      val cChunks = chunk(rnd, childLog, pChunks.size)
+      pChunks.zip(cChunks).foreach { case (p, c) =>
+        val batch = Seq(
+          "parent" -> (if (p.nonEmpty) Some(changelogDf(p, parentSchema)) else None),
+          "child" -> (if (c.nonEmpty) Some(changelogDf(c, childSchema)) else None)
+        ).collect { case (e, Some(df)) => e -> df }.toMap
+        if (batch.nonEmpty) engine.processBatch(batch)
+      }
+      val incr = liveDocs(engine.docs("FuzzDoc").where(!col("__deleted")))
+
+      // batch oracle: compact the FULL logs, compile from scratch
+      val snapshots = Map(
+        "parent" -> Compaction.snapshot(Compaction.compact(
+          changelogDf(parentLog, parentSchema), "parent", Seq("id"))),
+        "child" -> Compaction.snapshot(Compaction.compact(
+          changelogDf(childLog, childSchema), "child", Seq("id"))))
+      val batchDocs = liveDocs(
+        Denormalize.documents(tree, snapshots, keyFields)
+          .select(col("__pk"), col("doc_json")))
+
+      assert(incr.keySet == batchDocs.keySet,
+        s"seed=$seed live keys differ: incrOnly=${incr.keySet.diff(batchDocs.keySet)} " +
+          s"batchOnly=${batchDocs.keySet.diff(incr.keySet)}")
+      incr.foreach { case (k, doc) =>
+        assert(doc == batchDocs(k), s"seed=$seed doc $k diverged:\n incr: $doc\n batch: ${batchDocs(k)}")
+      }
+      // and the indices stay internally consistent after the churn
+      assert(graft.streaming.StateOps.verifyState(engine).isEmpty,
+        s"seed=$seed index invariants violated")
+    }
+  }
+}
