@@ -883,6 +883,46 @@ object Text {
         .orderBy("source")
     },
 
+    // APPLYING a mixture budget: downsample every source to (at most)
+    // half the mean source size with a deterministic hash threshold —
+    // the shuffle-free way to rebalance a multi-corpus mix. The keep
+    // decision is a pure function of the doc id (md5 bucket < integer
+    // threshold), so the sample is reproducible on any engine, any
+    // run, any cluster layout, and NO per-source shuffle or window
+    // happens: one tiny per-source count aggregate broadcasts back
+    // onto the corpus and every row decides locally. At 100 TB this
+    // is a map-only pass over the corpus plus a |sources|-row join.
+    // Integer thresholds (scaled 1e6, integer division) keep both
+    // engines byte-agreed — no float probability boundaries.
+    "q_mixture_apply" -> QueryDef(
+      "hash-threshold downsample of each source to half the mean source size",
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |n AS (SELECT sum(n_docs) AS N, count(*) AS S FROM s),
+        |t AS (SELECT source,
+        |        least(1000000, (1000000 * N) // (2 * S * n_docs)) AS thresh
+        |      FROM s, n)
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |                     % 1000000 < t.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents d JOIN t ON d.source = t.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val perSource = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val norm = perSource.agg(
+        sum(col("n_docs")).as("N"), count(lit(1)).as("S"))
+      val thresholds = perSource.crossJoin(broadcast(norm))
+        .select(col("source"),
+          least(lit(1000000L),
+            expr("(1000000 * N) div (2 * S * n_docs)")).as("thresh"))
+      d.join(broadcast(thresholds), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(TextAnalysis.hashBucket(col("doc_id"), 1000000) < col("thresh"),
+            1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("source")
+    },
+
     // Per-document duplicated-text coverage: the fraction of a doc's
     // distinct 5-gram shingles that occur in ANY other document — the
     // shingle approximation of suffix-array substring dedup (how much
