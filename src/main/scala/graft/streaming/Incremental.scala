@@ -108,8 +108,13 @@ final class IncrementalDenormalizer(
     * name (the durable backend writes bucketed parquet generations). */
   private def matTemp(df: DataFrame): () => DataFrame =
     () => df.graftCkptMem()
-  private def matState(name: String, df: DataFrame): () => DataFrame =
-    () => backend.persist(name, df.coalesce(statePartitions))
+  /** `delta` = (rows, keys) of the batch's change set for this table
+    * (see [[StateBackend.persist]]): a durable backend writes only the
+    * change set — the reference's WriteBatch write profile — instead
+    * of the full table. */
+  private def matState(name: String, df: DataFrame,
+      delta: Option[(DataFrame, DataFrame)] = None): () => DataFrame =
+    () => backend.persist(name, df.coalesce(statePartitions), delta)
 
   /** Materialize independent state tables concurrently. Each eager
     * materialization is a blocking Spark job with a handful of tasks at
@@ -258,8 +263,21 @@ final class IncrementalDenormalizer(
     * batches later than an uninterrupted run — the same steady-state
     * lag bound as before the restart. */
   def loadStateTables(tables: Map[String, DataFrame]): Unit = {
+    // One persist job per restored table; they are independent reads of
+    // distinct on-disk generations, so they materialize as ONE wave
+    // (sequential persists would leave the cluster mostly idle exactly
+    // when a restart wants to come back fastest).
+    val loaded: Map[String, DataFrame] = {
+      // only names this engine owns — a backup may hold tables of
+      // relations no longer configured, and those must not be persisted
+      // under the live root
+      val names = tables.keys.toSeq.filter(stateTables.keySet)
+      val out = parMaterialize(
+        names.map(n => matState(n, tables(n))), "recover")
+      names.zip(out).toMap
+    }
     def load(name: String, old: DataFrame): DataFrame =
-      tables.get(name).map(df => backend.persist(name, df)).getOrElse(old)
+      loaded.getOrElse(name, old)
     snapshots = snapshots.map { case (e, old) =>
       e -> load(s"snapshot__$e", old)
     }
@@ -391,28 +409,33 @@ final class IncrementalDenormalizer(
          else Seq((name, "plow", unionParts(low :+ pendingLow(name)))))
     }
 
-    val snapUpdates: Seq[(String, DataFrame)] = lazyDeltas.toSeq.map {
-      case (entity, delta) =>
+    // Snapshot/link updates carry their change set (new rows + changed
+    // keys) alongside the full plan: the durable backend persists just
+    // the change set as a delta generation, so its write cost scales
+    // with the batch, not the state (RocksDBState.java:611-636 parity).
+    val snapUpdates: Seq[(String, DataFrame, (DataFrame, DataFrame))] =
+      lazyDeltas.toSeq.map { case (entity, delta) =>
         val snap = snapshots(entity)
         val changedKeys = delta.select(col("__pk"))
+        val newRows =
+          delta.where(col("value").isNotNull).select(col("__pk"), col("value"))
         val kept = snap.join(changedKeys, Seq("__pk"), "left_anti")
-        val updated = kept.unionByName(
-          delta.where(col("value").isNotNull).select(col("__pk"), col("value")))
-        entity -> updated
-    }
-    val linkUpdates: Seq[(String, DataFrame)] = lazyDeltas.toSeq.flatMap {
-      case (entity, delta) =>
+        (entity, kept.unionByName(newRows), (newRows, changedKeys))
+      }
+    val linkUpdates: Seq[(String, DataFrame, (DataFrame, DataFrame))] =
+      lazyDeltas.toSeq.flatMap { case (entity, delta) =>
         edges.filter(_.child.entity == entity).map { edge =>
           val jkField = edge.child.joinKey.get
+          val changedKeys = delta.select(col("__pk").as("__cpk"))
           val newLinks = delta.where(col("value").isNotNull)
             .select(col("__pk").as("__cpk"),
               canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
             .where(col("__jk").isNotNull)
           val keptLinks = links(edge.id).join(
-            delta.select(col("__pk").as("__cpk")), Seq("__cpk"), "left_anti")
-          edge.id -> keptLinks.unionByName(newLinks)
+            changedKeys, Seq("__cpk"), "left_anti")
+          (edge.id, keptLinks.unionByName(newLinks), (newLinks, changedKeys))
         }
-    }
+      }
 
     val waveInputs: Seq[() => DataFrame] =
       deltaPairs.map(p => matTemp(p._2)) ++
@@ -421,8 +444,10 @@ final class IncrementalDenormalizer(
           case (name, "pmed", df) => matState(s"pending_med__${safeName(name)}", df)
           case (name, _, df) => matState(s"pending_low__${safeName(name)}", df)
         } ++
-        snapUpdates.map { case (e, df) => matState(s"snapshot__$e", df) } ++
-        linkUpdates.map { case (id, df) => matState(s"links__${safeName(id)}", df) }
+        snapUpdates.map { case (e, df, d) =>
+          matState(s"snapshot__$e", df, Some(d)) } ++
+        linkUpdates.map { case (id, df, d) =>
+          matState(s"links__${safeName(id)}", df, Some(d)) }
     val waveOut = parMaterialize(waveInputs, "deltas+state")
     val (deltaOut, rest0) = waveOut.splitAt(deltaPairs.size)
     val (dirtyOut, rest) = rest0.splitAt(wavePlans.size)
@@ -610,7 +635,11 @@ final class IncrementalDenormalizer(
     // J3 re-register: for each edge, walk the path root→parent with
     // inner joins over live snapshots (a node registers only if its
     // record exists — lazy parent index, Southpaw.java:342).
-    val rootmapUpdates: Seq[(String, DataFrame)] =
+    // Each update also carries its change set for the durable backend:
+    // removed rows are exactly the scrubbed (__rpk ∈ dirty) ones and
+    // added rows are regs — both dirty-neighborhood-sized, so a delta
+    // generation needs neither a full-table read nor a full write.
+    val rootmapUpdates: Seq[(String, DataFrame, (DataFrame, DataFrame))] =
       edges.filter(_.tree == tree).map { edge =>
         var cur = restrictedRoot
           .withColumn("__rpk", canonicalPk(keyFields(tree.entity).map(col)))
@@ -626,11 +655,12 @@ final class IncrementalDenormalizer(
         val regs = cur.select(col("__rpk"),
           canonicalPk(Seq(cur(edge.child.parentKey.get))).as("__jk"))
           .where(col("__jk").isNotNull).distinct()
+          .select(col("__jk"), col("__rpk"))
         // No distinct on the union: the scrub removed every dirty root
         // from the old rootmap and regs contains ONLY dirty roots, so
         // the two sides are disjoint by construction.
-        edge.id -> rootmaps(edge.id)
-          .unionByName(regs.select(col("__jk"), col("__rpk")))
+        (edge.id, rootmaps(edge.id).unionByName(regs),
+          (regs, dirty))
       }
 
     // Upsert document state; dirty roots with no assembled doc get a
@@ -654,10 +684,10 @@ final class IncrementalDenormalizer(
       .observe(s"graft_docs_${safeName(name)}_$batchIndex",
         count(lit(1)).as("n"),
         sum(when(col("doc_json").isNull, 1L).otherwise(0L)).as("tomb"))
-    val kept = docState(name).join(dirty.withColumnRenamed("__rpk", "__pk"),
-      Seq("__pk"), "left_anti")
+    val dirtyPks = dirty.withColumnRenamed("__rpk", "__pk")
+    val kept = docState(name).join(dirtyPks, Seq("__pk"), "left_anti")
     val rootmapThunks = rootmapUpdates.map {
-      case (id, df) => matState(s"rootmap__${safeName(id)}", df)
+      case (id, df, d) => matState(s"rootmap__${safeName(id)}", df, Some(d))
     }
     val newDocsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
     val docThunks: Seq[() => DataFrame] =
@@ -666,8 +696,11 @@ final class IncrementalDenormalizer(
       else Seq(() => {
         val nd = newDocs.graftCkptMem()
         newDocsRef.set(nd)
+        // change set: nd covers EVERY dirty root (tombstones are real
+        // rows), so (rows = nd, keys = dirty) upserts exactly
         backend.persist(s"docs__${safeName(name)}",
-          kept.unionByName(nd).coalesce(statePartitions))
+          kept.unionByName(nd).coalesce(statePartitions),
+          Some((nd, dirtyPks)))
       })
     val waveOut = parMaterialize(rootmapThunks ++ docThunks, "rebuild")
     rootmapUpdates.map(_._1).zip(waveOut)

@@ -44,6 +44,21 @@ trait StateBackend {
     * engine truncates and discards the input plan). */
   def persist(name: String, df: DataFrame): DataFrame
 
+  /** [[persist]] with the batch's change set attached: `delta` is
+    * `(rows, keys)` where `keys` lists every key whose row was added,
+    * replaced, or removed since the LAST persist of `name`, and `rows`
+    * holds the full new rows for those keys (a key in `keys` with no
+    * row in `rows` is a deletion). The caller guarantees
+    * `df ≡ previous.join(keys, keys.columns, "left_anti") ∪ rows` —
+    * which lets a durable backend write O(delta) instead of O(state)
+    * per batch (the reference's RocksDB WriteBatch semantics,
+    * state/RocksDBState.java:611-636, where only touched keys hit the
+    * WAL). Backends free to ignore the hint fall back to a full
+    * persist of `df`. */
+  def persist(name: String, df: DataFrame,
+      delta: Option[(DataFrame, DataFrame)]): DataFrame =
+    persist(name, df)
+
   /** Drop generations superseded by newer [[persist]] calls. The
     * engine calls this only between batches: while a batch's waves
     * run, derived plans still read the PRE-batch generations, so
@@ -59,44 +74,70 @@ object StateBackend {
   }
 }
 
-/** Durable state backend: one bucketed parquet table per state-table
-  * generation, under `root/<name>/g<n>` (any Hadoop FS scheme).
+/** Durable state backend: generation-chained parquet per state table,
+  * under `root/<name>/g<n>` (any Hadoop FS scheme).
   *
-  * Each persist writes a NEW generation — never in place — because the
-  * plan being written typically reads the previous generation of the
-  * same table (snapshot update = old snapshot anti-join delta ∪ new
-  * rows). The previous generation is queued and dropped on [[gc]],
-  * after the batch's last job finishes.
+  * Two generation kinds, distinguished by a `_MANIFEST` commit marker
+  * (written last, via atomic rename — a generation without one is an
+  * uncommitted wreck and is never read):
   *
-  * The write repartitions by the table's leading column (the state
-  * key: `__pk` / `__cpk` / `__jk`) into exactly `buckets` partitions
-  * before the bucketed write, so every task holds one bucket and
-  * writes one file — a bucketed write without that shuffle emits
-  * tasks×buckets small files. Readers go through the session catalog
-  * (`spark.table`) so they see the bucket spec: a join or aggregation
-  * keyed on the bucket column plans NO Exchange on the state side
-  * (asserted in BucketingSpec for the mechanism and in DurableStateSpec
-  * on a recovered state table).
+  *  - FULL — the whole table as a bucketed parquet catalog table.
+  *    The write repartitions by the table's leading column (the state
+  *    key: `__pk` / `__cpk` / `__jk`) into exactly `buckets`
+  *    partitions before the bucketed write, so every task holds one
+  *    bucket and writes one file. Readers go through the session
+  *    catalog (`spark.table`) so they see the bucket spec: a join or
+  *    aggregation keyed on the bucket column plans NO Exchange on the
+  *    state side (BucketingSpec; DurableStateSpec on a recovered
+  *    table).
+  *  - DELTA — only the batch's change set: `rows/` (full new rows for
+  *    changed keys) + `keys/` (every changed key; a key with no row is
+  *    a deletion). This is the reference's RocksDB WriteBatch write
+  *    profile (state/RocksDBState.java:611-636: only touched keys hit
+  *    the store) — write cost scales with the DELTA, not the state.
+  *    The composed view is `prev.join(keys, keys.columns, "left_anti")
+  *    .unionByName(rows)` folded over the chain; the changed-key side
+  *    is batch-sized, so Catalyst plans it as a broadcast anti-join —
+  *    the full-state side never re-shuffles for composition.
   *
-  * Restart recovery: [[BucketedParquetBackend.latest]] lists the
-  * newest committed (_SUCCESS) generation of every table under a root
-  * and returns plain scans — feed them to
+  * Every `compactEvery`-th persist of a table writes FULL, bounding
+  * the compose chain (and restoring bucket metadata); a persist
+  * without delta information (first persist, restart recovery) is
+  * always FULL. Each persist writes a NEW generation — never in
+  * place — because the plan being written typically reads the previous
+  * generation of the same table. Superseded generations are queued and
+  * dropped on [[gc]], after the batch's last job finishes; delta
+  * chains retire only when a FULL persist supersedes the whole chain.
+  *
+  * Restart recovery: [[BucketedParquetBackend.latest]] composes the
+  * newest committed full generation + its committed delta suffix for
+  * every table under a root — feed the result to
   * [[IncrementalDenormalizer.loadStateTables]], which re-persists
-  * through the live backend (re-establishing bucket metadata in the
-  * new session's catalog).
+  * through the live backend (a FULL write: recovery doubles as
+  * compaction and re-establishes bucket metadata in the new session's
+  * catalog).
   */
 final class BucketedParquetBackend(
     spark: SparkSession,
     val root: String,
-    buckets: Int = 16) extends StateBackend {
+    buckets: Int = 16,
+    compactEvery: Int = 4) extends StateBackend {
+
+  import BucketedParquetBackend.{applyDelta, writeMarker}
 
   val durable = true
 
+  private case class Chain(
+      maxGen: Long,
+      table: String,          // catalog table of the base FULL gen
+      baseDir: Path,
+      deltaDirs: Vector[Path],
+      frame: DataFrame)
+
   private val instanceId = BucketedParquetBackend.instances.incrementAndGet()
   private val tableSeq = new AtomicLong(0L)
-  /** name → (generation, catalog table, data dir) of the LIVE gen. */
   private val live =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, String, Path)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Chain]()
   /** superseded (catalog table if registered, data dir) awaiting [[gc]]. */
   private val retired = new ConcurrentLinkedQueue[(Option[String], Path)]()
 
@@ -119,9 +160,23 @@ final class BucketedParquetBackend(
     }
   }
 
-  def persist(name: String, df: DataFrame): DataFrame = {
+  def persist(name: String, df: DataFrame): DataFrame =
+    persistFull(name, df)
+
+  override def persist(name: String, df: DataFrame,
+      delta: Option[(DataFrame, DataFrame)]): DataFrame = {
     val prev = live.get(name)
-    val gen = if (prev == null) adoptDiskGens(name) + 1L else prev._1 + 1L
+    delta match {
+      case Some((rows, keys))
+          if prev != null && prev.deltaDirs.size < compactEvery - 1 =>
+        persistDelta(name, prev, rows, keys)
+      case _ => persistFull(name, df)
+    }
+  }
+
+  private def persistFull(name: String, df: DataFrame): DataFrame = {
+    val prev = live.get(name)
+    val gen = if (prev == null) adoptDiskGens(name) + 1L else prev.maxGen + 1L
     // Catalog identifiers are case-insensitive and charset-limited, so
     // the table name is a mangled-but-unique sequence id; the DATA DIR
     // keeps the exact state-table name (needed for restart recovery).
@@ -133,9 +188,34 @@ final class BucketedParquetBackend(
       .bucketBy(buckets, keyCol)
       .option("path", dir.toString)
       .saveAsTable(tbl)
-    if (prev != null) retired.add((Some(prev._2), prev._3))
-    live.put(name, (gen, tbl, dir))
-    spark.table(tbl)
+    writeMarker(fs(dir), dir, "full")
+    if (prev != null) {
+      retired.add((Some(prev.table), prev.baseDir))
+      prev.deltaDirs.foreach(d => retired.add((None, d)))
+    }
+    val frame = spark.table(tbl)
+    live.put(name, Chain(gen, tbl, dir, Vector.empty, frame))
+    frame
+  }
+
+  /** Write only the batch's change set as a new delta generation and
+    * return the chain-composed view. Neither `rows` nor `keys` reads
+    * more than the batch's change neighborhood, and the full-table
+    * plan is never evaluated — durable write cost ∝ delta. */
+  private def persistDelta(name: String, prev: Chain,
+      rows: DataFrame, keys: DataFrame): DataFrame = {
+    val gen = prev.maxGen + 1L
+    val dir = new Path(root, s"$name/g$gen")
+    // Change sets are batch-sized: cap the file fan-out (coalesce never
+    // raises the partition count, so empty/small frames stay cheap and
+    // a genuinely large delta still writes in parallel).
+    rows.coalesce(buckets).write.parquet(new Path(dir, "rows").toString)
+    keys.coalesce(buckets).write.parquet(new Path(dir, "keys").toString)
+    writeMarker(fs(dir), dir, "delta")
+    val frame = applyDelta(spark, prev.frame, dir)
+    live.put(name, prev.copy(maxGen = gen,
+      deltaDirs = prev.deltaDirs :+ dir, frame = frame))
+    frame
   }
 
   override def gc(): Unit = {
@@ -153,9 +233,10 @@ final class BucketedParquetBackend(
   /** Drop every live table + directory (test teardown / --delete-state). */
   def deleteAll(): Unit = {
     gc()
-    live.forEach { (_: String, v: (Long, String, Path)) =>
-      spark.sql(s"DROP TABLE IF EXISTS ${v._2}")
-      fs(v._3).delete(v._3, true)
+    live.forEach { (_: String, v: Chain) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${v.table}")
+      fs(v.baseDir).delete(v.baseDir, true)
+      v.deltaDirs.foreach(d => fs(d).delete(d, true))
     }
     live.clear()
     val r = new Path(root)
@@ -167,11 +248,52 @@ final class BucketedParquetBackend(
 object BucketedParquetBackend {
   private val instances = new AtomicInteger(0)
 
-  /** Newest committed generation of every state table under `root`,
-    * as plain parquet scans keyed by exact state-table name — the
-    * restart-recovery input for
+  /** Commit marker: `_MANIFEST` holds the generation kind and is
+    * written LAST via create-then-rename, so its presence implies the
+    * generation's data is complete (the `_SUCCESS`-equivalent gate —
+    * a write that died mid-flight leaves data files but no marker). */
+  private def writeMarker(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path, kind: String): Unit = {
+    val tmp = new Path(dir, "_MANIFEST.tmp")
+    val out = f.create(tmp, true)
+    out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    f.rename(tmp, new Path(dir, "_MANIFEST"))
+  }
+
+  private def readMarker(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[String] = {
+    val m = new Path(dir, "_MANIFEST")
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try {
+        val bytes = new Array[Byte](16)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** One delta-generation layer: drop the changed keys from the view
+    * so far, add the generation's new rows (a changed key without a
+    * row stays dropped = deletion). The keys side is batch-sized, so
+    * Catalyst's size estimate plans a broadcast anti-join — the state
+    * side is never shuffled for composition. */
+  private def applyDelta(spark: SparkSession, cur: DataFrame,
+      deltaDir: Path): DataFrame = {
+    val keys = spark.read.parquet(new Path(deltaDir, "keys").toString)
+    val rows = spark.read.parquet(new Path(deltaDir, "rows").toString)
+    cur.join(keys, keys.columns.toSeq, "left_anti").unionByName(rows)
+  }
+
+  /** The newest committed state of every table under `root`: the last
+    * full generation with a commit marker, composed with its committed
+    * delta suffix in generation order — the restart-recovery input for
     * [[IncrementalDenormalizer.loadStateTables]]. Generations without
-    * a _SUCCESS marker (a write that died mid-flight) are skipped, so
+    * a marker (a write that died mid-flight) are skipped, and the walk
+    * up the delta suffix stops at the first uncommitted generation, so
     * recovery always lands on the last complete batch. */
   def latest(spark: SparkSession, root: String): Map[String, DataFrame] = {
     val rootPath = new Path(root)
@@ -180,10 +302,17 @@ object BucketedParquetBackend {
     f.listStatus(rootPath).toSeq.filter(_.isDirectory).flatMap { tableDir =>
       val gens = f.listStatus(tableDir.getPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
-        .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
-        .sortBy(s => s.getPath.getName.drop(1).toLong)
-      gens.lastOption.map { g =>
-        tableDir.getPath.getName -> spark.read.parquet(g.getPath.toString)
+        .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(id =>
+          (id, s.getPath, readMarker(f, s.getPath))))
+        .sortBy(_._1)
+      val base = gens.filter(_._3.contains("full")).lastOption
+      base.map { case (baseId, baseDir, _) =>
+        val suffix = gens.filter(_._1 > baseId)
+          .takeWhile(_._3.contains("delta"))
+        val frame = suffix.foldLeft(spark.read.parquet(baseDir.toString)) {
+          (cur, g) => applyDelta(spark, cur, g._2)
+        }
+        tableDir.getPath.getName -> frame
       }
     }.toMap
   }
