@@ -665,29 +665,39 @@ object Text {
     // Exact repeated-substring detection with CONTENT-DEFINED anchors —
     // the shuffle-friendly re-expression of suffix-array substring
     // dedup (Lee et al., "Deduplicating Training Data Makes Language
-    // Models Better"): a 40-char window starts wherever the 8-gram at
-    // that position hashes to anchor class 0 (~1/8 of positions).
+    // Models Better"): a 40-byte window starts wherever the 8-byte gram
+    // at that position hashes to anchor class 0 (~1/8 of positions).
     // Because the anchor decision depends only on CONTENT, two copies
     // of a repeated span pick the SAME windows regardless of their
     // byte alignment — the rolling-anchor trick fixed-stride sampling
     // gets wrong (stride-S windows only line up when the copies agree
-    // mod S). Everything up to the aggregation is map-side: positions
-    // explode, ~7/8 die on the anchor filter BEFORE any shuffle, the
+    // mod S). The anchor scan is a ROLLING gear-style hash
+    // ([[graft.functions.RollingAnchorRT]]): ONE pass per row, O(1)
+    // per byte, emitted as an array of positions and exploded — not an
+    // md5 per character position (which costs a full digest per byte).
+    // Everything up to the aggregation is map-side: ~7/8 of positions
+    // die inside the expression BEFORE any explode or shuffle, the
     // surviving windows ship as fixed-width md5 keys (never the text),
     // and the two-level keyed aggregation (span×doc, then span) is
     // partial-agg-combinable. At 100 TB: ~bytes/8 fixed-width rows
     // into one hash aggregation — no global sort, no suffix array.
+    // The oracle replays the IDENTICAL hash (same gear table, base,
+    // modulus, per-step mod) per position in plain SQL.
     "q_span_dedup" -> QueryDef(
       "exact repeated substrings across docs via content-defined anchor windows",
-      """WITH pos AS (
-        |  SELECT doc_id, text, CAST(t.s AS BIGINT) AS p
-        |  FROM documents, unnest(range(0, length(text) - 40 + 1)) AS t(s)
-        |  WHERE length(text) >= 40
+      s"""WITH hx AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 40
+        |),
+        |pos AS (
+        |  SELECT doc_id, h, CAST(t.s AS BIGINT) AS p
+        |  FROM hx, unnest(range(0, n - 40 + 1)) AS t(s)
         |),
         |anch AS (
-        |  SELECT doc_id, md5(substring(text, p + 1, 40)) AS span_md5
+        |  SELECT doc_id, md5(substr(h, p * 2 + 1, 80)) AS span_md5
         |  FROM pos
-        |  WHERE ('0x' || substr(md5(substring(text, p + 1, 8)), 1, 15))::BIGINT % 8 = 0
+        |  WHERE (${graft.functions.RollingAnchor.duckDbHashSql("h", "p", 8)}) % 8 = 0
         |),
         |d AS (SELECT span_md5, doc_id, count(*) AS occ FROM anch GROUP BY 1, 2)
         |SELECT span_md5,
@@ -698,13 +708,13 @@ object Text {
         |ORDER BY span_md5""".stripMargin) { (spark, dir) =>
       val W = 40
       val spans = docs(spark, dir)
-        .where(length(col("text")) >= W)
+        .where(octet_length(col("text")) >= W)
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), length(col("text")) - W)).as("p"))
-        .where(TextAnalysis.hashBucket(
-          expr("substring(text, p + 1, 8)"), 8) === 0)
+          explode(graft.functions.RollingAnchor.anchors(
+            col("text").cast(BinaryType), 8, W, 8)).as("p"))
         .select(col("doc_id"),
-          md5(expr(s"cast(substring(text, p + 1, $W) as binary)")).as("span_md5"))
+          md5(expr(s"cast(hex(substring(cast(text as binary), p + 1, $W)) as binary)"))
+            .as("span_md5"))
       spans.groupBy("span_md5", "doc_id").agg(count(lit(1)).as("occ"))
         .groupBy("span_md5")
         .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
