@@ -174,6 +174,44 @@ object SchemaResolver {
       throw new IllegalArgumentException(
         s"schema id $id not in registry (have: ${schemas.keys.toSeq.sorted.mkString(",")})"))
   }
+
+  /** Confluent Schema Registry REST client: `GET
+    * {baseUrl}/schemas/ids/{id}` → `{"schema": "<escaped json>"}` —
+    * the live counterpart of the reference's registry client
+    * (serde/AvroSerde.java:45-85, which goes through
+    * CachedSchemaRegistryClient to the same endpoint). Plain
+    * HttpURLConnection, no extra dependencies; only `baseUrl` ships to
+    * executors and [[AvroDecodeExpr]] caches the parsed schema per id,
+    * so each executor fetches each id once. Non-200 responses and
+    * malformed bodies fail loudly — an unknown id means the stream and
+    * registry disagree, which must never decode as garbage. */
+  final case class Rest(baseUrl: String,
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000)
+      extends SchemaResolver {
+    override def schemaFor(id: Int): String = {
+      val url = java.net.URI.create(
+        s"${baseUrl.stripSuffix("/")}/schemas/ids/$id").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestProperty("Accept",
+        "application/vnd.schemaregistry.v1+json, application/json")
+      try {
+        val code = conn.getResponseCode
+        if (code != 200) throw new IllegalArgumentException(
+          s"schema registry $url returned HTTP $code")
+        val body = scala.io.Source.fromInputStream(
+          conn.getInputStream, "UTF-8").mkString
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).get("schema")
+        if (node == null || !node.isTextual)
+          throw new IllegalArgumentException(
+            s"schema registry $url: no 'schema' field in response: $body")
+        node.asText()
+      } finally conn.disconnect()
+    }
+  }
 }
 
 /** Decode Confluent-framed Avro bytes into a struct of `schema`.
@@ -184,7 +222,18 @@ object SchemaResolver {
   * written under different schema versions decode in one stream —
   * the reference's registry behavior. Without one, all payloads are
   * assumed written with `writerSchemaJson` and the id is ignored
-  * (what our own encoder produces). */
+  * (what our own encoder produces).
+  *
+  * Evolution semantics on the resolver path are BY-NAME projection
+  * onto the declared `StructType`: declared fields absent from a
+  * record's writer schema decode as null, extra writer fields are
+  * skipped, and int widens to long. This deliberately does NOT run
+  * Avro writer→reader schema resolution (no reader-schema field
+  * aliases, no non-null field defaults) — Avro resolution matches
+  * records by full name, which a StructType-derived reader schema
+  * cannot guarantee against arbitrary registry schemas. Streams
+  * relying on aliases or non-null defaults need a true reader schema,
+  * not a StructType. */
 case class AvroDecodeExpr(
     child: Expression,
     schema: StructType,

@@ -137,6 +137,59 @@ class AvroCodecSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("REST schema resolver decodes a mixed-version stream through a live HTTP registry") {
+    import graft.sources.SchemaResolver
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val v2 = v1.add(StructField("note", StringType))
+    val schemas = Map(
+      1 -> AvroConversions.toAvroSchema(v1, "Record").toString,
+      2 -> AvroConversions.toAvroSchema(v2, "Record").toString)
+    // in-process Confluent-shaped registry: GET /schemas/ids/{id} →
+    // {"schema": "<json-escaped schema>"}
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    server.createContext("/schemas/ids/", { exchange =>
+      val id = exchange.getRequestURI.getPath.split("/").last.toInt
+      schemas.get(id) match {
+        case Some(s) =>
+          val node = mapper.createObjectNode()
+          node.put("schema", s)
+          val body = mapper.writeValueAsBytes(node)
+          exchange.getResponseHeaders.add("Content-Type",
+            "application/vnd.schemaregistry.v1+json")
+          exchange.sendResponseHeaders(200, body.length)
+          exchange.getResponseBody.write(body)
+        case None =>
+          exchange.sendResponseHeaders(404, -1)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val resolver =
+        SchemaResolver.Rest(s"http://127.0.0.1:${server.getAddress.getPort}")
+      val a = Seq((1L, 10L)).toDF("id", "qty")
+        .select(Serdes.avroEncode(struct(col("id"), col("qty")), 1).as("bytes"))
+      val b = Seq((2L, 20L, "hi")).toDF("id", "qty", "note")
+        .select(Serdes.avroEncode(
+          struct(col("id"), col("qty"), col("note")), 2).as("bytes"))
+      val got = a.unionByName(b)
+        .select(Serdes.avro(resolver).decode(col("bytes"), v2).as("r"))
+        .select(col("r.*")).orderBy("id").collect()
+      assert(got(0).getAs[Long]("qty") == 10L)
+      assert(got(0).isNullAt(got(0).fieldIndex("note")))
+      assert(got(1).getAs[String]("note") == "hi")
+      // an id the registry 404s must fail loudly, not misdecode
+      val unknown = Seq((3L, 30L)).toDF("id", "qty")
+        .select(Serdes.avroEncode(struct(col("id"), col("qty")), 9).as("bytes"))
+      val err = intercept[Exception] {
+        unknown.select(Serdes.avro(resolver).decode(col("bytes"), v2).as("r")).collect()
+      }
+      assert(err.getMessage != null)
+    } finally server.stop(0)
+  }
+
   test("registry-aware kafka mapping decodes mixed-version topics") {
     val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
     val v2 = v1.add(StructField("note", StringType))
