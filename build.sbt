@@ -30,16 +30,34 @@ val jdk17AddOpens = Seq(
 // 24g default on hosts with >=48 GiB (the 128 GiB bench host): the 8g
 // default left the 32-thread shuffles + memory-only checkpoints
 // GC-bound (measured ~6% off the full sf0.1 bench). Smaller hosts get
-// ~half their RAM so the forked JVM never overcommits the machine.
-// SPARK_DRIVER_MEM always overrides.
+// ~half their RAM so the forked JVM never overcommits the machine. A
+// cgroup (container) memory limit below the host total wins, and when
+// no limit is readable at all (macOS) the fallback is a conservative
+// 6g rather than 24g. SPARK_DRIVER_MEM always overrides.
 val defaultHeap: String = {
-  val memTotalKb =
-    try scala.io.Source.fromFile("/proc/meminfo").getLines()
-      .find(_.startsWith("MemTotal:"))
-      .map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L)
-    catch { case _: Throwable => 0L }
-  val totalGb = memTotalKb / (1024 * 1024)
-  if (totalGb >= 48 || totalGb == 0) "24g"
+  def readLong(path: String, pick: String => Option[Long]): Long =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try pick(src.mkString).getOrElse(0L) finally src.close()
+    } catch { case _: Throwable => 0L }
+  val memTotalKb = readLong("/proc/meminfo", s =>
+    s.linesIterator.find(_.startsWith("MemTotal:"))
+      .map(_.replaceAll("[^0-9]", "").toLong))
+  // cgroup v2 then v1; "max" / absent / huge sentinel = unlimited
+  val cgroupBytes = Seq(
+    "/sys/fs/cgroup/memory.max",
+    "/sys/fs/cgroup/memory/memory.limit_in_bytes")
+    .map(p => readLong(p, s =>
+      try Some(s.trim.toLong) catch { case _: NumberFormatException => None }))
+    .find(v => v > 0L && v < (1L << 46))
+    .getOrElse(0L)
+  val hostGb = memTotalKb / (1024 * 1024)
+  val cgroupGb = cgroupBytes / (1024L * 1024 * 1024)
+  val totalGb =
+    if (hostGb > 0 && cgroupGb > 0) math.min(hostGb, cgroupGb)
+    else math.max(hostGb, cgroupGb)
+  if (totalGb == 0) "6g"
+  else if (totalGb >= 48) "24g"
   else s"${math.max(2L, totalGb / 2)}g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

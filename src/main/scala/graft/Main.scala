@@ -32,7 +32,8 @@ import graft.streaming.{BucketedParquetBackend, EngineMetricsListener,
   *                  graft-changelog connector reads)
   *  - `backupUri`   StateOps backup root (file:///, hdfs://, s3a://)
   *  - `backupsToKeep`, `restoreMode` (always|when_needed|never)
-  *  - `backend`     "memory" | "bucketed"; `backendRoot`, `buckets`
+  *  - `backend`     "memory" | "bucketed"; `backendRoot`, `buckets`,
+  *    `compactEvery` (delta generations per full compaction)
   *  - `checkpointDir` streaming checkpoint location
   *  - `triggerMs`   continuous micro-batch cadence; absent = one
   *    bounded drain (Trigger.AvailableNow)
@@ -71,6 +72,8 @@ object Main {
       case "--config" :: v :: t => go(t, acc.copy(config = Some(v)))
       case "--relations" :: v :: t =>
         go(t, acc.copy(relations = acc.relations ++ v.split(",").map(_.trim)))
+      case (flag @ ("--config" | "--relations")) :: Nil =>
+        throw new IllegalArgumentException(s"missing value for $flag\n$usage")
       case "--build" :: t => go(t, acc.copy(build = true))
       case "--restore" :: t => go(t, acc.copy(restore = true))
       case "--verify-state" :: t => go(t, acc.copy(verifyState = true))
@@ -105,8 +108,9 @@ object Main {
       : (Map[String, Seq[String]], Map[String, StructType], Map[String, StructType]) = {
     import spark.implicits._
     val perEntity = entities.map { e =>
-      val lines = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(s"$topicsDir/$e.json")).asScala.toSeq
+      // Hadoop-FS read (not java.nio), so topicsDir has the same reach
+      // as every other URI the CLI takes: file:///, hdfs://, s3a://
+      val lines = readText(s"$topicsDir/$e.json").linesIterator.toSeq
       val keyJson = lines.grouped(2).map(_.head).toSeq
       val valueJson = lines.grouped(2).flatMap(_.drop(1)).filter(_.trim.nonEmpty).toSeq
       val kSchema = spark.read.json(keyJson.toDS()).schema
@@ -175,7 +179,8 @@ object Main {
         new BucketedParquetBackend(spark,
           backendRoot.getOrElse(throw new IllegalArgumentException(
             "backend=bucketed needs backendRoot")),
-          Option(conf.get("buckets")).map(_.asInt()).getOrElse(16))
+          Option(conf.get("buckets")).map(_.asInt()).getOrElse(16),
+          Option(conf.get("compactEvery")).map(_.asInt()).getOrElse(4))
       case _ => StateBackend.Memory
     }
     val filter = hook[RecordFilter](conf, "filterClass", Compaction.passThrough)
@@ -226,6 +231,8 @@ object Main {
         sink = sink,
         stateRoot = backupUri,
         backupEvery = Option(conf.get("backupEvery")).map(_.asInt()).getOrElse(1),
+        backupsToKeep =
+          Option(conf.get("backupsToKeep")).map(_.asInt()).getOrElse(5),
         backend = newBackend(),
         trigger = trigger)
       val metrics = new EngineMetricsListener(engine)
@@ -250,9 +257,12 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .getOrCreate()
-    try {
-      val code = run(cli, spark)
-      if (code != 0) sys.exit(code)
-    } finally spark.stop()
+    // sys.exit inside try/finally would skip the finally block
+    // (System.exit never unwinds), so stop the session FIRST and only
+    // then exit with a nonzero code.
+    val code =
+      try run(cli, spark)
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

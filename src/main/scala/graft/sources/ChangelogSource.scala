@@ -82,6 +82,30 @@ object ChangelogTable {
       StructField("value", valueSchema, nullable = true)))
 }
 
+/** Log access through the Hadoop FileSystem API, so a fixture log path
+  * has the same reach as every other URI the CLI takes — file:///,
+  * hdfs://, s3a:// (a bare path resolves against the default FS, as
+  * everywhere else in Hadoop). Planner calls run on the driver; the
+  * partition reader calls [[open]] on executors, where the default
+  * Configuration picks up any core-site on the classpath. */
+private[v2] object ChangelogIO {
+  def open(path: String): java.io.BufferedReader = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def countLines(path: String): Long = {
+    val r = open(path)
+    try {
+      var n = 0L
+      while (r.readLine() != null) n += 1
+      n
+    } finally r.close()
+  }
+}
+
 class ChangelogTable(path: String, schema: StructType, splits: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft-changelog(`$path`)"
@@ -143,8 +167,7 @@ class ChangelogScan(
   override def planInputPartitions(): Array[InputPartition] = {
     // One cheap driver pass for the record count (fixture planning —
     // a log-store variant would consult segment metadata instead).
-    val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
-    val nPairs = try ((lines.count() + 1) / 2) finally lines.close()
+    val nPairs = (ChangelogIO.countLines(path) + 1) / 2
     val from = math.max(0L, minPair)
     val until = math.min(nPairs, maxPairExcl)
     val total = math.max(0L, until - from)
@@ -192,10 +215,7 @@ class ChangelogMicroBatchStream(
     maxPairExcl: Long = Long.MaxValue)
     extends sstreaming.MicroBatchStream {
 
-  private def countPairs(): Long = {
-    val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
-    try (lines.count() + 1) / 2 finally lines.close()
-  }
+  private def countPairs(): Long = (ChangelogIO.countLines(path) + 1) / 2
 
   override def initialOffset(): sstreaming.Offset =
     ChangelogOffset(math.max(0L, minPair))
@@ -264,8 +284,7 @@ class ChangelogPartitionReader(
   // line pairs on demand — the partition never buffers the whole log
   // (a 100 TB log slice must stream), and every position is a Long
   // (the previous toInt slicing silently truncated past ~2^31 lines).
-  private val reader: java.io.BufferedReader =
-    java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(part.path))
+  private val reader: java.io.BufferedReader = ChangelogIO.open(part.path)
   locally {
     var skipped = 0L
     val toSkip = part.startPair * 2

@@ -41,21 +41,30 @@ object StreamRunner {
   /** Per-batch document sinks — the reference's output-topic
     * implementations (Kafka/console/black-hole,
     * topic/{KafkaTopic,ConsoleTopic,BlackHoleTopic}.java). Each
-    * receives (tree name, changed docs: __pk/doc_json/__deleted);
-    * a null doc_json row is a tombstone. */
-  type DocSink = (String, org.apache.spark.sql.DataFrame) => Unit
+    * receives (tree name, changed docs: __pk/doc_json/__deleted,
+    * micro-batch id); a null doc_json row is a tombstone. The batch id
+    * is stable across a foreachBatch REPLAY (failure between sink
+    * write and checkpoint commit), so sinks can be idempotent per
+    * batch — the reference's at-least-once + upsert-by-PK contract
+    * (Southpaw.java:297-315). */
+  type DocSink = (String, org.apache.spark.sql.DataFrame, Long) => Unit
 
   object DocSinks {
     /** Print changed docs (reference ConsoleTopic.java:65-73). */
-    val console: DocSink = (name, docs) =>
+    val console: DocSink = (name, docs, _) =>
       docs.select(hex(col("__pk")).as("pk"), col("doc_json"))
         .collect().foreach(r => println(s"[$name] ${r.get(0)} -> ${r.get(1)}"))
     /** Discard (reference BlackHoleTopic.java:63-65). */
-    val noop: DocSink = (_, _) => ()
-    /** Append changed docs to parquet, one dir per tree. */
-    def parquet(root: String): DocSink = (name, docs) =>
+    val noop: DocSink = (_, _, _) => ()
+    /** Changed docs as parquet, one dir per tree, one OVERWRITTEN
+      * partition dir per micro-batch: a replayed batch rewrites its own
+      * `batch_id=<n>` dir instead of appending duplicates, so the sink
+      * output is idempotent under at-least-once foreachBatch delivery.
+      * `spark.read.parquet(root/tree)` sees all batches (batch_id is a
+      * discovered partition column). */
+    def parquet(root: String): DocSink = (name, docs, batchId) =>
       docs.select(hex(col("__pk")).as("pk"), col("doc_json"), col("__deleted"))
-        .write.mode("append").parquet(s"$root/$name")
+        .write.mode("overwrite").parquet(s"$root/$name/batch_id=$batchId")
 
     /** One tree's changed docs in the Kafka producer record shape
       * `(key binary, value binary, topic string)` — the reference's
@@ -77,7 +86,7 @@ object StreamRunner {
       * (KafkaWiringSpec round-trips it through [[kafkaToChangelog]]);
       * the final `.save()` needs the spark-sql-kafka connector jar,
       * absent in this offline environment. */
-    def kafka(servers: String, topicPrefix: String = ""): DocSink = (name, docs) =>
+    def kafka(servers: String, topicPrefix: String = ""): DocSink = (name, docs, _) =>
       kafkaFrame(name, docs, topicPrefix)
         .write.format("kafka")
         .option("kafka.bootstrap.servers", servers)
@@ -172,6 +181,7 @@ object StreamRunner {
       onBatch: (IncrementalDenormalizer, Long) => Unit = (_, _) => (),
       stateRoot: Option[String] = None,
       backupEvery: Int = 1,
+      backupsToKeep: Int = 5,
       backend: StateBackend = StateBackend.Memory,
       trigger: Trigger = Trigger.AvailableNow())
       : (IncrementalDenormalizer, StreamingQuery) = {
@@ -227,13 +237,13 @@ object StreamRunner {
             engine.processBatch(perEntity)
             trees.flatMap(_.denormalizedName).foreach { name =>
               val changed = engine.changedDocs(name)
-              if (!changed.isEmpty) sink(name, changed)
+              if (!changed.isEmpty) sink(name, changed, batchId)
             }
           }
           onBatch(engine, batchId)
           stateRoot.foreach { r =>
             if (backupEvery > 0 && batchId % backupEvery == 0)
-              StateOps.backup(engine, r)
+              StateOps.backup(engine, r, backupsToKeep)
           }
         } finally cached.unpersist()
       }

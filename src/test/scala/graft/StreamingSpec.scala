@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("parquet doc sink is idempotent under foreachBatch replay") {
+    import spark.implicits._
+    // the at-least-once failure shape: the sink write lands, the
+    // checkpoint commit doesn't, the batch REPLAYS with the same id —
+    // the reference absorbs this via upsert-by-PK (Southpaw.java:
+    // 297-315); the parquet sink must absorb it via per-batch overwrite
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sink = StreamRunner.DocSinks.parquet(out)
+    def docsDf(rows: (Long, String)*) = rows.toDF("id", "doc_json")
+      .select(
+        graft.functions.CanonicalKey.canonicalPk(Seq(col("id"))).as("__pk"),
+        col("doc_json"), col("doc_json").isNull.as("__deleted"))
+    sink("T", docsDf(1L -> """{"a":1}""", 2L -> """{"a":2}"""), 0L)
+    sink("T", docsDf(3L -> """{"a":3}"""), 1L)
+    // replay batch 1 (same id, same content) — must not duplicate
+    sink("T", docsDf(3L -> """{"a":3}"""), 1L)
+    val back = spark.read.parquet(s"$out/T")
+    assert(back.count() == 3, "replayed batch duplicated sink output")
+    assert(back.columns.contains("batch_id"), "batch id not a partition column")
+    assert(back.where(col("batch_id") === 1).count() == 1)
+  }
+
   test("metrics listener reports engine counters under reference names after a 2-batch run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
