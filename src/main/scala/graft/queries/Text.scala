@@ -933,6 +933,113 @@ object Text {
         .orderBy("source")
     },
 
+    // C4-style global segment dedup (Raffel et al. 2020: "we discarded
+    // all but one of any three-sentence span occurring more than once
+    // in the data set"): segment every document into consecutive
+    // 10-token windows, keep only the FIRST global occurrence of each
+    // distinct segment (ordered by doc_id, then position), and rebuild
+    // each document from its surviving segments. The segmenter is the
+    // pluggable part — line/sentence splits drop in where a corpus has
+    // them; the fixture text is a flat word stream, so fixed token
+    // windows stand in. The dedup key is the segment's md5, so the
+    // first-occurrence window shuffles rows once keyed by a
+    // fixed-width digest; at 100 TB the same semantics decompose into
+    // a min-(doc,pos)-per-digest aggregation (map-side combinable)
+    // plus a digest-keyed join back, avoiding any window over raw
+    // text. Reconstruction is per-document local.
+    "q_line_dedup" -> QueryDef(
+      "C4-style global segment dedup: keep first occurrence, rebuild documents",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |           FROM documents),
+        |tt AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |segs AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS seg_id,
+        |    list_aggregate(w[s * 10 + 1 : least((s + 1) * 10, n)],
+        |      'string_agg', ' ') AS seg
+        |  FROM tt, unnest(range(0, (n + 9) // 10)) AS u(s)),
+        |k AS (SELECT doc_id, seg_id, seg,
+        |        row_number() OVER (PARTITION BY md5(seg)
+        |          ORDER BY doc_id, seg_id) AS rn
+        |      FROM segs)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_id)
+        |    FILTER (WHERE rn = 1), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("seg"))).orderBy("doc_id", "seg_id")
+      val segs = docs(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) > 0)
+        .select(col("doc_id"), col("__t"),
+          explode(sequence(lit(0L),
+            expr("cast((size(__t) + 9) div 10 as bigint) - 1"))).as("seg_id"))
+        .select(col("doc_id"), col("seg_id"),
+          array_join(slice(col("__t"),
+            (col("seg_id") * 10 + 1).cast(IntegerType), lit(10)), " ").as("seg"))
+      segs.withColumn("rn", row_number().over(W))
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            sort_array(collect_list(when(col("rn") === 1,
+              struct(col("seg_id"), col("seg"))))),
+            x => x("seg")), " ").as("clean_text"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("doc_id")
+    },
+
+    // Quality-greedy corpus selection under a per-source token budget —
+    // the curation step that turns "rank everything by quality" into an
+    // actual training mix: within each source, take documents in
+    // descending quality order (distinct-token count, doc_id
+    // tiebreak) until half the source's tokens are spent. All
+    // integer arithmetic (counts, running sums, integer-division
+    // budget), so both engines agree exactly. The running sum windows
+    // per source — bounded partitions (one per source); the 100 TB
+    // path replaces the exact greedy scan with a score-threshold
+    // select from an approximate quantile sketch, which needs no
+    // window at all.
+    "q_budget_select" -> QueryDef(
+      "greedy highest-quality docs per source under a half-the-tokens budget",
+      """WITH t AS (SELECT doc_id, source,
+        |             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, source, len(w) AS n_tok,
+        |        len(list_distinct(w)) AS n_distinct
+        |      FROM t WHERE len(w) > 0),
+        |r AS (SELECT *,
+        |        sum(n_tok) OVER (PARTITION BY source
+        |          ORDER BY n_distinct DESC, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(n_tok) OVER (PARTITION BY source) AS total
+        |      FROM s)
+        |SELECT source, doc_id,
+        |  CAST(n_distinct AS BIGINT) AS score,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum <= total // 2
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin) { (spark, dir) =>
+      val byQuality = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_distinct").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      docs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(col("__t")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("__t"))).cast(LongType).as("n_distinct"))
+        .withColumn("cum", sum(col("n_tok")).over(byQuality))
+        .withColumn("total", sum(col("n_tok")).over(bySource))
+        .where(col("cum") <= expr("total div 2"))
+        .select(col("source"), col("doc_id"), col("n_distinct").as("score"),
+          col("n_tok").as("n_tokens"), col("cum").as("cum_tokens"))
+        .orderBy("source", "cum_tokens", "doc_id")
+    },
+
     // Per-document duplicated-text coverage: the fraction of a doc's
     // distinct 5-gram shingles that occur in ANY other document — the
     // shingle approximation of suffix-array substring dedup (how much
