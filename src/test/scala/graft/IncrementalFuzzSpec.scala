@@ -108,4 +108,69 @@ class IncrementalFuzzSpec extends SparkSpec {
         s"seed=$seed index invariants violated")
     }
   }
+
+  // The same convergence law through the DURABLE backend: random
+  // chunkings build real delta-generation chains (compactEvery=3 means
+  // chains of full+deltas AND periodic compactions both occur), and a
+  // mid-replay engine handoff recovers purely from the composed
+  // on-disk generations before finishing — restarts must be invisible
+  // in the result for ANY op interleaving, not just the scripted
+  // fixtures (DurableStateSpec) and the q_incr_durable gate shape.
+  for (seed <- Seq(7, 99)) {
+    test(s"durable delta-generation replay with mid-replay restart converges (seed=$seed)") {
+      import graft.streaming.BucketedParquetBackend
+      val rnd = new scala.util.Random(seed)
+      val parentLog = opLog(rnd, "parent", 40, 8)
+      val childLog = opLog(rnd, "child", 90, 20)
+      val stateRoot = "file://" +
+        java.nio.file.Files.createTempDirectory("graft_fuzz_durable")
+      def newEngine(b: BucketedParquetBackend) = new IncrementalDenormalizer(
+        spark, Seq(tree), keyFields, valueSchemas, backend = b)
+      val b1 = new BucketedParquetBackend(spark, stateRoot, buckets = 4, compactEvery = 3)
+      val b2 = new BucketedParquetBackend(spark, stateRoot, buckets = 4, compactEvery = 3)
+      try {
+        val nChunks = 4 + rnd.nextInt(3)
+        val pChunks = chunk(rnd, parentLog, nChunks)
+        val cChunks = chunk(rnd, childLog, nChunks)
+        val restartAt = 1 + rnd.nextInt(nChunks - 1)
+        var engine = newEngine(b1)
+        pChunks.zip(cChunks).zipWithIndex.foreach { case ((p, c), i) =>
+          if (i == restartAt) {
+            // handoff: a second engine recovers from committed
+            // generations only (delta chains compose from disk)
+            engine = newEngine(b2)
+            engine.loadStateTables(BucketedParquetBackend.latest(spark, stateRoot))
+          }
+          val batch = Seq(
+            "parent" -> (if (p.nonEmpty) Some(changelogDf(p, parentSchema)) else None),
+            "child" -> (if (c.nonEmpty) Some(changelogDf(c, childSchema)) else None)
+          ).collect { case (e, Some(df)) => e -> df }.toMap
+          if (batch.nonEmpty) engine.processBatch(batch)
+        }
+        val incr = liveDocs(engine.docs("FuzzDoc").where(!col("__deleted")))
+
+        val snapshots = Map(
+          "parent" -> Compaction.snapshot(Compaction.compact(
+            changelogDf(parentLog, parentSchema), "parent", Seq("id"))),
+          "child" -> Compaction.snapshot(Compaction.compact(
+            changelogDf(childLog, childSchema), "child", Seq("id"))))
+        val batchDocs = liveDocs(
+          Denormalize.documents(tree, snapshots, keyFields)
+            .select(col("__pk"), col("doc_json")))
+
+        assert(incr.keySet == batchDocs.keySet,
+          s"seed=$seed restartAt=$restartAt live keys differ: " +
+            s"incrOnly=${incr.keySet.diff(batchDocs.keySet)} " +
+            s"batchOnly=${batchDocs.keySet.diff(incr.keySet)}")
+        incr.foreach { case (k, doc) =>
+          assert(doc == batchDocs(k),
+            s"seed=$seed restartAt=$restartAt doc $k diverged:\n incr: $doc\n batch: ${batchDocs(k)}")
+        }
+        assert(graft.streaming.StateOps.verifyState(engine).isEmpty,
+          s"seed=$seed index invariants violated after durable replay")
+      } finally {
+        b2.deleteAll(); b1.deleteAll()
+      }
+    }
+  }
 }
