@@ -31,6 +31,21 @@ class ChangelogSourceSpec extends AnyFunSuite with SparkSpec {
     assert(g == e)
   }
 
+  test("a scheme-qualified file:/// path reads identically (Hadoop-FS reach)") {
+    // the reader goes through the Hadoop FileSystem API, so the log
+    // path accepts any scheme the session can reach (file://, hdfs://,
+    // s3a://) — asserted here with an explicit file:/// URI producing
+    // byte-identical rows to the bare-path read
+    val qualified = "file://" + path
+    val got = spark.read.format("graft-changelog")
+      .option("keySchema", ReferenceFixtures.keySchema(entity).toDDL)
+      .option("valueSchema", ReferenceFixtures.valueSchemas(entity).toDDL)
+      .load(qualified)
+      .orderBy("offset").collect().map(_.toString).toSeq
+    val bare = readV2().orderBy("offset").collect().map(_.toString).toSeq
+    assert(got == bare && got.nonEmpty)
+  }
+
   test("tombstones arrive as null values") {
     val tombs = readV2().where(col("value").isNull).count()
     val expected = FixtureReader.readTopic(spark, path,

@@ -177,9 +177,11 @@ class MainSpec extends SparkSpec {
       """{"id":100}
         |{"id":100,"name":"ann"}
         |""".stripMargin)
+    // topicsDir deliberately scheme-qualified: schema inference and the
+    // streaming reader must take any Hadoop-FS URI, not just bare paths
     write(dir, "conf.json",
       s"""{
-         |  "topicsDir": "$dir/topics",
+         |  "topicsDir": "file://$dir/topics",
          |  "backupUri": "file://$dir/backups",
          |  "backupsToKeep": 2,
          |  "backupEvery": 1,
