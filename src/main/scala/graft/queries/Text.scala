@@ -1052,6 +1052,72 @@ object Text {
         .orderBy("source", "cum_tokens", "doc_id")
     },
 
+    // Count-min-sketch frequency estimation: bigram counts estimated
+    // through a (depth=4, width=65536) CMS instead of an exact
+    // gram-keyed aggregation. The scale story is the POINT: the exact
+    // count shuffles the full gram stream keyed by gram (unbounded key
+    // space, Zipf-hot keys), while the sketch shuffles into a FIXED
+    // 4×65536 counter key space with map-side combine — bounded
+    // memory, bounded shuffle, any corpus size. Probe grams (the
+    // corpus's exact top bigrams) read their estimate as min over the
+    // 4 rows; CMS guarantees est ≥ exact, and the deterministic
+    // md5-derived bucket hashes make the ESTIMATES (collisions and
+    // all) exactly reproducible by the SQL oracle — no approximation
+    // slack in the correctness check.
+    "q_cms_count" -> QueryDef(
+      "count-min-sketch bigram frequency estimates vs exact (deterministic hashes)",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg
+        |      FROM tt, unnest(range(1, n)) AS u(i)),
+        |cms AS (SELECT d,
+        |          ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || bg), 1, 15))::BIGINT
+        |            % 65536 AS bucket,
+        |          count(*) AS c
+        |        FROM b, unnest(range(0, 4)) AS r(d)
+        |        GROUP BY 1, 2),
+        |probes AS (SELECT bg, count(*) AS exact
+        |           FROM b GROUP BY bg ORDER BY exact DESC, bg LIMIT 20),
+        |est AS (SELECT p.bg, p.exact, min(c.c) AS est
+        |        FROM probes p
+        |        CROSS JOIN unnest(range(0, 4)) AS r(d)
+        |        JOIN cms c ON c.d = r.d
+        |          AND c.bucket = ('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || p.bg), 1, 15))::BIGINT % 65536
+        |        GROUP BY p.bg, p.exact)
+        |SELECT bg, CAST(exact AS BIGINT) AS exact_count,
+        |  CAST(est AS BIGINT) AS cms_estimate
+        |FROM est ORDER BY exact_count DESC, bg""".stripMargin) { (spark, dir) =>
+      val base = docs(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val bigrams = base
+        .select(explode(TextAnalysis.bigrams(col("__t"))).as("bg"))
+        .graftCkptMem()
+      // the sketch: explode each gram into its 4 (depth, bucket) cells
+      // and count — the aggregation keys into a FIXED 4×65536 space
+      val cms = bigrams
+        .select(explode(sequence(lit(0), lit(3))).as("d"), col("bg"))
+        .select(col("d"),
+          TextAnalysis.hashBucket(
+            concat(col("d").cast(StringType), lit(":"), col("bg")), 65536)
+            .as("bucket"))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+      val probes = bigrams.groupBy("bg").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("bg")).limit(20)
+      probes
+        .select(col("bg"), col("exact"),
+          explode(sequence(lit(0), lit(3))).as("d"))
+        .withColumn("bucket", TextAnalysis.hashBucket(
+          concat(col("d").cast(StringType), lit(":"), col("bg")), 65536))
+        .join(cms, Seq("d", "bucket"))
+        .groupBy("bg", "exact").agg(min(col("c")).as("est"))
+        .select(col("bg"), col("exact").as("exact_count"),
+          col("est").as("cms_estimate"))
+        .orderBy(col("exact_count").desc, col("bg"))
+    },
+
     // Per-document duplicated-text coverage: the fraction of a doc's
     // distinct 5-gram shingles that occur in ANY other document — the
     // shingle approximation of suffix-array substring dedup (how much
