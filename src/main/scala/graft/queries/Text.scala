@@ -21,6 +21,13 @@ object Text {
   private val stopList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB CTE for distinct 5-grams (mirrors TextAnalysis.grams n=5). */
+  /** HLL raw-estimate numerator: alpha(m=1024) in parts-per-million ×
+    * m² × 2^51, one exact integer constant shared by the Spark plan
+    * and the SQL oracle (the denominator carries the ×1e6 ppm scale).
+    * alpha = 0.7213 / (1 + 1.079/1024) ≈ 0.720541. */
+  private[queries] val hllNumerator: String =
+    (BigInt(720541) * BigInt(1024) * BigInt(1024) * (BigInt(1) << 51)).toString
+
   private val gramsCte =
     """g AS (
       |  SELECT DISTINCT doc_id, substr(text, g, 5) AS gram
@@ -1116,6 +1123,68 @@ object Text {
         .select(col("bg"), col("exact").as("exact_count"),
           col("est").as("cms_estimate"))
         .orderBy(col("exact_count").desc, col("bg"))
+    },
+
+    // HyperLogLog distinct counting, integer-exact: per-source
+    // vocabulary size estimated from a 1024-register HLL whose whole
+    // pipeline — 60-bit md5-derived hash, register index, leading-zero
+    // rank, max-per-register, and the raw-estimate formula in scaled
+    // integer arithmetic (alpha in ppm, powers of two as shifts,
+    // decimal division) — is deterministic and replayed bit-for-bit by
+    // the SQL oracle. The scale story: COUNT(DISTINCT) shuffles every
+    // distinct value; the sketch aggregates into ≤1024 fixed-width
+    // registers per group with map-side combine (max commutes), which
+    // is how you count distinct URLs/docs/tokens per source at 100 TB.
+    // Raw estimate only (no small-range linear counting — that needs a
+    // float ln); production accuracy at low cardinalities would add the
+    // correction, estimator parity is what is asserted here.
+    "q_hll_distinct" -> QueryDef(
+      "per-source distinct-token estimate via an integer-exact 1024-register HLL",
+      s"""WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |           FROM documents),
+         |h AS (SELECT source,
+         |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |r AS (SELECT source, hv % 1024 AS idx,
+         |        CASE WHEN hv // 1024 = 0 THEN 51
+         |             ELSE 51 - length(bin(hv // 1024)) END AS rank
+         |      FROM h),
+         |regs AS (SELECT source, idx, max(rank) AS m FROM r GROUP BY 1, 2),
+         |cells AS (SELECT s.source, CAST(u.i AS BIGINT) AS idx
+         |          FROM (SELECT DISTINCT source FROM documents) s
+         |          CROSS JOIN unnest(range(0, 1024)) AS u(i)),
+         |nsum AS (SELECT c.source,
+         |           sum(1::BIGINT << (51 - coalesce(regs.m, 0))) AS n
+         |         FROM cells c LEFT JOIN regs
+         |           ON regs.source = c.source AND regs.idx = c.idx
+         |         GROUP BY c.source),
+         |ex AS (SELECT source, count(DISTINCT tok) AS exact FROM t GROUP BY source)
+         |SELECT e.source, CAST(e.exact AS BIGINT) AS exact_distinct,
+         |  CAST(CAST('${Text.hllNumerator}' AS HUGEINT)
+         |    // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS hll_estimate
+         |FROM ex e JOIN nsum USING (source) ORDER BY e.source""".stripMargin) { (spark, dir) =>
+      val toks = docs(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .graftCkptMem()
+      val ranks = toks
+        .select(col("source"),
+          expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("hv"))
+        .select(col("source"), pmod(col("hv"), lit(1024L)).as("idx"),
+          when(expr("hv div 1024") === 0L, 51L)
+            .otherwise(lit(51L) - length(bin(expr("hv div 1024")))).as("rank"))
+      val regs = ranks.groupBy("source", "idx").agg(max(col("rank")).as("m"))
+      val cells = docs(spark, dir).select(col("source")).distinct()
+        .crossJoin(spark.range(1024).select(col("id").as("idx")))
+      val nsum = cells.join(regs, Seq("source", "idx"), "left_outer")
+        .groupBy("source")
+        .agg(sum(expr(
+          "shiftleft(cast(1 as bigint), cast(51 - coalesce(m, 0) as int))")).as("n"))
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      exact.join(nsum, "source")
+        .select(col("source"), col("exact_distinct"),
+          expr(s"cast(cast('${Text.hllNumerator}' as decimal(38,0)) div " +
+            "(cast(n as decimal(38,0)) * 1000000) as bigint)").as("hll_estimate"))
+        .orderBy("source")
     },
 
     // Per-document duplicated-text coverage: the fraction of a doc's
