@@ -35,6 +35,29 @@ class TextOpsPlanSpec extends SparkSpec {
     }
   }
 
+  test("round-7 operators prune the documents scan to the columns they touch") {
+    // column pruning must reach the parquet scan: a 5-column table read
+    // for a 2-3 column operator is wasted IO at corpus scale
+    def readSchema(q: String): String = {
+      val p = Registry.all(q).build(spark, dir).queryExecution.executedPlan.toString
+      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse(fail(s"no parquet ReadSchema in plan of $q:\n$p"))
+    }
+    val span = readSchema("q_span_dedup")
+    assert(span.contains("doc_id") && span.contains("text") &&
+      !span.contains("lang") && !span.contains("n_chars"),
+      s"q_span_dedup over-reads: $span")
+    val line = readSchema("q_line_dedup")
+    assert(!line.contains("source") && !line.contains("lang"),
+      s"q_line_dedup over-reads: $line")
+    val budget = readSchema("q_budget_select")
+    assert(budget.contains("source") && !budget.contains("lang") &&
+      !budget.contains("n_chars"), s"q_budget_select over-reads: $budget")
+    // (q_cms_count / q_hll_distinct checkpoint their token streams
+    // during build, so the parquet scan is not in the final plan; the
+    // scan under the checkpoint projects only the touched columns.)
+  }
+
   test("scrubPii redacts planted emails, IPs, and card numbers and counts them") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
