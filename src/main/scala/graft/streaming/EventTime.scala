@@ -47,4 +47,47 @@ object EventTime {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"),
         col(keyCol), col("n"))
+
+  /** Stream-stream event-time INTERVAL join: each left row matches
+    * right rows with the same key whose event time falls in
+    * `[l.ts + lowerBound, l.ts + upperBound]` (bounds are SQL interval
+    * strings, e.g. "0 seconds" / "30 seconds").
+    *
+    * Both sides carry the watermark; together with the time-range
+    * condition it gives Spark a provable bound on how long either
+    * side's rows can still find partners, so join state EVICTS as the
+    * watermark advances — the only way a stream-stream join runs
+    * forever (an unconstrained stream join would buffer both streams
+    * entirely). State per key is bounded by the interval width plus
+    * the watermark delay, regardless of stream length. The same plan
+    * evaluates in batch mode as a plain conditional equijoin, giving
+    * batch/stream parity (asserted in EventTimeSpec).
+    *
+    * Column naming: output = left columns with `tsCol` as `l_ts`, plus
+    * the right value/ts columns prefixed `r_` — collision-free without
+    * caller renames. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      lowerBound: String,
+      upperBound: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+      .select(col(keyCol).as("__k"), col(leftTsCol).as("l_ts"),
+        struct(left.columns.filterNot(c => c == keyCol || c == leftTsCol)
+          .map(col).toSeq: _*).as("l_val"))
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .select(col(keyCol).as("__rk"), col(rightTsCol).as("r_ts"),
+        struct(right.columns.filterNot(c => c == keyCol || c == rightTsCol)
+          .map(col).toSeq: _*).as("r_val"))
+    l.join(r,
+      col("__k") === col("__rk") &&
+        col("r_ts") >= expr(s"l_ts + INTERVAL $lowerBound") &&
+        col("r_ts") <= expr(s"l_ts + INTERVAL $upperBound"))
+      .select(col("__k").as(keyCol), col("l_ts"), col("l_val"),
+        col("r_ts"), col("r_val"))
+  }
 }

@@ -63,6 +63,64 @@ class EventTimeSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch join and manages bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // views joined to clicks within [0s, 30s] after the view
+    val views = MemoryStream[(String, Timestamp, Long)]
+    val clicks = MemoryStream[(String, Timestamp, String)]
+    val out = EventTime.intervalJoin(
+      views.toDF().toDF("user", "ts", "view_id"),
+      clicks.toDF().toDF("user", "ts", "target"),
+      keyCol = "user", leftTsCol = "ts", rightTsCol = "ts",
+      lowerBound = "0 seconds", upperBound = "30 seconds",
+      watermarkDelay = "10 seconds")
+      .select(col("user"), col("l_ts").cast("long").as("vt"),
+        col("l_val.view_id"), col("r_ts").cast("long").as("ct"),
+        col("r_val.target"))
+
+    val query = out.writeStream
+      .format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val vRows = Seq(("a", ts(10), 1L), ("a", ts(100), 2L), ("b", ts(12), 3L))
+      val cRows = Seq(
+        ("a", ts(25), "in-range"),     // 15s after view 1 → match
+        ("a", ts(45), "too-late"),     // 35s after view 1 → no match
+        ("b", ts(12), "same-instant"), // 0s after view 3 → match
+        ("c", ts(20), "no-view"))      // key with no view → no match
+      views.addData(vRows)
+      clicks.addData(cRows)
+      query.processAllAvailable()
+      // advance both watermarks far past every interval so all matches emit
+      views.addData(Seq(("z", ts(1000), 9L)))
+      clicks.addData(Seq(("z", ts(1000), "wm")))
+      query.processAllAvailable()
+
+      val got = spark.table("ivj")
+        .select("user", "view_id", "target")
+        .as[(String, Long, String)].collect().toSet
+      // batch parity: the SAME operator over the same rows as plain frames
+      val batch = EventTime.intervalJoin(
+        (vRows ++ Seq(("z", ts(1000), 9L))).toDF("user", "ts", "view_id"),
+        (cRows ++ Seq(("z", ts(1000), "wm"))).toDF("user", "ts", "target"),
+        "user", "ts", "ts", "0 seconds", "30 seconds", "10 seconds")
+        .select(col("user"), col("l_val.view_id"), col("r_val.target"))
+        .as[(String, Long, String)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got == Set(("a", 1L, "in-range"), ("b", 3L, "same-instant"),
+        ("z", 9L, "wm")), s"got $got")
+      // join state is watermark-managed (present, and rows evict:
+      // removed counter advanced once the watermark passed them)
+      val ops = query.lastProgress.stateOperators.asScala
+      assert(ops.nonEmpty, "no stateful join operator in progress")
+      assert(ops.map(_.numRowsRemoved).sum > 0L,
+        "watermark advanced past buffered rows but nothing evicted")
+    } finally query.stop()
+  }
+
   private implicit class ArrayOps[T](a: Array[T]) {
     def asScala: Seq[T] = a.toSeq
   }
