@@ -48,6 +48,29 @@ object EventTime {
         col("window.end").as("win_end"),
         col(keyCol), col("n"))
 
+  /** Event-time SESSION windows with watermark-bounded state: rows of
+    * a key group into one session while consecutive gaps stay under
+    * `gap`; a session finalizes (append mode emits it exactly once)
+    * when the watermark passes its end + gap. This is the streaming
+    * face of the batch `q_sessionize` semantics — the identical
+    * `session_window` expression evaluates in both modes, so a
+    * sessionization job can replay history in batch and keep running
+    * on the live stream with one definition. State per key is the
+    * open sessions only; closed sessions evict with the watermark. */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col(keyCol), col("n"))
+
   /** Stream-stream event-time INTERVAL join: each left row matches
     * right rows with the same key whose event time falls in
     * `[l.ts + lowerBound, l.ts + upperBound]` (bounds are SQL interval

@@ -63,6 +63,57 @@ class EventTimeSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session windows merge on gap, finalize on watermark, and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String)]
+    val out = EventTime.sessionCounts(
+      stream.toDF().toDF("ts", "k"), "ts", "k",
+      gap = "10 seconds", watermarkDelay = "5 seconds")
+
+    val query = out.writeStream
+      .format("memory").queryName("sess_counts")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // one key, two bursts: (1,4,8) chain within the 10s gap; then 40
+      stream.addData(Seq(ts(1) -> "a", ts(4) -> "a", ts(8) -> "a", ts(40) -> "a"))
+      query.processAllAvailable()
+      // watermark = 40-5 = 35 ≥ first session end (8+10=18) → finalized;
+      // the 40s session is still open
+      val first = spark.table("sess_counts")
+        .select(col("sess_start").cast("long"), col("sess_end").cast("long"),
+          col("k"), col("n"))
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(first == Set((1L, 18L, "a", 3L)), s"got $first")
+
+      // extend the open session (45 within gap of 40), then advance the
+      // watermark far enough to close it
+      stream.addData(Seq(ts(45) -> "a"))
+      query.processAllAvailable()
+      stream.addData(Seq(ts(200) -> "b"))
+      query.processAllAvailable()
+      val all = spark.table("sess_counts")
+        .select(col("sess_start").cast("long"), col("sess_end").cast("long"),
+          col("k"), col("n"))
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(all == Set((1L, 18L, "a", 3L), (40L, 55L, "a", 2L)), s"got $all")
+
+      // batch parity: the same operator over the same rows as one frame
+      val batch = EventTime.sessionCounts(
+        Seq(ts(1) -> "a", ts(4) -> "a", ts(8) -> "a", ts(40) -> "a",
+          ts(45) -> "a", ts(200) -> "b").toDF("ts", "k"),
+        "ts", "k", "10 seconds", "5 seconds")
+        .select(col("sess_start").cast("long"), col("sess_end").cast("long"),
+          col("k"), col("n"))
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(all.subsetOf(batch) &&
+        (batch -- all) == Set((200L, 210L, "b", 1L)),
+        s"batch $batch vs streamed $all (only b's open session may differ)")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches the batch join and manages bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
