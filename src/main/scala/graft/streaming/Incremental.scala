@@ -273,7 +273,7 @@ final class IncrementalDenormalizer(
       // under the live root
       val names = tables.keys.toSeq.filter(stateTables.keySet)
       val out = parMaterialize(
-        names.map(n => matState(n, tables(n))), "recover")
+        names.map(n => matState(n, alignRestored(n, tables(n)))), "recover")
       names.zip(out).toMap
     }
     def load(name: String, old: DataFrame): DataFrame =
@@ -297,6 +297,41 @@ final class IncrementalDenormalizer(
       n -> load(s"pending_low__${safeName(n)}", old)
     }
     backend.gc()
+  }
+
+  /** Schema evolution across restart: a restored snapshot table whose
+    * value struct predates the CURRENTLY configured entity schema is
+    * projected into it — declared fields missing from the stored rows
+    * become null, removed fields drop, integral widths widen — the
+    * same by-name tolerance the serde layer applies to evolved
+    * payloads (reference AvroSerde semantics), so a deployment can add
+    * a column to an entity and restart over its existing durable state
+    * instead of rebuilding from offset zero. Non-snapshot tables have
+    * engine-fixed schemas and pass through untouched. */
+  private def alignRestored(name: String, df: DataFrame): DataFrame =
+    if (!name.startsWith("snapshot__")) df
+    else {
+      val entity = name.stripPrefix("snapshot__")
+      val target = valueSchemas(entity)
+      if (df.schema("value").dataType == target) df
+      else df.select(col("__pk"),
+        alignColumn(Some(col("value")), target,
+          Some(df.schema("value").dataType)).as("value"))
+    }
+
+  private def alignColumn(src: Option[Column], dt: DataType,
+      srcType: Option[DataType]): Column = (src, dt, srcType) match {
+    case (None, _, _) => lit(null).cast(dt)
+    case (Some(c), st: StructType, Some(srcSt: StructType)) =>
+      when(c.isNull, lit(null).cast(st)).otherwise(
+        struct(st.fields.toSeq.map { f =>
+          val has = srcSt.fieldNames.contains(f.name)
+          alignColumn(
+            if (has) Some(c.getField(f.name)) else None,
+            f.dataType,
+            if (has) Some(srcSt(f.name).dataType) else None).as(f.name)
+        }: _*))
+    case (Some(c), _, _) => c.cast(dt)
   }
 
   /** Index-invariant checks (the reference's --verify-state,
