@@ -178,13 +178,20 @@ class MainSpec extends SparkSpec {
         |{"id":100,"name":"ann"}
         |""".stripMargin)
     // topicsDir deliberately scheme-qualified: schema inference and the
-    // streaming reader must take any Hadoop-FS URI, not just bare paths
+    // streaming reader must take any Hadoop-FS URI, not just bare
+    // paths. Durable backend with a short compaction cycle, so the
+    // soak also drives delta generations + gc through the live
+    // continuous path.
     write(dir, "conf.json",
       s"""{
          |  "topicsDir": "file://$dir/topics",
          |  "backupUri": "file://$dir/backups",
          |  "backupsToKeep": 2,
          |  "backupEvery": 1,
+         |  "backend": "bucketed",
+         |  "backendRoot": "file://$dir/state",
+         |  "buckets": 4,
+         |  "compactEvery": 4,
          |  "checkpointDir": "$dir/ckpt",
          |  "sink": "parquet",
          |  "sinkPath": "$dir/out",
@@ -228,6 +235,16 @@ class MainSpec extends SparkSpec {
       waitFor("backup rotation to exactly 2, have " +
           s"${StateOps.backups(s"file://$dir/backups")}")(
         StateOps.backups(s"file://$dir/backups").size == 2)
+      // the durable backend is live: committed generations exist, and
+      // with compactEvery=4 over 3 persists per table the chain ends
+      // full + deltas — at least one DELTA generation (rows/ layout)
+      // is still on disk at stop
+      val stateDir = java.nio.file.Paths.get(s"$dir/state")
+      assert(java.nio.file.Files.list(stateDir).count() > 0,
+        "no durable state tables written by the soak")
+      val hasDelta = java.nio.file.Files.walk(stateDir)
+        .anyMatch(p => p.getFileName.toString == "rows")
+      assert(hasDelta, "soak never wrote a delta generation")
     } finally {
       spark.streams.active.foreach(_.stop())
       assert(Await.result(run, 90.seconds) == 0,
