@@ -400,24 +400,35 @@ final class IncrementalDenormalizer(
     // reads consistent pre-batch state.
     val drainLowNow = batchIndex % math.max(lowDrainEvery, 1) == 0
 
-    // (tree, priority) -> dirty parts from this batch's deltas
+    // (tree, priority) -> dirty parts from this batch's deltas. A
+    // changed record can dirty roots through BOTH positions it holds:
+    // as the tree's root entity (its own document) AND as a child of
+    // some edge (the parents whose child lists it enters/leaves) —
+    // self-referential trees (manager → reports, comment threads) have
+    // the same entity in both roles, so these parts are additive, not
+    // exclusive (SelfReferenceSpec pins the FK-flip case).
     def dirtyParts(tree: Relation,
         wanted: QueueingStrategy.Priority => Boolean): Seq[DataFrame] =
       lazyDeltas.toSeq.flatMap { case (entity, delta) =>
         val name = tree.denormalizedName.get
         val pri = strategy.priority(name, entity)
-        if (!wanted(pri)) None
-        else if (tree.entity == entity)
-          Some(delta.select(col("__pk").as("__rpk")))
-        else firstEdgeFor(tree, entity).map { edge =>
-          val jkField = edge.child.joinKey.get
-          val newJks = delta.where(col("value").isNotNull)
-            .select(canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
-          val oldJks = delta.join(links(edge.id),
-            delta("__pk") === links(edge.id)("__cpk"), "inner")
-            .select(col("__jk"))
-          val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
-          rootmaps(edge.id).join(jks, "__jk").select(col("__rpk"))
+        if (!wanted(pri)) Nil
+        else {
+          val rootPart =
+            if (tree.entity == entity)
+              Some(delta.select(col("__pk").as("__rpk")))
+            else None
+          val edgePart = firstEdgeFor(tree, entity).map { edge =>
+            val jkField = edge.child.joinKey.get
+            val newJks = delta.where(col("value").isNotNull)
+              .select(canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
+            val oldJks = delta.join(links(edge.id),
+              delta("__pk") === links(edge.id)("__cpk"), "inner")
+              .select(col("__jk"))
+            val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
+            rootmaps(edge.id).join(jks, "__jk").select(col("__rpk"))
+          }
+          rootPart.toSeq ++ edgePart.toSeq
         }
       }
     def unionParts(parts: Seq[DataFrame]): DataFrame =

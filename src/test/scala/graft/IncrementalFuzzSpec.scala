@@ -109,6 +109,48 @@ class IncrementalFuzzSpec extends SparkSpec {
     }
   }
 
+  // Self-referential tree (emp → emp on manager id): every change
+  // fans out through BOTH roles the entity holds — its own document
+  // and the child lists of old/new managers — under random upserts,
+  // deletes, and manager flips across random batch boundaries.
+  for (seed <- Seq(11, 4242)) {
+    test(s"self-referential random op-log converges to batch compilation (seed=$seed)") {
+      val empSchema = StructType(Seq(
+        StructField("id", LongType), StructField("mgr", LongType),
+        StructField("v", LongType)))
+      val empTree = Relation.root("FuzzEmp", "emp",
+        Relation.child("emp", "mgr", "id"))
+      val kf = Map("emp" -> Seq("id"))
+      val rnd = new scala.util.Random(seed)
+      val log: Seq[Row] = (0 until 120).map { i =>
+        val id = 1L + rnd.nextInt(15)
+        val value: Row =
+          if (rnd.nextDouble() < 0.2) null
+          else Row(id, 1L + rnd.nextInt(15), rnd.nextLong(100))
+        Row(i.toLong, Row(id), value)
+      }
+      val engine = new IncrementalDenormalizer(
+        spark, Seq(empTree), kf, Map("emp" -> empSchema))
+      chunk(rnd, log, 1 + rnd.nextInt(5)).foreach { c =>
+        if (c.nonEmpty)
+          engine.processBatch(Map("emp" -> changelogDf(c, empSchema)))
+      }
+      val incr = liveDocs(engine.docs("FuzzEmp").where(!col("__deleted")))
+      val snapshot = Compaction.snapshot(Compaction.compact(
+        changelogDf(log, empSchema), "emp", Seq("id")))
+      val batchDocs = liveDocs(
+        Denormalize.documents(empTree, Map("emp" -> snapshot), kf)
+          .select(col("__pk"), col("doc_json")))
+      assert(incr.keySet == batchDocs.keySet,
+        s"seed=$seed keys differ: incrOnly=${incr.keySet.diff(batchDocs.keySet)} " +
+          s"batchOnly=${batchDocs.keySet.diff(incr.keySet)}")
+      incr.foreach { case (k, doc) =>
+        assert(doc == batchDocs(k), s"seed=$seed doc $k diverged:\n incr: $doc\n batch: ${batchDocs(k)}")
+      }
+      assert(graft.streaming.StateOps.verifyState(engine).isEmpty)
+    }
+  }
+
   // The same convergence law through the DURABLE backend: random
   // chunkings build real delta-generation chains (compactEvery=3 means
   // chains of full+deltas AND periodic compactions both occur), and a
