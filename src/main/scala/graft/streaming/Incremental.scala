@@ -401,12 +401,15 @@ final class IncrementalDenormalizer(
     val drainLowNow = batchIndex % math.max(lowDrainEvery, 1) == 0
 
     // (tree, priority) -> dirty parts from this batch's deltas. A
-    // changed record can dirty roots through BOTH positions it holds:
-    // as the tree's root entity (its own document) AND as a child of
-    // some edge (the parents whose child lists it enters/leaves) —
-    // self-referential trees (manager → reports, comment threads) have
-    // the same entity in both roles, so these parts are additive, not
-    // exclusive (SelfReferenceSpec pins the FK-flip case).
+    // changed record dirties roots through EVERY position it holds in
+    // the tree: as the root entity (its own document) and as the child
+    // of EACH edge whose child entity matches — the parents whose
+    // child lists it enters/leaves, per edge, on that edge's own join
+    // key. The parts are additive: self-referential trees (manager →
+    // reports) put one entity in both roles, and diamond trees hang
+    // one entity under several edges with different FKs; restricting
+    // to the first matching edge left the other paths' parents stale
+    // (SelfReferenceSpec, DiamondEdgeSpec pin the FK-flip cases).
     def dirtyParts(tree: Relation,
         wanted: QueueingStrategy.Priority => Boolean): Seq[DataFrame] =
       lazyDeltas.toSeq.flatMap { case (entity, delta) =>
@@ -418,17 +421,19 @@ final class IncrementalDenormalizer(
             if (tree.entity == entity)
               Some(delta.select(col("__pk").as("__rpk")))
             else None
-          val edgePart = firstEdgeFor(tree, entity).map { edge =>
-            val jkField = edge.child.joinKey.get
-            val newJks = delta.where(col("value").isNotNull)
-              .select(canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
-            val oldJks = delta.join(links(edge.id),
-              delta("__pk") === links(edge.id)("__cpk"), "inner")
-              .select(col("__jk"))
-            val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
-            rootmaps(edge.id).join(jks, "__jk").select(col("__rpk"))
-          }
-          rootPart.toSeq ++ edgePart.toSeq
+          val edgeParts = edges
+            .filter(e => e.tree == tree && e.child.entity == entity)
+            .map { edge =>
+              val jkField = edge.child.joinKey.get
+              val newJks = delta.where(col("value").isNotNull)
+                .select(canonicalPk(Seq(col("value").getField(jkField))).as("__jk"))
+              val oldJks = delta.join(links(edge.id),
+                delta("__pk") === links(edge.id)("__cpk"), "inner")
+                .select(col("__jk"))
+              val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
+              rootmaps(edge.id).join(jks, "__jk").select(col("__rpk"))
+            }
+          rootPart.toSeq ++ edgeParts
         }
       }
     def unionParts(parts: Seq[DataFrame]): DataFrame =
