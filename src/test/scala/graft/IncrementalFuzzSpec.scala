@@ -151,6 +151,65 @@ class IncrementalFuzzSpec extends SparkSpec {
     }
   }
 
+  // Diamond tree (detail under TWO edges with different FKs: root ←
+  // mid ← detail.left_id and root ← detail.right_id): every change
+  // must fan out through each edge independently under random churn.
+  for (seed <- Seq(23, 777)) {
+    test(s"diamond-edge random op-log converges to batch compilation (seed=$seed)") {
+      val rootS = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val midS = StructType(Seq(
+        StructField("id", LongType), StructField("root_id", LongType)))
+      val detS = StructType(Seq(
+        StructField("id", LongType), StructField("left_id", LongType),
+        StructField("right_id", LongType), StructField("v", LongType)))
+      val dTree = Relation.root("FuzzDiamond", "root",
+        Relation.child("mid", "root_id", "id",
+          Relation.child("detail", "left_id", "id")),
+        Relation.child("detail", "right_id", "id"))
+      val kf = Map("root" -> Seq("id"), "mid" -> Seq("id"), "detail" -> Seq("id"))
+      val rnd = new scala.util.Random(seed)
+      def log(n: Int, keys: Int, mk: Long => Row): Seq[Row] =
+        (0 until n).map { i =>
+          val id = 1L + rnd.nextInt(keys)
+          Row(i.toLong, Row(id),
+            if (rnd.nextDouble() < 0.2) null else mk(id))
+        }
+      val rootLog = log(30, 6, id => Row(id, s"r$id"))
+      val midLog = log(50, 10, id => Row(id, 1L + rnd.nextInt(6)))
+      val detLog = log(90, 20,
+        id => Row(id, 1L + rnd.nextInt(10), 1L + rnd.nextInt(6), rnd.nextLong(50)))
+
+      val engine = new IncrementalDenormalizer(spark, Seq(dTree), kf,
+        Map("root" -> rootS, "mid" -> midS, "detail" -> detS))
+      val n = 1 + rnd.nextInt(5)
+      val (rc, mc, dc) = (chunk(rnd, rootLog, n), chunk(rnd, midLog, n), chunk(rnd, detLog, n))
+      (0 until n).foreach { i =>
+        val batch = Seq(
+          "root" -> rc(i), "mid" -> mc(i), "detail" -> dc(i)
+        ).collect { case (e, rows) if rows.nonEmpty =>
+          e -> changelogDf(rows, Map("root" -> rootS, "mid" -> midS, "detail" -> detS)(e))
+        }.toMap
+        if (batch.nonEmpty) engine.processBatch(batch)
+      }
+      val incr = liveDocs(engine.docs("FuzzDiamond").where(!col("__deleted")))
+      val snaps = Map(
+        "root" -> Compaction.snapshot(Compaction.compact(changelogDf(rootLog, rootS), "root", Seq("id"))),
+        "mid" -> Compaction.snapshot(Compaction.compact(changelogDf(midLog, midS), "mid", Seq("id"))),
+        "detail" -> Compaction.snapshot(Compaction.compact(changelogDf(detLog, detS), "detail", Seq("id"))))
+      val batchDocs = liveDocs(
+        Denormalize.documents(dTree, snaps, kf)
+          .select(col("__pk"), col("doc_json")))
+      assert(incr.keySet == batchDocs.keySet,
+        s"seed=$seed keys differ: incrOnly=${incr.keySet.diff(batchDocs.keySet)} " +
+          s"batchOnly=${batchDocs.keySet.diff(incr.keySet)}")
+      incr.foreach { case (k, doc) =>
+        assert(doc == batchDocs(k), s"seed=$seed doc $k diverged:\n incr: $doc\n batch: ${batchDocs(k)}")
+      }
+      assert(graft.streaming.StateOps.verifyState(engine).isEmpty)
+    }
+  }
+
   // The same convergence law through the DURABLE backend: random
   // chunkings build real delta-generation chains (compactEvery=3 means
   // chains of full+deltas AND periodic compactions both occur), and a
