@@ -43,7 +43,9 @@ object RollingAnchorRT {
       classes: Int): GenericArrayData = {
     val n = bytes.length
     val last = n - window // inclusive max anchor position
-    if (last < 0) return new GenericArrayData(Array.emptyIntArray)
+    // last < 0 covers n < window; the explicit n < gram guard matters
+    // when window < gram (otherwise the init loop reads past the array)
+    if (last < 0 || n < gram) return new GenericArrayData(Array.emptyIntArray)
     var bp = 1L // B^(gram-1) mod M
     var i = 0
     while (i < gram - 1) { bp = bp * B % M; i += 1 }
@@ -66,6 +68,10 @@ object RollingAnchorRT {
   * one static call per row (the loop itself is branch-light JIT food). */
 case class RollingAnchorsExpr(child: Expression, gram: Int, window: Int,
     classes: Int) extends UnaryExpression {
+
+  require(gram > 0 && classes > 0 && window >= gram,
+    s"RollingAnchorsExpr needs 0 < gram <= window and classes > 0 " +
+      s"(got gram=$gram, window=$window, classes=$classes)")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable

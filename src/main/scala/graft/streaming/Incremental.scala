@@ -331,7 +331,32 @@ final class IncrementalDenormalizer(
             f.dataType,
             if (has) Some(srcSt(f.name).dataType) else None).as(f.name)
         }: _*))
-    case (Some(c), _, _) => c.cast(dt)
+    // structs nested under containers recurse BY NAME — Spark's plain
+    // Cast would match struct fields positionally, silently misaligning
+    // a field inserted mid-struct inside an array/map value
+    case (Some(c), ArrayType(et, n), Some(ArrayType(set, _))) =>
+      when(c.isNull, lit(null).cast(ArrayType(et, n))).otherwise(
+        transform(c, e => alignColumn(Some(e), et, Some(set))))
+    case (Some(c), MapType(kt, vt, n), Some(MapType(skt, svt, _))) =>
+      val keys = alignColumn(Some(map_keys(c)),
+        ArrayType(kt, containsNull = false),
+        Some(ArrayType(skt, containsNull = false)))
+      val vals = alignColumn(Some(map_values(c)),
+        ArrayType(vt, n), Some(ArrayType(svt, n)))
+      when(c.isNull, lit(null).cast(MapType(kt, vt, n)))
+        .otherwise(map_from_arrays(keys, vals))
+    case (Some(c), t, Some(s)) if s == t => c
+    case (Some(c), t, Some(s)) =>
+      // widening-only: anything Cast.canUpCast rejects (narrowing,
+      // string→numeric, ...) would truncate or null out restored state
+      if (!org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(s, t))
+        throw new IllegalStateException(
+          s"unsupported durable-state schema evolution: $s -> $t is not a " +
+            "lossless widening; rebuild state from offset zero or keep the " +
+            "field's declared type")
+      c.cast(t)
+    case (Some(_), t, None) => throw new IllegalStateException(
+      s"alignColumn: source column without a source type (target $t)")
   }
 
   /** Index-invariant checks (the reference's --verify-state,

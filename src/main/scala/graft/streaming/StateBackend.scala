@@ -258,8 +258,27 @@ object BucketedParquetBackend {
     val out = f.create(tmp, true)
     out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    f.rename(tmp, new Path(dir, "_MANIFEST"))
+    // fail LOUD on a false rename (dest exists, FS quirk): a generation
+    // whose marker never landed would be live in this session's chain
+    // but invisible to recovery — the checkpoint would advance past a
+    // batch that a restart silently replays from an older generation
+    if (!f.rename(tmp, new Path(dir, "_MANIFEST")))
+      throw new java.io.IOException(
+        s"could not commit generation marker ${new Path(dir, "_MANIFEST")}")
   }
+
+  /** Committed generation kind. Pre-delta versions of this backend
+    * wrote no `_MANIFEST` — their full generations carry only parquet's
+    * `_SUCCESS` at the generation root (delta generations nest it under
+    * `rows/`/`keys/`), so a `_SUCCESS`-only directory is a committed
+    * FULL generation from the old format, not a wreck: without this a
+    * restart over a pre-delta state root would silently recover an
+    * EMPTY state map and rebuild from offset zero. */
+  private def markerKind(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[String] =
+    readMarker(f, dir).orElse {
+      if (f.exists(new Path(dir, "_SUCCESS"))) Some("full") else None
+    }
 
   private def readMarker(f: org.apache.hadoop.fs.FileSystem,
       dir: Path): Option[String] = {
@@ -303,9 +322,20 @@ object BucketedParquetBackend {
       val gens = f.listStatus(tableDir.getPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
         .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(id =>
-          (id, s.getPath, readMarker(f, s.getPath))))
+          (id, s.getPath, markerKind(f, s.getPath))))
         .sortBy(_._1)
       val base = gens.filter(_._3.contains("full")).lastOption
+      // A COMMITTED delta can only exist after its base committed, so
+      // finding one with no committed full generation is corruption —
+      // fail loud rather than silently recover an empty state and
+      // rebuild from offset zero. (Uncommitted-only wrecks are NOT an
+      // error: a table whose very first persist died mid-flight never
+      // committed a batch, so the empty fresh start is the truth.)
+      if (base.isEmpty && gens.exists(_._3.contains("delta")))
+        throw new IllegalStateException(
+          s"state table ${tableDir.getPath} has committed delta " +
+            "generations but no committed full generation; refusing to " +
+            "recover an empty state over existing data")
       base.map { case (baseId, baseDir, _) =>
         val suffix = gens.filter(_._1 > baseId)
           .takeWhile(_._3.contains("delta"))

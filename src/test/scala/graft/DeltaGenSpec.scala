@@ -107,6 +107,34 @@ class DeltaGenSpec extends SparkSpec with BeforeAndAfterAll {
     b.deleteAll()
   }
 
+  test("a pre-delta generation (_SUCCESS only, no _MANIFEST) recovers as full") {
+    // old versions of the backend wrote full generations with only
+    // parquet's _SUCCESS; a restart over such a root must NOT silently
+    // recover an empty state map
+    df(1 -> 10L, 2 -> 20L).write.parquet(new Path(root, "bc/g1").toString)
+    val rec = BucketedParquetBackend.latest(spark, root)("bc")
+    assert(contents(rec) == Map(1 -> 10L, 2 -> 20L),
+      "back-compat: _SUCCESS-only generation invisible to recovery")
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root, "bc"), true)
+  }
+
+  test("a committed delta with no committed base fails loudly, not empty") {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(root, "corrupt/g2")
+    df(2 -> 2L).write.parquet(new Path(dir, "rows").toString)
+    keysDf(2).write.parquet(new Path(dir, "keys").toString)
+    // commit the delta by hand — in real operation this can only happen
+    // if the base generation was lost/deleted underneath the chain
+    val out = fs.create(new Path(dir, "_MANIFEST"), true)
+    out.write("delta".getBytes("UTF-8")); out.close()
+    val err = intercept[IllegalStateException] {
+      BucketedParquetBackend.latest(spark, root)
+    }
+    assert(err.getMessage.contains("no committed full generation"))
+    fs.delete(new Path(root, "corrupt"), true)
+  }
+
   override def afterAll(): Unit = {
     val dir = new java.io.File(new java.net.URI(root))
     def rm(f: java.io.File): Unit = {

@@ -61,6 +61,18 @@ class RollingAnchorSpec extends SparkSpec {
     assert(rolled("a" * 39) == Seq.empty)
   }
 
+  test("window < gram is rejected at construction; runtime path is array-safe") {
+    // expression-level guard: the Column API constructs the case class,
+    // whose require fires immediately
+    intercept[IllegalArgumentException] {
+      RollingAnchor.anchors(lit("abcdefgh").cast(BinaryType), 8, 4, 8)
+    }
+    // runtime guard independently: window <= n < gram used to drive the
+    // init loop past the array (AIOOBE from generated code)
+    assert(RollingAnchorRT.anchors("abcde".getBytes("UTF-8"), 8, 4, 8)
+      .toIntArray().isEmpty)
+  }
+
   test("expression evaluates identically via codegen and interpretation") {
     import spark.implicits._
     val texts = Seq("the quick brown fox " * 8, "a" * 100, "", "short")

@@ -88,4 +88,74 @@ class SchemaEvolutionSpec extends SparkSpec {
       b2.deleteAll(); b1.deleteAll()
     }
   }
+
+  test("a NARROWED field is rejected loudly instead of truncating restored state") {
+    val stateRoot = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_schema_narrow")
+    val b1 = new BucketedParquetBackend(spark, stateRoot, buckets = 4)
+    val b2 = new BucketedParquetBackend(spark, stateRoot, buckets = 4)
+    try {
+      val e1 = new IncrementalDenormalizer(spark, Seq(tree),
+        Map("item" -> Seq("id"), "owner" -> Seq("id")),
+        Map("item" -> v1Full, "owner" -> ownerSchema), backend = b1)
+      e1.processBatch(Map(
+        "item" -> changelog(Seq(Row(1L, Row(1L), Row(1L, 10L, 100L))), v1Full),
+        "owner" -> changelog(Seq(Row(1L, Row(100L), Row(100L, "ann"))), ownerSchema)))
+
+      // restart declaring qty as INT where the stored state holds LONG:
+      // a plain cast would silently truncate; the engine must refuse
+      val narrowed = StructType(v1Full.fields.map {
+        case f if f.name == "qty" => f.copy(dataType = IntegerType)
+        case f => f
+      })
+      val e2 = new IncrementalDenormalizer(spark, Seq(tree),
+        Map("item" -> Seq("id"), "owner" -> Seq("id")),
+        Map("item" -> narrowed, "owner" -> ownerSchema), backend = b2)
+      val err = intercept[IllegalStateException] {
+        e2.loadStateTables(BucketedParquetBackend.latest(spark, stateRoot))
+      }
+      assert(err.getMessage.contains("schema evolution"), err.getMessage)
+    } finally {
+      b2.deleteAll(); b1.deleteAll()
+    }
+  }
+
+  test("a field inserted mid-struct INSIDE AN ARRAY aligns by name, not position") {
+    val tagsV1 = StructType(Seq(
+      StructField("t", StringType), StructField("n", LongType)))
+    // `m` inserted BETWEEN t and n: positional struct Cast would feed
+    // old `n` values into `m` and null out `n`
+    val tagsV2 = StructType(Seq(
+      StructField("t", StringType), StructField("m", StringType),
+      StructField("n", LongType)))
+    val w1 = v1Full.add(StructField("tags", ArrayType(tagsV1)))
+    val w2 = v1Full.add(StructField("tags", ArrayType(tagsV2)))
+
+    val stateRoot = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_schema_array")
+    val b1 = new BucketedParquetBackend(spark, stateRoot, buckets = 4)
+    val b2 = new BucketedParquetBackend(spark, stateRoot, buckets = 4)
+    try {
+      val e1 = new IncrementalDenormalizer(spark, Seq(tree),
+        Map("item" -> Seq("id"), "owner" -> Seq("id")),
+        Map("item" -> w1, "owner" -> ownerSchema), backend = b1)
+      e1.processBatch(Map(
+        "item" -> changelog(Seq(
+          Row(1L, Row(1L), Row(1L, 10L, 100L, Seq(Row("alpha", 7L))))), w1),
+        "owner" -> changelog(Seq(Row(1L, Row(100L), Row(100L, "ann"))), ownerSchema)))
+
+      val e2 = new IncrementalDenormalizer(spark, Seq(tree),
+        Map("item" -> Seq("id"), "owner" -> Seq("id")),
+        Map("item" -> w2, "owner" -> ownerSchema), backend = b2)
+      e2.loadStateTables(BucketedParquetBackend.latest(spark, stateRoot))
+
+      val tag = e2.snapshot("item").select(col("tags")(0).as("tag"))
+        .collect().head.getStruct(0)
+      assert(tag.getAs[String]("t") == "alpha")
+      assert(tag.isNullAt(tag.fieldIndex("m")), "inserted field must be null")
+      assert(tag.getAs[Long]("n") == 7L, "existing field misaligned by position")
+    } finally {
+      b2.deleteAll(); b1.deleteAll()
+    }
+  }
 }
