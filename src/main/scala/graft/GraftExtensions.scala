@@ -26,10 +26,13 @@ import graft.functions.{CanonicalPkExpr, CosineSimExpr, TopKByScore}
   *    per-partition partial buffers (map-side combinable)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // partition-aligned union (durable delta-chain composition)
+    ext.injectPlannerStrategy(_ => graft.plans.BucketUnionStrategy)
+  }
 }
 
 object GraftFunctions {

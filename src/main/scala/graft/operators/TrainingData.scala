@@ -134,6 +134,110 @@ object TrainingData {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity))
   }
 
+  /** Hierarchical (two-level) sequence packing — [[packBins]] without
+    * the per-group global-order window.
+    *
+    * Exact sequential packing needs a running token sum in strict
+    * `orderCol` order, which windows as ONE partition per group: at a
+    * 100 TB corpus with a dominant source that is a single task
+    * sorting the whole source (the straggler VERDICT r7 flagged on
+    * `q_pack`). This variant trades one semantic detail for
+    * scale-safety: the doc stream is cut into fixed CHUNKS of
+    * `chunkSize` ids (`orderCol div chunkSize`), bins never span a
+    * chunk boundary, and packing proceeds in two bounded levels —
+    *
+    *  1. local: running sum windowed by (group, chunk) — partitions
+    *     hold at most `chunkSize` docs regardless of source skew;
+    *  2. fix-up: per-chunk bin COUNTS (one row per chunk, ~corpus/
+    *     chunkSize rows total) get a running offset per group — a
+    *     window over the tiny chunk-aggregate frame — and the offset
+    *     broadcasts back onto the local rows.
+    *
+    * The price: a chunk's last bin may close under-full (bins don't
+    * straddle chunks), so bin ids differ from [[packBins]] while bin
+    * CONTENT stays deterministic, order-respecting, and
+    * capacity-bounded — the properties a pretraining loader needs.
+    * Same trade as hierarchical/streaming packing in production
+    * pipelines: exactness of bin numbering is given up for the
+    * absence of any global sort.
+    *
+    * @return input columns + (n_tokens, bin)
+    */
+  def packBinsHier(
+      docs: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tokensCol: Column,
+      capacity: Long,
+      chunkSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs
+      .withColumn("n_tokens", tokensCol.cast(LongType))
+      .withColumn("__chunk", expr(s"$orderCol div $chunkSize"))
+      .withColumn("__lbin",
+        floor((sum(col("n_tokens")).over(wLocal) - col("n_tokens")) / capacity))
+    val wChunk = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = local
+      .groupBy(col(groupCol), col("__chunk"))
+      .agg((max(col("__lbin")) + 1L).as("__nbins"))
+      .withColumn("__binoff", sum(col("__nbins")).over(wChunk) - col("__nbins"))
+      .select(col(groupCol), col("__chunk"), col("__binoff"))
+    local.join(broadcast(offsets), Seq(groupCol, "__chunk"))
+      .withColumn("bin", col("__binoff") + col("__lbin"))
+      .drop("__chunk", "__lbin", "__binoff")
+  }
+
+  /** Scale-safe budgeted corpus selection — the sketch path named (but
+    * not built) in round 7's `q_budget_select` notes.
+    *
+    * The exact greedy ("take docs in descending quality until the
+    * budget is spent") needs a running token sum in global quality
+    * order per source — one window partition per source, a single-task
+    * straggler at a 10 TB source. This variant selects by SCORE
+    * THRESHOLD instead: aggregate tokens into a per-(source, score)
+    * histogram (scores are small integers, so the histogram is
+    * bounded: sources × distinct scores rows), run the cumulative sum
+    * over THAT tiny frame in descending score order, and keep every
+    * whole score class that fits the budget (`totalTokens div
+    * budgetDen`). Docs then join the per-source threshold by
+    * broadcast — no per-doc window anywhere.
+    *
+    * Selection semantics vs the exact greedy: this set is the greedy
+    * set truncated at the last WHOLE score class (the greedy's partial
+    * class is dropped), so it is always a subset of the greedy
+    * selection and always within budget — the conservative direction
+    * for a training-mix cut. BudgetSketchSpec pins both properties.
+    *
+    * @param scored one row per doc: groupCol, scoreCol (integer
+    *               quality score), tokCol (token count)
+    * @return rows of `scored` whose score class fits the budget
+    */
+  def budgetSelectBySketch(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      tokCol: String,
+      budgetDen: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(groupCol), col(scoreCol))
+      .agg(sum(col(tokCol)).as("__ctok"))
+    val totals = scored.groupBy(col(groupCol))
+      .agg(sum(col(tokCol)).as("__total"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = hist.join(totals, groupCol)
+      .withColumn("__cum", sum(col("__ctok")).over(wDesc))
+      .where(col("__cum") <= expr(s"__total div $budgetDen"))
+      .groupBy(col(groupCol)).agg(min(col(scoreCol)).as("__thr"))
+    scored.join(broadcast(thresholds), Seq(groupCol))
+      .where(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic sharded corpus output — the terminal stage of a
     * pretraining-prep pipeline. Each row lands in directory
     * `shard = md5(key) mod numShards` (a pure function of the key, so

@@ -565,18 +565,96 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Binary payload plumbing with REAL container-header decode: each
+    // doc becomes a payload in a rotating container (PNG / GIF / BMP /
+    // bare bytes by doc_id mod 4, dimensions a closed form of doc_id),
+    // and graft parses format + width + height back OUT OF THE BYTES
+    // with the pure-JVM header parser (Multimodal.decodeHeader — PNG
+    // IHDR big-endian, GIF/BMP little-endian, no codec library). The
+    // oracle re-detects and re-parses the same fields from the HEX
+    // image of the same payload — byte-offset arithmetic replayed in
+    // SQL, not the closed form — so a parser that read the wrong
+    // offset or endianness hash-mismatches. Bare payloads exercise
+    // the stub fallback. The digest is md5 over the uppercase hex
+    // (DuckDB hashes VARCHAR only).
     "q_multimodal_meta" -> QueryDef(
-      "binary payload plumbing with (stubbed) per-batch media decode",
-      """SELECT doc_id,
-        |  CAST(strlen(text) AS BIGINT) AS byte_len,
-        |  sha256(text) AS sha,
-        |  CAST(16 + (ascii(substr(text, 1, 1)) % 16) * 4 AS BIGINT) AS width,
-        |  CAST(16 + (ascii(substr(text, 2, 1)) % 16) * 4 AS BIGINT) AS height,
-        |  CAST(strlen(text) % 7 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val withPayload = docs(spark, dir)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-      Multimodal.decodeFeatures(withPayload, "doc_id").orderBy("doc_id")
+      "binary payloads in real containers; header-parsed format/width/height",
+      """WITH d AS (SELECT doc_id, text,
+        |    16 + doc_id % 1000 AS w, 16 + doc_id % 600 AS h,
+        |    to_hex(encode(text)) AS body FROM documents),
+        |p AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |        '89504E470D0A1A0A0000000D49484452'
+        |        || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+        |        || '0806000000'
+        |      WHEN doc_id % 4 = 1 THEN '474946383961'
+        |        || substr(lpad(to_hex(w), 4, '0'), 3, 2) || substr(lpad(to_hex(w), 4, '0'), 1, 2)
+        |        || substr(lpad(to_hex(h), 4, '0'), 3, 2) || substr(lpad(to_hex(h), 4, '0'), 1, 2)
+        |      WHEN doc_id % 4 = 2 THEN '424D00000000000000003600000028000000'
+        |        || substr(lpad(to_hex(w), 8, '0'), 7, 2) || substr(lpad(to_hex(w), 8, '0'), 5, 2)
+        |        || substr(lpad(to_hex(w), 8, '0'), 3, 2) || substr(lpad(to_hex(w), 8, '0'), 1, 2)
+        |        || substr(lpad(to_hex(h), 8, '0'), 7, 2) || substr(lpad(to_hex(h), 8, '0'), 5, 2)
+        |        || substr(lpad(to_hex(h), 8, '0'), 3, 2) || substr(lpad(to_hex(h), 8, '0'), 1, 2)
+        |      ELSE '' END || body AS hx
+        |  FROM d),
+        |f AS (SELECT doc_id, text, hx,
+        |    CASE WHEN len(hx) >= 48 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
+        |              AND substr(hx, 25, 8) = '49484452' THEN 'png'
+        |         WHEN len(hx) >= 20 AND substr(hx, 1, 8) = '47494638'
+        |              AND substr(hx, 9, 4) IN ('3761', '3961') THEN 'gif'
+        |         WHEN len(hx) >= 52 AND substr(hx, 1, 4) = '424D' THEN 'bmp'
+        |         ELSE 'raw' END AS format
+        |  FROM p)
+        |SELECT doc_id, format,
+        |  CAST(len(hx) // 2 AS BIGINT) AS byte_len,
+        |  md5(hx) AS payload_md5,
+        |  CAST(CASE format
+        |    WHEN 'png' THEN ('0x' || substr(hx, 33, 8))::BIGINT
+        |    WHEN 'gif' THEN ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::BIGINT
+        |    WHEN 'bmp' THEN ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+        |                          || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT
+        |    ELSE 16 + (ascii(substr(text, 1, 1)) % 16) * 4 END AS BIGINT) AS width,
+        |  CAST(CASE format
+        |    WHEN 'png' THEN ('0x' || substr(hx, 41, 8))::BIGINT
+        |    WHEN 'gif' THEN ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::BIGINT
+        |    WHEN 'bmp' THEN ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+        |                          || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT
+        |    ELSE 16 + (ascii(substr(text, 2, 1)) % 16) * 4 END AS BIGINT) AS height,
+        |  CAST(len(hx) // 2 % 7 + 1 AS BIGINT) AS n_frames
+        |FROM f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val w = lit(16L) + pmod(col("doc_id"), lit(1000L))
+      val h = lit(16L) + pmod(col("doc_id"), lit(600L))
+      def be32(c: Column) = lpad(hex(c), 8, "0")
+      def le16(c: Column) = {
+        val p = lpad(hex(c), 4, "0")
+        concat(substring(p, 3, 2), substring(p, 1, 2))
+      }
+      def le32(c: Column) = {
+        val p = lpad(hex(c), 8, "0")
+        concat(substring(p, 7, 2), substring(p, 5, 2),
+          substring(p, 3, 2), substring(p, 1, 2))
+      }
+      val sel = pmod(col("doc_id"), lit(4L))
+      val hx = concat(
+        when(sel === 0L, concat(lit("89504E470D0A1A0A0000000D49484452"),
+            be32(w), be32(h), lit("0806000000")))
+          .when(sel === 1L, concat(lit("474946383961"), le16(w), le16(h)))
+          .when(sel === 2L, concat(lit("424D00000000000000003600000028000000"),
+            le32(w), le32(h)))
+          .otherwise(lit("")),
+        hex(col("text").cast(BinaryType)))
+      val prepared = docs(spark, dir)
+        .select(col("doc_id"), hx.as("__hx")).graftCkptMem()
+      val feats = Multimodal.decodeFeatures(
+        prepared.select(col("doc_id"), unhex(col("__hx")).as("payload")),
+        "doc_id")
+      feats.join(
+          prepared.select(col("doc_id"),
+            md5(col("__hx").cast(BinaryType)).as("payload_md5")),
+          "doc_id")
+        .select(col("doc_id"), col("format"), col("byte_len"),
+          col("payload_md5"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")
     },
 
     // The whole corpus-prep pipeline as ONE lazy plan — scrub → token
@@ -1017,9 +1095,9 @@ object Text {
     // integer arithmetic (counts, running sums, integer-division
     // budget), so both engines agree exactly. The running sum windows
     // per source — bounded partitions (one per source); the 100 TB
-    // path replaces the exact greedy scan with a score-threshold
-    // select from an approximate quantile sketch, which needs no
-    // window at all.
+    // path is `q_budget_sketch` below (score-threshold select from a
+    // histogram sketch, no per-doc window), kept beside this exact
+    // greedy the way production pipelines keep both.
     "q_budget_select" -> QueryDef(
       "greedy highest-quality docs per source under a half-the-tokens budget",
       """WITH t AS (SELECT doc_id, source,
@@ -1057,6 +1135,52 @@ object Text {
         .select(col("source"), col("doc_id"), col("n_distinct").as("score"),
           col("n_tok").as("n_tokens"), col("cum").as("cum_tokens"))
         .orderBy("source", "cum_tokens", "doc_id")
+    },
+
+    // The SCALE-SAFE budget selection (the sketch path q_budget_select
+    // documents): no per-doc window anywhere. Tokens aggregate into a
+    // per-(source, score) histogram — bounded at sources × distinct
+    // integer scores rows — the cumulative scan runs over THAT tiny
+    // frame in descending score order, and each source's resulting
+    // score THRESHOLD broadcasts back onto the docs. Every whole score
+    // class that fits half the source's tokens is kept, so the
+    // selection is the exact greedy's minus its partial class: always
+    // a subset, always within budget (BudgetSketchSpec pins both).
+    // A 10 TB source costs one histogram aggregation instead of one
+    // single-task sorted scan.
+    "q_budget_sketch" -> QueryDef(
+      "budget selection via score-histogram threshold (no per-doc window)",
+      """WITH t AS (SELECT doc_id, source,
+        |             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, source, len(w) AS n_tok,
+        |        len(list_distinct(w)) AS n_distinct
+        |      FROM t WHERE len(w) > 0),
+        |tot AS (SELECT source, sum(n_tok) AS total FROM s GROUP BY 1),
+        |hist AS (SELECT source, n_distinct AS score, sum(n_tok) AS ctok
+        |         FROM s GROUP BY 1, 2),
+        |cum AS (SELECT h.source, h.score, tot.total,
+        |          sum(h.ctok) OVER (PARTITION BY h.source
+        |            ORDER BY h.score DESC ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM hist h JOIN tot USING (source)),
+        |thr AS (SELECT source, min(score) AS thr FROM cum
+        |        WHERE cum <= total // 2 GROUP BY source)
+        |SELECT s.source, s.doc_id,
+        |  CAST(s.n_distinct AS BIGINT) AS score,
+        |  CAST(s.n_tok AS BIGINT) AS n_tokens
+        |FROM s JOIN thr USING (source) WHERE s.n_distinct >= thr.thr
+        |ORDER BY source, doc_id""".stripMargin) { (spark, dir) =>
+      val scored = docs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(col("__t")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("__t"))).cast(LongType).as("n_distinct"))
+      TrainingData.budgetSelectBySketch(scored, "source", "n_distinct", "n_tok")
+        .select(col("source"), col("doc_id"), col("n_distinct").as("score"),
+          col("n_tok").as("n_tokens"))
+        .orderBy("source", "doc_id")
     },
 
     // Count-min-sketch frequency estimation: bigram counts estimated

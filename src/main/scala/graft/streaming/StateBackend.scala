@@ -123,7 +123,7 @@ final class BucketedParquetBackend(
     buckets: Int = 16,
     compactEvery: Int = 4) extends StateBackend {
 
-  import BucketedParquetBackend.{applyDelta, writeMarker}
+  import BucketedParquetBackend.writeMarker
 
   val durable = true
 
@@ -131,7 +131,7 @@ final class BucketedParquetBackend(
       maxGen: Long,
       table: String,          // catalog table of the base FULL gen
       baseDir: Path,
-      deltaDirs: Vector[Path],
+      deltas: Vector[(Path, String)], // (gen dir, rows catalog table)
       frame: DataFrame)
 
   private val instanceId = BucketedParquetBackend.instances.incrementAndGet()
@@ -168,7 +168,7 @@ final class BucketedParquetBackend(
     val prev = live.get(name)
     delta match {
       case Some((rows, keys))
-          if prev != null && prev.deltaDirs.size < compactEvery - 1 =>
+          if prev != null && prev.deltas.size < compactEvery - 1 =>
         persistDelta(name, prev, rows, keys)
       case _ => persistFull(name, df)
     }
@@ -191,7 +191,7 @@ final class BucketedParquetBackend(
     writeMarker(fs(dir), dir, "full")
     if (prev != null) {
       retired.add((Some(prev.table), prev.baseDir))
-      prev.deltaDirs.foreach(d => retired.add((None, d)))
+      prev.deltas.foreach { case (d, t) => retired.add((Some(t), d)) }
     }
     val frame = spark.table(tbl)
     live.put(name, Chain(gen, tbl, dir, Vector.empty, frame))
@@ -201,20 +201,43 @@ final class BucketedParquetBackend(
   /** Write only the batch's change set as a new delta generation and
     * return the chain-composed view. Neither `rows` nor `keys` reads
     * more than the batch's change neighborhood, and the full-table
-    * plan is never evaluated — durable write cost ∝ delta. */
+    * plan is never evaluated — durable write cost ∝ delta.
+    *
+    * The `rows` write is BUCKETED by the same key column as the full
+    * generation, and the composed view zips base and delta bucket to
+    * bucket ([[graft.plans.BucketUnion]]) instead of `union`-ing them:
+    * a plain union has unknown output partitioning, so every keyed
+    * join/aggregation against a delta-composed state table would
+    * re-shuffle the full state side for up to `compactEvery − 1`
+    * batches after each compaction — paying on read exactly what the
+    * delta write saved. With the aligned compose the chain keeps the
+    * full generation's no-Exchange property end to end
+    * (BucketingSpec). */
   private def persistDelta(name: String, prev: Chain,
       rows: DataFrame, keys: DataFrame): DataFrame = {
     val gen = prev.maxGen + 1L
     val dir = new Path(root, s"$name/g$gen")
-    // Change sets are batch-sized: cap the file fan-out (coalesce never
-    // raises the partition count, so empty/small frames stay cheap and
-    // a genuinely large delta still writes in parallel).
-    rows.coalesce(buckets).write.parquet(new Path(dir, "rows").toString)
+    val keyCol = prev.frame.columns.head
+    val tbl = s"graft_state_${instanceId}_${tableSeq.incrementAndGet()}"
+    // Change sets are batch-sized: the pre-write repartition is a
+    // delta-sized shuffle that lands exactly one file per bucket.
+    rows.select(prev.frame.columns.map(col).toSeq: _*)
+      .repartition(buckets, col(keyCol))
+      .write.format("parquet")
+      .bucketBy(buckets, keyCol)
+      .option("path", new Path(dir, "rows").toString)
+      .saveAsTable(tbl)
     keys.coalesce(buckets).write.parquet(new Path(dir, "keys").toString)
     writeMarker(fs(dir), dir, "delta")
-    val frame = applyDelta(spark, prev.frame, dir)
+    // read both sides back from disk so the composed frame is
+    // independent of the input plans' lineage
+    val keysDf = spark.read.parquet(new Path(dir, "keys").toString)
+    val kept = prev.frame.join(
+      org.apache.spark.sql.functions.broadcast(keysDf),
+      keysDf.columns.toSeq, "left_anti")
+    val frame = graft.plans.BucketUnion(kept, spark.table(tbl), keyCol, buckets)
     live.put(name, prev.copy(maxGen = gen,
-      deltaDirs = prev.deltaDirs :+ dir, frame = frame))
+      deltas = prev.deltas :+ ((dir, tbl)), frame = frame))
     frame
   }
 
@@ -236,7 +259,10 @@ final class BucketedParquetBackend(
     live.forEach { (_: String, v: Chain) =>
       spark.sql(s"DROP TABLE IF EXISTS ${v.table}")
       fs(v.baseDir).delete(v.baseDir, true)
-      v.deltaDirs.foreach(d => fs(d).delete(d, true))
+      v.deltas.foreach { case (d, t) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs(d).delete(d, true)
+      }
     }
     live.clear()
     val r = new Path(root)
@@ -303,7 +329,12 @@ object BucketedParquetBackend {
   private def applyDelta(spark: SparkSession, cur: DataFrame,
       deltaDir: Path): DataFrame = {
     val keys = spark.read.parquet(new Path(deltaDir, "keys").toString)
-    val rows = spark.read.parquet(new Path(deltaDir, "rows").toString)
+    // rows/ is a BUCKETED write, which emits no data file at all for an
+    // empty change set (a plain write leaves a schema-bearing empty
+    // file) — read with the base generation's schema, which is the
+    // chain's schema by construction, so empty deltas stay composable
+    val rows = spark.read.schema(cur.schema)
+      .parquet(new Path(deltaDir, "rows").toString)
     cur.join(keys, keys.columns.toSeq, "left_anti").unionByName(rows)
   }
 

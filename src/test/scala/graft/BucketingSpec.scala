@@ -37,4 +37,61 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("keyed operators over a DELTA-COMPOSED state table plan no Exchange on the state side") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.types._
+    val root = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_bucket_delta")
+    val schema = StructType(Seq(
+      StructField("__pk", BinaryType), StructField("v", LongType)))
+    def df(pairs: (Int, Long)*): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(
+        pairs.map { case (k, v) => Row(Array(k.toByte), v) }: _*), schema)
+    val b = new graft.streaming.BucketedParquetBackend(
+      spark, root, buckets = 8, compactEvery = 10)
+    try {
+      b.persist("t", df((1 to 50).map(i => i -> i.toLong): _*), None)
+      // two chained deltas — the window where the r7 compose lost the
+      // bucket layout and every keyed read re-shuffled the state side
+      val c1 = b.persist("t", df(), Some((df(2 -> 200L, 51 -> 510L),
+        df(2 -> 0L, 51 -> 0L).select("__pk"))))
+      val composed = b.persist("t", df(), Some((df(3 -> 300L),
+        df(3 -> 0L, 4 -> 0L).select("__pk"))))
+      assert(c1 ne composed)
+
+      // keyed aggregation: partial→final with NO shuffle anywhere
+      val agg = composed.groupBy("__pk").count()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"delta-composed aggregation re-shuffled the state side:\n$aggPlan")
+
+      // correctness of the same composed view: upserts, insert, delete
+      val got = composed.collect()
+        .map(r => r.getAs[Array[Byte]]("__pk")(0).toInt -> r.getLong(1)).toMap
+      val expect = ((1 to 50).map(i => i -> i.toLong).toMap
+        - 4 + (2 -> 200L) + (51 -> 510L) + (3 -> 300L))
+      assert(got == expect)
+      assert(agg.count() == expect.size)
+
+      // join keyed on the state key against a co-bucketed table: the
+      // composed side must not carry an Exchange (probe side may)
+      val prevThreshold =
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = df((1 to 10).map(i => i -> 0L): _*)
+        val joined = composed.join(probe.withColumnRenamed("v", "pv"), "__pk")
+        val jPlan = joined.queryExecution.executedPlan.toString
+        // exactly one Exchange: the probe side; the composed chain none
+        val exchanges = "Exchange hashpartitioning".r
+          .findAllIn(jPlan).size
+        assert(exchanges <= 1,
+          s"delta-composed join re-shuffled the state side:\n$jPlan")
+        assert(joined.count() == 9) // probe 1..10 minus deleted key 4
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    } finally b.deleteAll()
+  }
 }
