@@ -44,6 +44,21 @@ object Denormalize {
     * @param tables   entity name → DataFrame (fresh scan per call)
     * @param pks      entity name → primary-key column names (composite
     *                 keys MUST be listed sorted by field name)
+    * @param maxChildrenPerEdge optional guardrail for giant documents:
+    *        when set, each edge keeps at most this many children per
+    *        parent — the FIRST n in canonical child-PK order, the same
+    *        deterministic order the arrays are already sorted by — and
+    *        the output gains a `__truncated` long column counting the
+    *        docs dropped at this document's surviving levels (own
+    *        dropped children + kept descendants' counts). Default off
+    *        (exact reference parity). At scale this bounds the one
+    *        shape the set-at-a-time compiler cannot: a single root
+    *        with 100k+ children whose `collect_list` otherwise grows
+    *        one task's memory without limit — the pre-aggregation
+    *        row_number/count window sorts-and-spills to disk, so no
+    *        task ever buffers an uncapped array (IvmSkewStressSpec
+    *        documents the uncapped risk; GiantDocCapSpec pins the
+    *        capped behavior).
     * @return DataFrame with the root table's columns plus:
     *         `__pk` (binary canonical root PK), `doc` (nested struct),
     *         `doc_json` (JSON rendering, null fields omitted)
@@ -51,9 +66,10 @@ object Denormalize {
   def documents(
       relation: Relation,
       tables: String => DataFrame,
-      pks: String => Seq[String]): DataFrame = {
+      pks: String => Seq[String],
+      maxChildrenPerEdge: Option[Int] = None): DataFrame = {
     val ids = new AtomicInteger(0)
-    val assembled = assemble(relation, tables, pks, ids)
+    val assembled = assemble(relation, tables, pks, ids, maxChildrenPerEdge)
     assembled.withColumn("doc_json", to_json(col("doc")))
   }
 
@@ -82,7 +98,8 @@ object Denormalize {
       node: Relation,
       tables: String => DataFrame,
       pks: String => Seq[String],
-      ids: AtomicInteger): DataFrame = {
+      ids: AtomicInteger,
+      cap: Option[Int]): DataFrame = {
     val base = tables(node.entity)
     val baseCols = base.columns.toSeq
     val keyCols = pks(node.entity)
@@ -91,31 +108,66 @@ object Denormalize {
     var cur = base.withColumn("__pk", canonicalPk(keyCols.map(base(_))))
 
     // Join each child edge's grouped documents onto the parent.
-    val childEntries: Seq[(Relation, String)] = node.children.map { edge =>
-      val i = ids.getAndIncrement()
-      val docsCol = s"__docs_$i"
-      val jkName = s"__jk_$i"
-      val childDf = assemble(edge, tables, pks, ids)
-      val parentType = cur.schema(edge.parentKey.get).dataType
-      val childType = childDf.schema(edge.joinKey.get).dataType
-      val grouped = childDf
-        .where(col(edge.joinKey.get).isNotNull)
-        .select(
-          joinKeyCol(childDf, edge.joinKey.get, parentType).as(jkName),
-          struct(col("__pk"), col("doc")).as("__pd"))
-        .groupBy(jkName)
-        .agg(transform(sort_array(collect_list(col("__pd"))), x => x("doc")).as(docsCol))
-      cur = cur.join(
-        grouped,
-        joinKeyCol(cur, edge.parentKey.get, childType) === grouped(jkName),
-        "left_outer").drop(jkName)
-      (edge, docsCol)
-    }
+    val childEntries: Seq[(Relation, String, Option[String])] =
+      node.children.map { edge =>
+        val i = ids.getAndIncrement()
+        val docsCol = s"__docs_$i"
+        val jkName = s"__jk_$i"
+        val childDf = assemble(edge, tables, pks, ids, cap)
+        val parentType = cur.schema(edge.parentKey.get).dataType
+        val childType = childDf.schema(edge.joinKey.get).dataType
+        val keyed = childDf
+          .where(col(edge.joinKey.get).isNotNull)
+        val grouped = cap match {
+          case None => keyed
+            .select(
+              joinKeyCol(childDf, edge.joinKey.get, parentType).as(jkName),
+              struct(col("__pk"), col("doc")).as("__pd"))
+            .groupBy(jkName)
+            .agg(transform(sort_array(collect_list(col("__pd"))),
+              x => x("doc")).as(docsCol))
+          case Some(n) =>
+            // Guardrail path: rank children per parent BEFORE the
+            // collect, so the buffered array is ≤ cap regardless of key
+            // skew. The window sorts (external, spills) where the
+            // uncapped path's collect_list buffers in one task's heap —
+            // that trade is the point. Order is canonical child PK, the
+            // exact order of the uncapped arrays, so the kept prefix is
+            // deterministic on any engine/partitioning.
+            import org.apache.spark.sql.expressions.Window
+            val truncCol = s"__trunc_$i"
+            val childTr =
+              if (childDf.columns.contains("__truncated")) col("__truncated")
+              else lit(0L)
+            val wOrd = Window.partitionBy(col(jkName)).orderBy(col("__ord"))
+            val wAll = Window.partitionBy(col(jkName))
+            keyed
+              .select(
+                joinKeyCol(childDf, edge.joinKey.get, parentType).as(jkName),
+                col("__pk").as("__ord"),
+                struct(col("__pk"), col("doc")).as("__pd"),
+                childTr.as("__ctr"))
+              .withColumn("__rn", row_number().over(wOrd))
+              .withColumn("__tot", count(lit(1)).over(wAll))
+              .where(col("__rn") <= n)
+              .groupBy(jkName)
+              .agg(
+                transform(sort_array(collect_list(col("__pd"))),
+                  x => x("doc")).as(docsCol),
+                (max(col("__tot")) - least(max(col("__tot")), lit(n.toLong))
+                  + sum(col("__ctr"))).as(truncCol))
+        }
+        cur = cur.join(
+          grouped,
+          joinKeyCol(cur, edge.parentKey.get, childType) === grouped(jkName),
+          "left_outer").drop(jkName)
+        (edge, docsCol, if (cap.isDefined) Some(s"__trunc_$i") else None)
+      }
 
     val recordStruct = struct(baseCols.map(col): _*).as("Record")
     val childrenStruct: Column =
       if (childEntries.isEmpty) emptyChildren
-      else struct(childEntries.map { case (edge, docsCol) =>
+      else struct(childEntries.map { case (edge, docsCol, _) =>
         val dt = cur.schema(docsCol).dataType
         // Entry present (possibly empty array) only when the parent's
         // key field is non-null — reference Southpaw.java:344-353.
@@ -124,9 +176,19 @@ object Denormalize {
           .as(edge.entity)
       }: _*)
 
-    cur
+    val out = cur
       .withColumn("doc", struct(recordStruct, childrenStruct.as("Children")))
       .drop(childEntries.map(_._2): _*)
+    cap match {
+      case None => out
+      case Some(_) =>
+        val total =
+          if (childEntries.isEmpty) lit(0L)
+          else childEntries.flatMap(_._3)
+            .map(tc => coalesce(col(tc), lit(0L))).reduce(_ + _)
+        out.withColumn("__truncated", total)
+          .drop(childEntries.flatMap(_._3): _*)
+    }
   }
 
   private def emptyArray(dt: DataType): Column = dt match {

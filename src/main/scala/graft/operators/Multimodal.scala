@@ -49,9 +49,12 @@ object Multimodal {
     *    offsets 8–15, big-endian width/height at 16–23);
     *  - GIF: "GIF87a"/"GIF89a", little-endian u16 width/height at 6/8
     *    (logical screen descriptor);
-    *  - BMP: "BM", BITMAPINFOHEADER little-endian i32 width at 18 and
-    *    height at 22 (height negative for top-down rows — absolute
-    *    value is the pixel height).
+    *  - BMP: "BM" plus BITMAPINFOHEADER size == 40 at offset 14 (the
+    *    size gate keeps text that merely starts with "BM" out of the
+    *    bmp branch), little-endian i32 width at 18 and height at 22
+    *    (height negative for top-down rows — absolute value is the
+    *    pixel height; widened to Long BEFORE abs so Int.MinValue
+    *    yields 2147483648, not a negative).
     *
     * None — unknown container — sends the caller to the stub. */
   def decodeHeader(b: Array[Byte]): Option[(String, Long, Long)] = {
@@ -61,8 +64,8 @@ object Multimodal {
     else if (b.length >= 10 && ascii(b, 0, "GIF8") &&
         (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte)
       Some(("gif", le16(b, 6), le16(b, 8)))
-    else if (b.length >= 26 && ascii(b, 0, "BM"))
-      Some(("bmp", le32(b, 18), math.abs(le32(b, 22).toInt).toLong))
+    else if (b.length >= 26 && ascii(b, 0, "BM") && le32(b, 14) == 40L)
+      Some(("bmp", le32(b, 18), math.abs(le32(b, 22).toInt.toLong)))
     else None
   }
 

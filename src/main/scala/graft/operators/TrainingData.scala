@@ -159,7 +159,9 @@ object TrainingData {
     * capacity-bounded — the properties a pretraining loader needs.
     * Same trade as hierarchical/streaming packing in production
     * pipelines: exactness of bin numbering is given up for the
-    * absence of any global sort.
+    * absence of any global sort. Oracle-checked as `q_pack_hier`;
+    * PackHierSpec pins determinism, chunk containment, the capacity
+    * bound, and per-chunk agreement with [[packBins]].
     *
     * @return input columns + (n_tokens, bin)
     */

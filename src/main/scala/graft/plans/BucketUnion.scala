@@ -52,7 +52,16 @@ case class BucketUnionPlan(
     right.output.map(a => (a.name, a.dataType)),
     s"BucketUnion children must agree on schema: " +
       s"${left.output.map(_.name)} vs ${right.output.map(_.name)}")
-  override def output: Seq[Attribute] = left.output
+
+  /** Like `Union`, nullability is OR-ed across the children: adopting
+    * left's attributes verbatim would declare non-nullable output over
+    * a nullable right child, letting downstream optimization (pruned
+    * IsNotNull filters, null-intolerant expression rewrites) miscompile
+    * against rows the right side actually emits. */
+  override def output: Seq[Attribute] =
+    left.output.zip(right.output).map { case (l, r) =>
+      l.withNullability(l.nullable || r.nullable)
+    }
 
   /** The node holds no expressions, so the default (derived) reference
     * set is empty — generic ColumnPruning would then prune each child
@@ -77,7 +86,10 @@ case class BucketUnionExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output
+  override def output: Seq[Attribute] =
+    left.output.zip(right.output).map { case (l, r) =>
+      l.withNullability(l.nullable || r.nullable)
+    }
 
   private def keyOf(p: SparkPlan): Attribute =
     p.output.find(_.name == keyName).getOrElse(throw new IllegalStateException(
@@ -114,6 +126,19 @@ object BucketUnion {
   /** Idempotently register the planner strategy on a live session. */
   def register(spark: SparkSession): Unit =
     PlanBridge.addStrategy(spark, BucketUnionStrategy)
+
+  /** True when `df`'s plan is a partition-aligned compose on
+    * (`keyName`, `numPartitions`): a caller about to write `df` back
+    * out bucketed by the same key into the same count can skip its
+    * pre-write repartition — partition i already holds exactly bucket
+    * i's keys (the zip preserves HashPartitioning, and bucketed writes
+    * derive bucket ids from the same Murmur3-pmod function). */
+  def isAligned(df: DataFrame, keyName: String, numPartitions: Int): Boolean =
+    PlanBridge.analyzed(df) match {
+      case b: BucketUnionPlan =>
+        b.keyName == keyName && b.numPartitions == numPartitions
+      case _ => false
+    }
 
   /** Partition-aligned union of two frames clustered on `keyName` into
     * `numPartitions` partitions (right's columns are realigned to

@@ -165,8 +165,10 @@ object Cdc {
     // bucketed-parquet backend — the deployment shape — including an
     // engine handoff mid-replay: a SECOND engine recovers the first
     // one's state purely from the on-disk generations
-    // (BucketedParquetBackend.latest → loadStateTables, the restart
-    // path) before applying the tombstone batch. Same oracle as q_incr:
+    // (BucketedParquetBackend.recover → loadStateTables, the restart
+    // path — bucket-aligned compose, so the recovery re-persist skips
+    // the full-state shuffle) before applying the tombstone batch.
+    // Same oracle as q_incr:
     // durability and recovery must be invisible in the result.
     "q_incr_durable" -> QueryDef(
       "IVM through the durable bucketed-parquet backend, with a mid-replay recovery from disk",
@@ -201,7 +203,7 @@ object Cdc {
       // handoff: recover from committed generations only, then delete
       val b2 = new BucketedParquetBackend(spark, stateRoot, buckets = 8)
       val e2 = newEngine(b2)
-      e2.loadStateTables(BucketedParquetBackend.latest(spark, stateRoot))
+      e2.loadStateTables(b2.recover())
       val tomb = o.where(col("o_orderkey") % 97 === 0).select(
         col("o_orderkey").as("offset"),
         struct(col("o_orderkey")).as("key"),

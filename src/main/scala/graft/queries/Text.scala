@@ -28,6 +28,16 @@ object Text {
   private[queries] val hllNumerator: String =
     (BigInt(720541) * BigInt(1024) * BigInt(1024) * (BigInt(1) << 51)).toString
 
+  /** Small-range (linear-counting) correction table: entry v (1-based)
+    * is round(m · ln(m / v)) for m = 1024 — the LogLog/HLL estimate
+    * when v of the m registers are still EMPTY. ln is evaluated once
+    * here at plan-build time and the rounded integers are emitted as
+    * literals to BOTH engines, so neither engine computes a float log
+    * and the oracle comparison stays integer-exact. */
+  private[queries] val hllLcTable: String =
+    (1 to 1024).map(v => math.round(1024.0 * math.log(1024.0 / v)))
+      .mkString(", ")
+
   private val gramsCte =
     """g AS (
       |  SELECT DISTINCT doc_id, substr(text, g, 5) AS gram
@@ -574,9 +584,12 @@ object Text {
     // oracle re-detects and re-parses the same fields from the HEX
     // image of the same payload — byte-offset arithmetic replayed in
     // SQL, not the closed form — so a parser that read the wrong
-    // offset or endianness hash-mismatches. Bare payloads exercise
-    // the stub fallback. The digest is md5 over the uppercase hex
-    // (DuckDB hashes VARCHAR only).
+    // offset or endianness hash-mismatches. Both sides gate the bmp
+    // sniff on BITMAPINFOHEADER size == 40 at byte 14 (text that
+    // merely starts with "BM" stays raw) and both replay
+    // abs-of-signed-i32 for the height (top-down BMPs store it
+    // negative). Bare payloads exercise the stub fallback. The digest
+    // is md5 over the uppercase hex (DuckDB hashes VARCHAR only).
     "q_multimodal_meta" -> QueryDef(
       "binary payloads in real containers; header-parsed format/width/height",
       """WITH d AS (SELECT doc_id, text,
@@ -602,9 +615,14 @@ object Text {
         |              AND substr(hx, 25, 8) = '49484452' THEN 'png'
         |         WHEN len(hx) >= 20 AND substr(hx, 1, 8) = '47494638'
         |              AND substr(hx, 9, 4) IN ('3761', '3961') THEN 'gif'
-        |         WHEN len(hx) >= 52 AND substr(hx, 1, 4) = '424D' THEN 'bmp'
+        |         WHEN len(hx) >= 52 AND substr(hx, 1, 4) = '424D'
+        |              AND substr(hx, 29, 8) = '28000000' THEN 'bmp'
         |         ELSE 'raw' END AS format
-        |  FROM p)
+        |  FROM p),
+        |g AS (SELECT *, CASE WHEN format = 'bmp' THEN
+        |        ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+        |               || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT
+        |      ELSE 0 END AS bmp_hu FROM f)
         |SELECT doc_id, format,
         |  CAST(len(hx) // 2 AS BIGINT) AS byte_len,
         |  md5(hx) AS payload_md5,
@@ -617,11 +635,11 @@ object Text {
         |  CAST(CASE format
         |    WHEN 'png' THEN ('0x' || substr(hx, 41, 8))::BIGINT
         |    WHEN 'gif' THEN ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::BIGINT
-        |    WHEN 'bmp' THEN ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
-        |                          || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT
+        |    WHEN 'bmp' THEN (CASE WHEN bmp_hu >= 2147483648
+        |                          THEN 4294967296 - bmp_hu ELSE bmp_hu END)
         |    ELSE 16 + (ascii(substr(text, 2, 1)) % 16) * 4 END AS BIGINT) AS height,
         |  CAST(len(hx) // 2 % 7 + 1 AS BIGINT) AS n_frames
-        |FROM f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+        |FROM g ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val w = lit(16L) + pmod(col("doc_id"), lit(1000L))
       val h = lit(16L) + pmod(col("doc_id"), lit(600L))
       def be32(c: Column) = lpad(hex(c), 8, "0")
@@ -1259,13 +1277,23 @@ object Text {
     // distinct value; the sketch aggregates into ≤1024 fixed-width
     // registers per group with map-side combine (max commutes), which
     // is how you count distinct URLs/docs/tokens per source at 100 TB.
-    // Raw estimate only (no small-range linear counting — that needs a
-    // float ln); production accuracy at low cardinalities would add the
-    // correction, estimator parity is what is asserted here.
+    // Small-range correction included, still integer-exact: when the
+    // raw estimate is ≤ 2.5·m and empty registers remain, the estimate
+    // switches to linear counting m·ln(m/V) — the ln comes from a
+    // 1024-entry integer table computed once at plan-build time and
+    // emitted as literals to BOTH engines (Text.hllLcTable), so no
+    // engine-side float log ever runs. A planted 37-token source
+    // exercises the branch on every run: its raw estimate lands ~20×
+    // high (every empty register contributes 2^51 to the harmonic
+    // sum), the corrected one lands on the exact count.
     "q_hll_distinct" -> QueryDef(
-      "per-source distinct-token estimate via an integer-exact 1024-register HLL",
+      "per-source distinct-token estimate via an integer-exact 1024-register HLL with small-range correction",
       s"""WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-         |           FROM documents),
+         |           FROM documents
+         |           UNION ALL
+         |           SELECT '__planted_low' AS source,
+         |             'p' || CAST(u.i % 37 AS VARCHAR) AS tok
+         |           FROM unnest(range(0, 500)) AS u(i)),
          |h AS (SELECT source,
          |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
          |r AS (SELECT source, hv % 1024 AS idx,
@@ -1274,20 +1302,30 @@ object Text {
          |      FROM h),
          |regs AS (SELECT source, idx, max(rank) AS m FROM r GROUP BY 1, 2),
          |cells AS (SELECT s.source, CAST(u.i AS BIGINT) AS idx
-         |          FROM (SELECT DISTINCT source FROM documents) s
+         |          FROM (SELECT DISTINCT source FROM t) s
          |          CROSS JOIN unnest(range(0, 1024)) AS u(i)),
          |nsum AS (SELECT c.source,
-         |           sum(1::BIGINT << (51 - coalesce(regs.m, 0))) AS n
+         |           sum(1::BIGINT << (51 - coalesce(regs.m, 0))) AS n,
+         |           sum(CASE WHEN regs.m IS NULL THEN 1 ELSE 0 END) AS v
          |         FROM cells c LEFT JOIN regs
          |           ON regs.source = c.source AND regs.idx = c.idx
          |         GROUP BY c.source),
+         |est AS (SELECT source, v,
+         |          CAST(CAST('${Text.hllNumerator}' AS HUGEINT)
+         |            // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS raw_est
+         |        FROM nsum),
          |ex AS (SELECT source, count(DISTINCT tok) AS exact FROM t GROUP BY source)
          |SELECT e.source, CAST(e.exact AS BIGINT) AS exact_distinct,
-         |  CAST(CAST('${Text.hllNumerator}' AS HUGEINT)
-         |    // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS hll_estimate
-         |FROM ex e JOIN nsum USING (source) ORDER BY e.source""".stripMargin) { (spark, dir) =>
+         |  CAST(CASE WHEN raw_est <= 2560 AND v > 0
+         |       THEN list_extract([${Text.hllLcTable}], CAST(v AS INTEGER))
+         |       ELSE raw_est END AS BIGINT) AS hll_estimate
+         |FROM ex e JOIN est USING (source) ORDER BY e.source""".stripMargin) { (spark, dir) =>
+      val planted = spark.range(500).select(
+        lit("__planted_low").as("source"),
+        concat(lit("p"), pmod(col("id"), lit(37L)).cast(StringType)).as("tok"))
       val toks = docs(spark, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .unionByName(planted)
         .graftCkptMem()
       val ranks = toks
         .select(col("source"),
@@ -1296,18 +1334,23 @@ object Text {
           when(expr("hv div 1024") === 0L, 51L)
             .otherwise(lit(51L) - length(bin(expr("hv div 1024")))).as("rank"))
       val regs = ranks.groupBy("source", "idx").agg(max(col("rank")).as("m"))
-      val cells = docs(spark, dir).select(col("source")).distinct()
+      val cells = toks.select(col("source")).distinct()
         .crossJoin(spark.range(1024).select(col("id").as("idx")))
       val nsum = cells.join(regs, Seq("source", "idx"), "left_outer")
         .groupBy("source")
         .agg(sum(expr(
-          "shiftleft(cast(1 as bigint), cast(51 - coalesce(m, 0) as int))")).as("n"))
+          "shiftleft(cast(1 as bigint), cast(51 - coalesce(m, 0) as int))")).as("n"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("v"))
       val exact = toks.groupBy("source")
         .agg(countDistinct(col("tok")).as("exact_distinct"))
-      exact.join(nsum, "source")
+      val est = nsum.select(col("source"), col("v"),
+        expr(s"cast(cast('${Text.hllNumerator}' as decimal(38,0)) div " +
+          "(cast(n as decimal(38,0)) * 1000000) as bigint)").as("raw_est"))
+      exact.join(est, "source")
         .select(col("source"), col("exact_distinct"),
-          expr(s"cast(cast('${Text.hllNumerator}' as decimal(38,0)) div " +
-            "(cast(n as decimal(38,0)) * 1000000) as bigint)").as("hll_estimate"))
+          when(col("raw_est") <= 2560L && col("v") > 0L,
+            expr(s"element_at(array(${Text.hllLcTable}), cast(v as int))"))
+            .otherwise(col("raw_est")).cast(LongType).as("hll_estimate"))
         .orderBy("source")
     },
 
@@ -1369,6 +1412,54 @@ object Text {
           docs(spark, dir).select(col("source"), col("doc_id"), col("text")),
           "source", "doc_id",
           size(TextAnalysis.tokens(col("text"))), 512L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    },
+
+    // Hierarchical (two-level) packing — q_pack's 100 TB path: the
+    // same concat-and-chunk layout, but the doc stream is cut into
+    // 4096-id CHUNKS first, so the running token sum windows over
+    // (source, chunk) — every window partition bounded by the chunk
+    // size regardless of source skew — instead of one partition per
+    // source (q_pack's single-task straggler at a dominant source).
+    // Bins never span a chunk, and per-chunk bin counts (a tiny
+    // chunk-aggregate frame) chain the global bin ids back together.
+    // The oracle replays the two-level arithmetic integer-exactly:
+    // chunk = doc_id // 4096, bin-within-chunk = running-sum // 512,
+    // global bin = chunk-offset + local bin.
+    "q_pack_hier" -> QueryDef(
+      "hierarchical sequence packing: chunked 512-token bins, no per-source global window",
+      """WITH t AS (SELECT source, doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |         doc_id // 4096 AS chunk
+        |       FROM documents),
+        |l AS (SELECT source, doc_id, n_tokens, chunk,
+        |        (sum(n_tokens) OVER (PARTITION BY source, chunk ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - n_tokens) // 512 AS lbin
+        |      FROM t),
+        |o AS (SELECT source, chunk, max(lbin) + 1 AS nbins
+        |      FROM l GROUP BY source, chunk),
+        |o2 AS (SELECT source, chunk,
+        |        sum(nbins) OVER (PARTITION BY source ORDER BY chunk
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nbins AS binoff
+        |      FROM o)
+        |SELECT l.source, CAST(binoff + lbin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM l JOIN o2 USING (source, chunk)
+        |GROUP BY l.source, binoff + lbin
+        |ORDER BY source, bin""".stripMargin) { (spark, dir) =>
+      TrainingData.packBinsHier(
+          docs(spark, dir).select(col("source"), col("doc_id"), col("text")),
+          "source", "doc_id",
+          size(TextAnalysis.tokens(col("text"))), 512L, 4096L)
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"),

@@ -72,7 +72,8 @@ final class IncrementalDenormalizer(
     strategy: QueueingStrategy = QueueingStrategy.allMedium,
     mediumTriggerRows: Long = 0L,
     lowDrainEvery: Int = 1,
-    backend: StateBackend = StateBackend.Memory) {
+    backend: StateBackend = StateBackend.Memory,
+    maxChildrenPerEdge: Option[Int] = None) {
 
   import IncrementalDenormalizer._
 
@@ -113,8 +114,15 @@ final class IncrementalDenormalizer(
     * change set — the reference's WriteBatch write profile — instead
     * of the full table. */
   private def matState(name: String, df: DataFrame,
-      delta: Option[(DataFrame, DataFrame)] = None): () => DataFrame =
-    () => backend.persist(name, df.coalesce(statePartitions), delta)
+      delta: Option[(DataFrame, DataFrame)] = None): () => DataFrame = {
+    // The coalesce bounds the memory backend's localCheckpoint
+    // partition count; a durable backend governs its own layout (the
+    // bucketed write), and the extra plan node would also hide an
+    // already-bucket-aligned recovered chain from persistFull's
+    // aligned fast path — so durable frames pass through untouched.
+    val src = if (backend.durable) df else df.coalesce(statePartitions)
+    () => backend.persist(name, src, delta)
+  }
 
   /** Materialize independent state tables concurrently. Each eager
     * materialization is a blocking Spark job with a handful of tasks at
@@ -186,6 +194,7 @@ final class IncrementalDenormalizer(
   private var counterMap: Map[String, Long] = Map(
     "records_consumed" -> 0L, "delta_keys" -> 0L,
     "docs_written" -> 0L, "docs_tombstoned" -> 0L,
+    "docs_truncated" -> 0L,
     "rebuilds_dropped_none" -> 0L, "batches" -> 0L)
   def counters: Map[String, Long] = counterMap
   private def bump(name: String, by: Long): Unit =
@@ -705,8 +714,10 @@ final class IncrementalDenormalizer(
       else restrictedDedup.getOrElse(e, snapshot(e))
     // Not checkpointed: consumed exactly once, into newDocsCp below —
     // a separate materialization pass would be pure overhead.
-    val assembled = Denormalize.documents(tree, tables, keyFields)
-      .select(col("__pk"), col("doc_json"))
+    val assembled = Denormalize.documents(tree, tables, keyFields,
+        maxChildrenPerEdge)
+      .select(col("__pk") +: col("doc_json") +:
+        (if (maxChildrenPerEdge.isDefined) Seq(col("__truncated")) else Nil): _*)
 
     // J3 re-register: for each edge, walk the path root→parent with
     // inner joins over live snapshots (a node registers only if its
@@ -754,12 +765,17 @@ final class IncrementalDenormalizer(
     // ride it) into the docs-table write — the union re-reads the
     // just-checkpointed blocks, so the assembly still runs once, and
     // the rootmap writes overlap the whole chain.
+    val truncCol =
+      if (maxChildrenPerEdge.isDefined) coalesce(col("__truncated"), lit(0L))
+      else lit(0L)
     val newDocs = dirty.join(assembled, dirty("__rpk") === assembled("__pk"), "left_outer")
       .select(col("__rpk").as("__pk"), col("doc_json"),
-        col("doc_json").isNull.as("__deleted"))
+        col("doc_json").isNull.as("__deleted"), truncCol.as("__tr"))
       .observe(s"graft_docs_${safeName(name)}_$batchIndex",
         count(lit(1)).as("n"),
-        sum(when(col("doc_json").isNull, 1L).otherwise(0L)).as("tomb"))
+        sum(when(col("doc_json").isNull, 1L).otherwise(0L)).as("tomb"),
+        sum(col("__tr")).as("trunc"))
+      .drop("__tr")
     val dirtyPks = dirty.withColumnRenamed("__rpk", "__pk")
     val kept = docState(name).join(dirtyPks, Seq("__pk"), "left_anti")
     val rootmapThunks = rootmapUpdates.map {
@@ -785,6 +801,7 @@ final class IncrementalDenormalizer(
       val tomb = if (r.isNullAt(1)) 0L else r.getLong(1)
       bump("docs_written", r.getLong(0) - tomb)
       bump("docs_tombstoned", tomb)
+      bump("docs_truncated", if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     if (!backend.durable) {
       val newDocsCp = waveOut(rootmapUpdates.size)

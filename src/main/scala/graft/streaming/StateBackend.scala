@@ -5,7 +5,8 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.StructType
 
 import graft.core.Ckpt
 
@@ -109,13 +110,24 @@ object StateBackend {
   * dropped on [[gc]], after the batch's last job finishes; delta
   * chains retire only when a FULL persist supersedes the whole chain.
   *
-  * Restart recovery: [[BucketedParquetBackend.latest]] composes the
-  * newest committed full generation + its committed delta suffix for
-  * every table under a root — feed the result to
+  * Restart recovery: [[recover]] composes the newest committed full
+  * generation + its committed delta suffix for every table under the
+  * root THROUGH THE CATALOG — each bucketed base/delta `rows/`
+  * directory is registered as a bucketed table (bucket metadata lives
+  * only in the catalog; a raw `spark.read.parquet` forgets the
+  * layout) and the chain zips with [[graft.plans.BucketUnion]],
+  * exactly like the live [[persistDelta]] compose — so keyed reads
+  * against recovered state plan no state-side Exchange even before
+  * the first post-restart compaction, mirroring the reference, whose
+  * RocksDB state is key-indexed the moment it reopens (reference
+  * state/RocksDBState.java:474-491). Feed the result to
   * [[IncrementalDenormalizer.loadStateTables]], which re-persists
   * through the live backend (a FULL write: recovery doubles as
-  * compaction and re-establishes bucket metadata in the new session's
-  * catalog).
+  * compaction — and because the recovered plan is already
+  * bucket-aligned, [[persistFull]]'s aligned fast path writes it
+  * WITHOUT the full-state re-shuffle). The static
+  * [[BucketedParquetBackend.latest]] remains as the layout-agnostic
+  * read-only path (no catalog registration, plain compose).
   */
 final class BucketedParquetBackend(
     spark: SparkSession,
@@ -183,12 +195,22 @@ final class BucketedParquetBackend(
     val tbl = s"graft_state_${instanceId}_${tableSeq.incrementAndGet()}"
     val dir = new Path(root, s"$name/g$gen")
     val keyCol = df.columns.head
-    df.repartition(buckets, col(keyCol))
-      .write.format("parquet")
+    // Aligned fast path: a frame whose plan is already a BucketUnion
+    // compose on (keyCol, buckets) — a recovered chain, or any
+    // delta-composed view being compacted — arrives with partition i
+    // holding exactly bucket i's keys (the zip preserves
+    // HashPartitioning, and the bucketed write derives bucket ids from
+    // the same Murmur3 pmod), so the pre-write repartition would be a
+    // full-state shuffle for nothing. Skipping it, each task writes
+    // exactly its one bucket file.
+    val src =
+      if (graft.plans.BucketUnion.isAligned(df, keyCol, buckets)) df
+      else df.repartition(buckets, col(keyCol))
+    src.write.format("parquet")
       .bucketBy(buckets, keyCol)
       .option("path", dir.toString)
       .saveAsTable(tbl)
-    writeMarker(fs(dir), dir, "full")
+    writeMarker(fs(dir), dir, "full", buckets)
     if (prev != null) {
       retired.add((Some(prev.table), prev.baseDir))
       prev.deltas.foreach { case (d, t) => retired.add((Some(t), d)) }
@@ -228,7 +250,7 @@ final class BucketedParquetBackend(
       .option("path", new Path(dir, "rows").toString)
       .saveAsTable(tbl)
     keys.coalesce(buckets).write.parquet(new Path(dir, "keys").toString)
-    writeMarker(fs(dir), dir, "delta")
+    writeMarker(fs(dir), dir, "delta", buckets)
     // read both sides back from disk so the composed frame is
     // independent of the input plans' lineage
     val keysDf = spark.read.parquet(new Path(dir, "keys").toString)
@@ -239,6 +261,86 @@ final class BucketedParquetBackend(
     live.put(name, prev.copy(maxGen = gen,
       deltas = prev.deltas :+ ((dir, tbl)), frame = frame))
     frame
+  }
+
+  /** Register a bucketed parquet directory (a full generation, or a
+    * delta's `rows/`) as an external catalog table so readers see the
+    * bucket spec. DDL because the DataFrame API can only CTAS. */
+  private def registerBucketed(dir: Path, schema: StructType,
+      keyCol: String, bucketCount: Int): String = {
+    val tbl = s"graft_state_${instanceId}_${tableSeq.incrementAndGet()}"
+    spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET " +
+      s"CLUSTERED BY (`$keyCol`) INTO $bucketCount BUCKETS " +
+      s"LOCATION '${dir.toString}'")
+    tbl
+  }
+
+  /** Restart recovery through the live backend (see class doc): the
+    * newest committed chain of every table under [[root]], composed
+    * bucket-aligned. Chains are adopted into [[live]], so each table's
+    * first post-restore persist supersedes the adopted generations and
+    * [[gc]] retires their files and catalog entries together; disk
+    * generations OUTSIDE the adopted chain (uncommitted wrecks,
+    * superseded older generations) queue for retirement immediately.
+    * Tables whose markers predate the bucket-count format (or whose
+    * chain mixes bucket counts) compose unbucketed — one full-state
+    * shuffle on the recovery persist, never a wrong layout guess. */
+  def recover(): Map[String, DataFrame] = {
+    val rootPath = new Path(root)
+    val f = fs(rootPath)
+    if (!f.exists(rootPath)) return Map.empty
+    f.listStatus(rootPath).toSeq.filter(_.isDirectory).flatMap { tableDir =>
+      val name = tableDir.getPath.getName
+      val info = BucketedParquetBackend.committedGens(f, tableDir.getPath)
+      val base = info.filter(_._3.exists(_._1 == "full")).lastOption
+      if (base.isEmpty && info.exists(_._3.exists(_._1 == "delta")))
+        throw new IllegalStateException(
+          s"state table ${tableDir.getPath} has committed delta " +
+            "generations but no committed full generation; refusing to " +
+            "recover an empty state over existing data")
+      base.map { case (baseId, baseDir, baseInfo) =>
+        val suffix = info.filter(_._1 > baseId)
+          .takeWhile(_._3.exists(_._1 == "delta"))
+        val chainDirs = (baseDir +: suffix.map(_._2)).toSet
+        info.filterNot(g => chainDirs(g._2))
+          .foreach(g => retired.add((None, g._2)))
+        val counts = (baseInfo +: suffix.map(_._3)).map(_.flatMap(_._2))
+        val bucketCount = counts.head
+        val frame =
+          if (bucketCount.isDefined && counts.forall(_ == bucketCount)) {
+            val schema = spark.read.parquet(baseDir.toString).schema
+            val keyCol = schema.fields.head.name
+            val baseTbl =
+              registerBucketed(baseDir, schema, keyCol, bucketCount.get)
+            var cur = spark.table(baseTbl)
+            val deltas = suffix.map { case (_, dir, _) =>
+              val rowsTbl = registerBucketed(
+                new Path(dir, "rows"), schema, keyCol, bucketCount.get)
+              val keysDf =
+                spark.read.parquet(new Path(dir, "keys").toString)
+              val kept = cur.join(broadcast(keysDf),
+                keysDf.columns.toSeq, "left_anti")
+              cur = graft.plans.BucketUnion(
+                kept, spark.table(rowsTbl), keyCol, bucketCount.get)
+              (dir, rowsTbl)
+            }
+            // maxGen spans ALL disk generations, not just the chain: an
+            // uncommitted wreck beyond the chain still occupies its gen
+            // directory, and the next persist must write past it
+            live.put(name, Chain(
+              maxGen = info.lastOption.map(_._1).getOrElse(baseId),
+              table = baseTbl, baseDir = baseDir,
+              deltas = deltas.toVector, frame = cur))
+            cur
+          } else
+            // legacy chain: plain compose; the table stays out of
+            // `live`, so its first persist takes the adoptDiskGens path
+            suffix.foldLeft(spark.read.parquet(baseDir.toString)) {
+              (cur, g) => BucketedParquetBackend.applyDelta(spark, cur, g._2)
+            }
+        name -> frame
+      }
+    }.toMap
   }
 
   override def gc(): Unit = {
@@ -274,15 +376,18 @@ final class BucketedParquetBackend(
 object BucketedParquetBackend {
   private val instances = new AtomicInteger(0)
 
-  /** Commit marker: `_MANIFEST` holds the generation kind and is
-    * written LAST via create-then-rename, so its presence implies the
-    * generation's data is complete (the `_SUCCESS`-equivalent gate —
-    * a write that died mid-flight leaves data files but no marker). */
+  /** Commit marker: `_MANIFEST` holds `kind:buckets` (the bucket
+    * count lets [[BucketedParquetBackend.recover]] re-register the
+    * directory with its true layout) and is written LAST via
+    * create-then-rename, so its presence implies the generation's
+    * data is complete (the `_SUCCESS`-equivalent gate — a write that
+    * died mid-flight leaves data files but no marker). */
   private def writeMarker(f: org.apache.hadoop.fs.FileSystem,
-      dir: Path, kind: String): Unit = {
+      dir: Path, kind: String, bucketCount: Int): Unit = {
     val tmp = new Path(dir, "_MANIFEST.tmp")
     val out = f.create(tmp, true)
-    out.write(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(s"$kind:$bucketCount"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     // fail LOUD on a false rename (dest exists, FS quirk): a generation
     // whose marker never landed would be live in this session's chain
@@ -293,18 +398,49 @@ object BucketedParquetBackend {
         s"could not commit generation marker ${new Path(dir, "_MANIFEST")}")
   }
 
-  /** Committed generation kind. Pre-delta versions of this backend
-    * wrote no `_MANIFEST` — their full generations carry only parquet's
-    * `_SUCCESS` at the generation root (delta generations nest it under
-    * `rows/`/`keys/`), so a `_SUCCESS`-only directory is a committed
-    * FULL generation from the old format, not a wreck: without this a
-    * restart over a pre-delta state root would silently recover an
-    * EMPTY state map and rebuild from offset zero. */
-  private def markerKind(f: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Option[String] =
-    readMarker(f, dir).orElse {
-      if (f.exists(new Path(dir, "_SUCCESS"))) Some("full") else None
+  /** Committed generation `(kind, bucket count)`. Markers since the
+    * bucket-count format hold `kind:buckets`; earlier ones hold just
+    * `kind` (count unknown → None). Pre-delta versions of this backend
+    * wrote no `_MANIFEST` at all — their full generations carry only
+    * parquet's `_SUCCESS` at the generation root (delta generations
+    * nest it under `rows/`/`keys/`), so a `_SUCCESS`-only directory is
+    * a committed FULL generation from the OLD format, not a wreck:
+    * without this a restart over a pre-delta state root would silently
+    * recover an EMPTY state map and rebuild from offset zero. The
+    * fallback is scoped by `allowSuccessFallback` to tables where NO
+    * generation has a `_MANIFEST`: on a manifest-format table, a full
+    * generation whose parquet job committed (`_SUCCESS` present) but
+    * whose marker write crashed must stay invisible — the engine
+    * checkpoint never advanced past that batch, and recovering it
+    * would make the restart replay the batch on top of state that
+    * already includes it. */
+  private def markerInfo(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path, allowSuccessFallback: Boolean): Option[(String, Option[Int])] =
+    readMarker(f, dir).map { s =>
+      s.split(':') match {
+        case Array(kind, b) => (kind, b.toIntOption)
+        case _ => (s, None)
+      }
+    }.orElse {
+      if (allowSuccessFallback && f.exists(new Path(dir, "_SUCCESS")))
+        Some(("full", None))
+      else None
     }
+
+  /** All `g<n>` generation directories of one state table in id order,
+    * each with its committed-marker info (None = uncommitted wreck).
+    * The `_SUCCESS` fallback is enabled only when the whole table
+    * predates the manifest format (see [[markerInfo]]). */
+  private def committedGens(f: org.apache.hadoop.fs.FileSystem,
+      tableDir: Path): Seq[(Long, Path, Option[(String, Option[Int])])] = {
+    val gens = f.listStatus(tableDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .sortBy(_._1)
+    val preManifest =
+      !gens.exists { case (_, p) => f.exists(new Path(p, "_MANIFEST")) }
+    gens.map { case (id, p) => (id, p, markerInfo(f, p, preManifest)) }
+  }
 
   private def readMarker(f: org.apache.hadoop.fs.FileSystem,
       dir: Path): Option[String] = {
@@ -313,7 +449,7 @@ object BucketedParquetBackend {
     else {
       val in = f.open(m)
       try {
-        val bytes = new Array[Byte](16)
+        val bytes = new Array[Byte](32)
         val n = in.read(bytes)
         Some(new String(bytes, 0, math.max(n, 0),
           java.nio.charset.StandardCharsets.UTF_8).trim)
@@ -340,36 +476,37 @@ object BucketedParquetBackend {
 
   /** The newest committed state of every table under `root`: the last
     * full generation with a commit marker, composed with its committed
-    * delta suffix in generation order — the restart-recovery input for
-    * [[IncrementalDenormalizer.loadStateTables]]. Generations without
-    * a marker (a write that died mid-flight) are skipped, and the walk
-    * up the delta suffix stops at the first uncommitted generation, so
-    * recovery always lands on the last complete batch. */
+    * delta suffix in generation order. Generations without a marker
+    * (a write that died mid-flight) are skipped, and the walk up the
+    * delta suffix stops at the first uncommitted generation, so
+    * recovery always lands on the last complete batch.
+    *
+    * This is the read-only, layout-agnostic path (plain parquet reads,
+    * broadcast-anti compose — no catalog registration): right for
+    * inspection and cross-backend reads. ENGINE restarts should go
+    * through the live backend's [[BucketedParquetBackend.recover]],
+    * which composes the same chain bucket-aligned. */
   def latest(spark: SparkSession, root: String): Map[String, DataFrame] = {
     val rootPath = new Path(root)
     val f = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(rootPath)) return Map.empty
     f.listStatus(rootPath).toSeq.filter(_.isDirectory).flatMap { tableDir =>
-      val gens = f.listStatus(tableDir.getPath).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
-        .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(id =>
-          (id, s.getPath, markerKind(f, s.getPath))))
-        .sortBy(_._1)
-      val base = gens.filter(_._3.contains("full")).lastOption
+      val gens = committedGens(f, tableDir.getPath)
+      val base = gens.filter(_._3.exists(_._1 == "full")).lastOption
       // A COMMITTED delta can only exist after its base committed, so
       // finding one with no committed full generation is corruption —
       // fail loud rather than silently recover an empty state and
       // rebuild from offset zero. (Uncommitted-only wrecks are NOT an
       // error: a table whose very first persist died mid-flight never
       // committed a batch, so the empty fresh start is the truth.)
-      if (base.isEmpty && gens.exists(_._3.contains("delta")))
+      if (base.isEmpty && gens.exists(_._3.exists(_._1 == "delta")))
         throw new IllegalStateException(
           s"state table ${tableDir.getPath} has committed delta " +
             "generations but no committed full generation; refusing to " +
             "recover an empty state over existing data")
       base.map { case (baseId, baseDir, _) =>
         val suffix = gens.filter(_._1 > baseId)
-          .takeWhile(_._3.contains("delta"))
+          .takeWhile(_._3.exists(_._1 == "delta"))
         val frame = suffix.foldLeft(spark.read.parquet(baseDir.toString)) {
           (cur, g) => applyDelta(spark, cur, g._2)
         }

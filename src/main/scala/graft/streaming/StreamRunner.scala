@@ -192,7 +192,7 @@ object StreamRunner {
     // offsets skip on restart, so the engine state MUST resume from
     // where those offsets left it. A durable backend recovers first,
     // from its own committed generations (the state written by the last
-    // completed batch — BucketedParquetBackend.latest); a stateRoot
+    // completed batch — BucketedParquetBackend.recover); a stateRoot
     // then restores the newest readable explicit backup only if the
     // backend had nothing (when_needed), and keeps backing up every
     // `backupEvery`-th batch. Pair either with `checkpointDir` for
@@ -201,7 +201,11 @@ object StreamRunner {
     // fresh checkpoint dir then.
     backend match {
       case b: BucketedParquetBackend =>
-        val gens = BucketedParquetBackend.latest(spark, b.root)
+        // recover() (not the static latest()): the composed chains come
+        // back bucket-aligned, so the recovery re-persist skips the
+        // full-state shuffle and pre-compaction keyed reads stay
+        // Exchange-free on the state side
+        val gens = b.recover()
         if (gens.nonEmpty) engine.loadStateTables(gens)
       case _ => ()
     }

@@ -94,4 +94,57 @@ class BucketingSpec extends SparkSpec {
       }
     } finally b.deleteAll()
   }
+
+  test("chain RECOVERED mid-delta composes bucket-aligned: no Exchange on keyed reads, aligned compaction write") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.types._
+    val root = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_bucket_recover")
+    val schema = StructType(Seq(
+      StructField("__pk", BinaryType), StructField("v", LongType)))
+    def df(pairs: (Int, Long)*): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(
+        pairs.map { case (k, v) => Row(Array(k.toByte), v) }: _*), schema)
+    val expect = ((1 to 50).map(i => i -> i.toLong).toMap
+      - 4 + (2 -> 200L) + (51 -> 510L) + (3 -> 300L))
+    val b1 = new graft.streaming.BucketedParquetBackend(
+      spark, root, buckets = 8, compactEvery = 10)
+    // full + two deltas on disk, then "crash": a second backend
+    // recovers from the files alone
+    b1.persist("t", df((1 to 50).map(i => i -> i.toLong): _*), None)
+    b1.persist("t", df(), Some((df(2 -> 200L, 51 -> 510L),
+      df(2 -> 0L, 51 -> 0L).select("__pk"))))
+    b1.persist("t", df(), Some((df(3 -> 300L),
+      df(3 -> 0L, 4 -> 0L).select("__pk"))))
+    val b2 = new graft.streaming.BucketedParquetBackend(
+      spark, root, buckets = 8, compactEvery = 10)
+    try {
+      val recovered = b2.recover()("t")
+      // the recovered compose must carry the bucket layout: a keyed
+      // aggregation straight off the recovered chain — BEFORE any
+      // post-restart compaction — plans no Exchange (this was the r8
+      // gap: restore used plain left_anti+unionByName and re-shuffled
+      // the state side on every keyed read until the next compaction)
+      val aggPlan =
+        recovered.groupBy("__pk").count().queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"recovered chain re-shuffled the state side:\n$aggPlan")
+      val got = recovered.collect()
+        .map(r => r.getAs[Array[Byte]]("__pk")(0).toInt -> r.getLong(1)).toMap
+      assert(got == expect)
+      // the recovery re-persist (loadStateTables' compaction write)
+      // takes the aligned fast path: the plan is a BucketUnion on the
+      // state key with the backend's bucket count
+      assert(graft.plans.BucketUnion.isAligned(recovered, "__pk", 8))
+      val compacted = b2.persist("t", recovered, None)
+      b2.gc() // drops b1's generations + recovery catalog entries
+      val got2 = compacted.collect()
+        .map(r => r.getAs[Array[Byte]]("__pk")(0).toInt -> r.getLong(1)).toMap
+      assert(got2 == expect)
+      val aggPlan2 =
+        compacted.groupBy("__pk").count().queryExecution.executedPlan.toString
+      assert(!aggPlan2.contains("Exchange hashpartitioning"),
+        s"post-recovery compaction lost the bucket layout:\n$aggPlan2")
+    } finally { b2.deleteAll(); b1.deleteAll() }
+  }
 }
