@@ -193,6 +193,20 @@ object Cdc {
       // buckets=8 measured best at sf0.1 (11.0s vs 11.8s @4, 12.8s @16:
       // fewer buckets under-parallelize the state writes, more buckets
       // pay per-file/task overhead at this state size)
+      //
+      // Residual ~1.25× over q_incr, profiled (GRAFT_IVM_TIMING wave
+      // breakdown, sf0.1 local[32]): the gap is spread across every
+      // wave, not concentrated — durable deltas+state waves run
+      // ~1.2-1.5× the memory backend's (six bucketed delta parquet
+      // writes + commit-marker renames vs MEMORY_ONLY checkpoints),
+      // rebuild waves ~1.5-2× (the docs delta write chains AFTER the
+      // newDocs checkpoint inside one thunk — a true data dependency,
+      // not schedulable overlap), plus ~1s of recover wave at the
+      // handoff. No wave dominates and none of it is a shuffle: the
+      // residual is fixed per-wave parquet/commit cost ∝ number of
+      // state tables — the price of durability, not a plan defect, so
+      // no further action (write ∝ delta and read is Exchange-free on
+      // both the live and recovered chains).
       val b1 = new BucketedParquetBackend(spark, stateRoot, buckets = 8)
       val e1 = newEngine(b1)
       (0 until 2).foreach { i =>

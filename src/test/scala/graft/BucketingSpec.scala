@@ -95,6 +95,58 @@ class BucketingSpec extends SparkSpec {
     } finally b.deleteAll()
   }
 
+  test("the REAL engine's delta-composed state tables plan no state-side Exchange mid-chain") {
+    // Not the synthetic backend table: a live IncrementalDenormalizer
+    // over a durable backend, stopped BETWEEN compactions (compactEvery
+    // high), so every state table is a base ∪ delta BucketUnion chain —
+    // the window where r7's compose lost the layout. Keyed operators
+    // over those real composed frames must plan no Exchange on the
+    // state side (the probe/broadcast side may carry one).
+    import org.apache.spark.sql.types._
+    import graft.core.Relation
+    import graft.streaming.{BucketedParquetBackend, IncrementalDenormalizer}
+    val root = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_bucket_engine")
+    val tree = Relation.root("DenormAcct", "acct",
+      Relation.child("evt", "acct_id", "id"))
+    val acctSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val evtSchema = StructType(Seq(
+      StructField("eid", LongType), StructField("acct_id", LongType),
+      StructField("v", LongType)))
+    val backend = new BucketedParquetBackend(spark, root,
+      buckets = 8, compactEvery = 100)
+    val engine = new IncrementalDenormalizer(spark, Seq(tree),
+      Map("acct" -> Seq("id"), "evt" -> Seq("eid")),
+      Map("acct" -> acctSchema, "evt" -> evtSchema), backend = backend)
+    def evtLog(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("offset"), struct(col("id").as("eid")).as("key"),
+      struct(col("id").as("eid"), pmod(col("id"), lit(3L)).as("acct_id"),
+        (col("id") * 2).as("v")).as("value"))
+    val acctLog = spark.range(3).select(
+      col("id").as("offset"), struct(col("id")).as("key"),
+      struct(col("id"), concat(lit("a"), col("id")).as("name")).as("value"))
+    try {
+      engine.processBatch(Map("acct" -> acctLog, "evt" -> evtLog(0, 400)))
+      engine.processBatch(Map("evt" -> evtLog(400, 500))) // delta gen
+      engine.processBatch(Map("evt" -> evtLog(500, 550))) // second delta
+      // every durable state table of the engine, each mid-delta-chain
+      val composed = Seq(
+        "docs__DenormAcct" -> engine.docs("DenormAcct"),
+        "snapshot__evt" -> engine.stateTables("snapshot__evt"))
+      composed.foreach { case (name, df) =>
+        val keyCol = df.columns.head
+        val plan = df.groupBy(keyCol).count()
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"$name re-shuffled on its own key mid-delta-chain:\n$plan")
+      }
+      // and the composed docs stay correct while doing so
+      assert(engine.docs("DenormAcct").where(!col("__deleted")).count() == 3)
+      assert(engine.stateTables("snapshot__evt").count() == 550)
+    } finally backend.deleteAll()
+  }
+
   test("chain RECOVERED mid-delta composes bucket-aligned: no Exchange on keyed reads, aligned compaction write") {
     import org.apache.spark.sql.{DataFrame, Row}
     import org.apache.spark.sql.types._
