@@ -1334,7 +1334,12 @@ object Text {
           when(expr("hv div 1024") === 0L, 51L)
             .otherwise(lit(51L) - length(bin(expr("hv div 1024")))).as("rank"))
       val regs = ranks.groupBy("source", "idx").agg(max(col("rank")).as("m"))
-      val cells = toks.select(col("source")).distinct()
+      // source domain from the DOC table + the planted literal — a
+      // distinct over the exploded token table would rescan millions
+      // of rows to learn ~6 labels (measured 0.6 → 2.9 s when this
+      // briefly keyed off `toks`)
+      val cells = docs(spark, dir).select(col("source")).distinct()
+        .unionByName(spark.range(1).select(lit("__planted_low").as("source")))
         .crossJoin(spark.range(1024).select(col("id").as("idx")))
       val nsum = cells.join(regs, Seq("source", "idx"), "left_outer")
         .groupBy("source")
