@@ -45,6 +45,23 @@ object Tables {
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The same table as an UNBOUNDED file-source stream (the streaming
+    * reader needs the schema up front; for non-events tables a batch
+    * footer peek supplies it — metadata-only, no data scan). Each
+    * table is a single parquet FILE, which needs two dodges: the
+    * source path must be a GLOB (for a plain path FileStreamSource
+    * force-overrides `basePath` with the path itself, then rejects it
+    * for not being a directory), and `basePath` must name the parent
+    * directory explicitly. A one-alternative brace glob matches
+    * exactly the table file. */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val sch =
+      if (name == "events") eventsSchema
+      else spark.read.parquet(s"$dir/$name.parquet").schema
+    spark.readStream.schema(sch).option("basePath", dir)
+      .parquet(s"$dir/{$name}.parquet")
+  }
+
   /** Loader closure over one scale-factor directory. */
   def loader(spark: SparkSession, dir: String): String => DataFrame =
     name => load(spark, dir, name)

@@ -1,0 +1,190 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.core.{Ckpt, QueryDef, Tables}
+import graft.streaming.{EventTime, StreamingDedup}
+
+/** Queries that execute a REAL Structured Streaming pipeline —
+  * file-source stream → stateful operator → memory sink — inside the
+  * `queries()` builder, so the oracle gate exercises the streaming
+  * runtime itself (state store, watermark bookkeeping, append-mode
+  * finalization), not a batch re-expression of it.
+  *
+  * Determinism contract (what makes a DuckDB oracle possible):
+  *  - `Trigger.AvailableNow` over a static parquet file with no
+  *    admission limits reads ALL data in one micro-batch, so no row
+  *    can arrive behind a mid-stream watermark — nothing is dropped.
+  *  - After the data batch commits, the watermark advances to
+  *    max(event time) − delay, and the no-data batch that AvailableNow
+  *    runs before terminating finalizes every window/session whose end
+  *    ≤ that final watermark (pinned empirically in StreamQuerySpec,
+  *    including the exact-boundary case). The oracle replays the same
+  *    cutoff in SQL — Spark tracks the watermark in MILLISECONDS, so
+  *    the replay truncates max(us) to ms first.
+  *  - Stateful-op output order is engine-internal; every query sorts.
+  *
+  * Scale shape: identical plans run against an unbounded Kafka/file
+  * stream on a cluster — watermark-evicted state is what bounds them
+  * (see EventTime scaladoc); the memory sink here stands in for the
+  * job's real sink and holds only the finalized aggregate rows (≤ a
+  * few thousand at any SF; never the input).
+  *
+  * Reference anchor: the reference's only time axis is log offsets
+  * (topic/KafkaTopic.java); these queries are the event-time
+  * generalization Spark adds on the same changelog model.
+  */
+object Streams {
+
+  private val seq = new AtomicInteger(0)
+
+  /** 30 minutes, the watermark delay / session gap / join width used
+    * by every query here, in microseconds. */
+  private val GapUs = 1800000000L
+
+  /** Drive `df` through the streaming runtime to completion and hand
+    * back the sink contents as a batch frame. The memory table and the
+    * checkpoint directory are torn down before returning — the caller
+    * owns only the checkpointed result. */
+  private def runStream(spark: SparkSession, df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_sink_${seq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = Ckpt.mem(spark.table(name))
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(ckpt).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach((p: Path) => Files.deleteIfExists(p))
+    }
+  }
+
+  /** events as a stream with a proper event-time column. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadStream(spark, dir, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+
+  /** The final-watermark cutoff replay: Spark's watermark is
+    * max(event-time ms) − delay; everything here carries time as
+    * epoch-μs longs, so truncate to ms before subtracting. */
+  private def cutoffSql(rel: String): String =
+    s"SELECT ((max(epoch_ns(ts) // 1000000) - 1800000) * 1000) AS w_us FROM $rel"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Tumbling event-time counts over a live stream: append mode emits
+    // a window exactly once, when the watermark passes its end — the
+    // oracle replays the aggregation AND the finalization cutoff.
+    "q_stream_window" -> QueryDef(
+      "streaming tumbling-window counts (1h windows, 30min watermark, append mode)",
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type FROM events),
+         |wm AS (${cutoffSql("events")}),
+         |agg AS (SELECT (us // 3600000000) * 3600000000 AS win_start_us,
+         |               event_type, CAST(count(*) AS BIGINT) AS n
+         |        FROM e GROUP BY 1, 2)
+         |SELECT win_start_us, event_type, n FROM agg, wm
+         |WHERE win_start_us + 3600000000 <= w_us
+         |ORDER BY win_start_us, event_type""".stripMargin) { (spark, dir) =>
+      val counts = EventTime.windowedCounts(
+        eventStream(spark, dir), "tstamp", "event_type",
+        windowLen = "1 hour", watermarkDelay = "30 minutes")
+      runStream(spark, counts, OutputMode.Append())
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("win_start_us", "event_type")
+    },
+
+    // Event-time session windows on the stream: sessions merge on the
+    // 30-min gap and finalize when the watermark passes session end
+    // (last event + gap). Oracle = gaps-and-islands + the same cutoff.
+    "q_stream_session" -> QueryDef(
+      "streaming session windows (30min gap + watermark) finalized in append mode",
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+         |wm AS (${cutoffSql("events")}),
+         |flag AS (SELECT user_id, us,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > $GapUs
+         |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |sess AS (SELECT user_id, us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flag)
+         |SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM sess, wm GROUP BY user_id, sid, w_us
+         |HAVING max(us) + $GapUs <= w_us
+         |ORDER BY user_id, sess_start_us""".stripMargin) { (spark, dir) =>
+      val sessions = EventTime.sessionCounts(
+        eventStream(spark, dir), "tstamp", "user_id",
+        gap = "30 minutes", watermarkDelay = "30 minutes")
+      runStream(spark, sessions, OutputMode.Append())
+        .select(col("user_id"),
+          unix_micros(col("sess_start")).as("sess_start_us"),
+          col("n").as("n_events"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
+    // Streaming first-seen dedup (flatMapGroupsWithState): every doc
+    // gets a decision row; later copies point at the canonical
+    // (first-seen) id. Single-batch arrival makes first-seen ==
+    // min(doc_id) — the multi-batch first-wins contract is pinned in
+    // StreamingDedupSpec, which this oracle cannot express.
+    "q_stream_dedup" -> QueryDef(
+      "streaming exact dedup: first-seen canonical per content hash",
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        |       THEN NULL
+        |       ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS dup_of
+        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val arrivals = Tables.loadStream(spark, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("offset"),
+          md5(col("text")).as("content_hash"))
+      val decisions = StreamingDedup.firstSeen(arrivals).toDF()
+      runStream(spark, decisions, OutputMode.Append())
+        .select(col("doc_id"), col("content_hash"), col("dup_of"))
+        .orderBy("doc_id")
+    },
+
+    // Stream-stream event-time interval join: each view matched to the
+    // same user's purchases within the next 30 minutes. Inner join —
+    // every match emits exactly once regardless of watermark, so the
+    // oracle is the plain conditional equijoin.
+    "q_stream_join" -> QueryDef(
+      "stream-stream interval join: views to purchases within 30min per user",
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  epoch_ns(v.ts) // 1000 AS view_us,
+        |  p.event_id AS purchase_id, epoch_ns(p.ts) // 1000 AS purchase_us
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+        |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 1800000000
+        |ORDER BY view_id, purchase_id""".stripMargin) { (spark, dir) =>
+      def side(kind: String) = eventStream(spark, dir)
+        .where(col("event_type") === kind)
+        .select(col("user_id"), col("tstamp"), col("event_id"))
+      val joined = EventTime.intervalJoin(
+        side("view"), side("purchase"), "user_id", "tstamp", "tstamp",
+        lowerBound = "0 seconds", upperBound = "30 minutes",
+        watermarkDelay = "30 minutes")
+      runStream(spark, joined, OutputMode.Append())
+        .select(col("user_id"), col("l_val.event_id").as("view_id"),
+          unix_micros(col("l_ts")).as("view_us"),
+          col("r_val.event_id").as("purchase_id"),
+          unix_micros(col("r_ts")).as("purchase_us"))
+        .orderBy("view_id", "purchase_id")
+    })
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.Tables
+import graft.streaming.EventTime
+
+/** The streaming-runtime queries (queries/Streams.scala): their
+  * determinism contract rests on two runtime behaviors this suite
+  * pins — (1) append mode finalizes a window at watermark EQUALITY
+  * with its end (non-strict, the `<=` the DuckDB oracles replay), and
+  * (2) `Trigger.AvailableNow` over a static file runs the no-data
+  * batch that advances the watermark and flushes finalized state
+  * before terminating (without it every append-mode query here would
+  * return empty). Each query is also checked against an in-Spark
+  * batch replay at sf0.001 — the same arithmetic the DuckDB oracle
+  * runs at sf0.01, but visible to `sbt test` without the driver.
+  */
+class StreamQuerySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("append mode emits a window exactly when the watermark reaches its end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String)]
+    val out = EventTime.windowedCounts(
+      stream.toDF().toDF("ts", "k"), "ts", "k",
+      windowLen = "10 seconds", watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("wm_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq(ts(1) -> "a", ts(3) -> "a"))
+      query.processAllAvailable()
+      // 15s advances the watermark to exactly 10s — the window [0,10)
+      // must finalize at equality: no event < 10s can still arrive
+      // once the watermark is 10s, because rows AT the watermark are
+      // late. The q_stream_* oracles encode this as `win_end <= w`.
+      stream.addData(Seq(ts(15) -> "a"))
+      query.processAllAvailable()
+      val got = spark.table("wm_boundary")
+        .select(col("win_start").cast("long"), col("n"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 2L)),
+        s"window [0,10) must emit at watermark == 10, got $got")
+    } finally query.stop()
+  }
+
+  test("q_stream_window: AvailableNow flushes finalized windows; matches batch replay") {
+    import spark.implicits._
+    val streamed = SparkEntry.registry("q_stream_window").build(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(streamed.nonEmpty,
+      "empty result means AvailableNow never ran the watermark-flushing no-data batch")
+
+    val e = Tables.load(spark, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("tstamp"),
+        col("event_type"), expr("ts div 1000").as("us"))
+    val cutoff = {
+      val maxUs = e.agg(max("us")).head().getLong(0)
+      (maxUs / 1000 - 1800000) * 1000
+    }
+    val batch = e.groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .where(unix_micros(col("window.end")) <= cutoff)
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.size == batch.size)
+  }
+
+  test("q_stream_session matches the batch session_window replay") {
+    import spark.implicits._
+    val streamed = SparkEntry.registry("q_stream_session").build(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tstamp"),
+        expr("ts div 1000").as("us"))
+    val cutoff = {
+      val maxUs = e.agg(max("us")).head().getLong(0)
+      (maxUs / 1000 - 1800000) * 1000
+    }
+    val batch = e.groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+      .agg(min("us").as("sess_start_us"), count(lit(1)).as("n_events"))
+      .where(unix_micros(col("session_window.end")) <= cutoff)
+      .select(col("user_id"), col("sess_start_us"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.size == batch.size)
+  }
+
+  test("q_stream_dedup: one decision per doc, canonical = min doc_id per hash") {
+    import spark.implicits._
+    val got = SparkEntry.registry("q_stream_dedup").build(spark, dir)
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .as[(Long, String, Long)].collect().toSeq
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    assert(got.size == docs.count(), "exactly one decision row per document")
+    val expected = docs
+      .withColumn("canon", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .select(col("doc_id"), col("h"),
+        when(col("doc_id") === col("canon"), lit(-1L))
+          .otherwise(col("canon")).as("dup_of"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.toSet == expected.toSet)
+    assert(got.exists(_._3 >= 0), "testdata must contain at least one duplicate")
+  }
+
+  test("q_stream_join matches the batch interval join and tears down its sink") {
+    import spark.implicits._
+    val got = SparkEntry.registry("q_stream_join").build(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("view_us"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"))
+    val batch = v.join(p, col("user_id") === col("p_uid") &&
+        col("purchase_us") >= col("view_us") &&
+        col("purchase_us") <= col("view_us") + 1800000000L)
+      .select(col("user_id"), col("view_id"), col("view_us"),
+        col("purchase_id"), col("purchase_us"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.toSet == batch.toSet)
+    assert(got.size == batch.size)
+
+    // runStream drops its memory-sink view — nothing leaks into the
+    // shared session's catalog across bench passes
+    val leaked = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_stream_sink_"))
+    assert(leaked.isEmpty, s"leaked memory sinks: ${leaked.map(_.name).toSeq}")
+  }
+}
