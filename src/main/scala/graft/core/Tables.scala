@@ -30,9 +30,12 @@ object Tables {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read it as epoch-nanos Long via explicit schema. */
-  private val eventsSchema = StructType(Seq(
+  /** Fallback schema for the ORIGINAL events generator, which wrote
+    * `ts` as parquet TIMESTAMP(NANOS) — a type Spark's reader rejects,
+    * so it must be read as the raw epoch-nanos int64 via explicit
+    * schema. The current generator writes TIMESTAMP(MICROS), which
+    * Spark infers as TimestampType. */
+  private val eventsNanosSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // epoch nanoseconds
     StructField("user_id", LongType),
@@ -40,9 +43,39 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Every query and DuckDB oracle in this repo treats `events.ts` as
+    * an epoch-NANOSECONDS Long (the `epoch_ns(ts)` convention).
+    * Normalize whatever the generator wrote to that unit: a
+    * TimestampType read (TIMESTAMP MICROS file) scales µs → ns; a
+    * LongType read (TIMESTAMP NANOS file via [[eventsNanosSchema]]) is
+    * already ns. Anything else fails loudly — a silent unit change
+    * would corrupt every event-time result by 1000×. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    df.schema("ts").dataType match {
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType => // naive µs; session tz is UTC everywhere,
+        // so the cast to instant preserves the stored value (DuckDB's
+        // epoch_ns over the same naive column agrees)
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case LongType => df
+      case other => sys.error(s"events.ts has unexpected type $other")
+    }
+  }
+
+  /** Batch read of events with `ts` left in the file's native type
+    * (TimestampType for the current generator, raw-ns Long for the
+    * original one) — callers normalize via [[normalizeTs]]. */
+  private def rawEvents(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch { // TIMESTAMP(NANOS) file: reader rejects it, use the raw-int64 schema
+      case scala.util.control.NonFatal(_) =>
+        spark.read.schema(eventsNanosSchema).parquet(path)
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events")
-      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(rawEvents(spark, s"$dir/$name.parquet"))
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** The same table as an UNBOUNDED file-source stream (the streaming
@@ -56,10 +89,11 @@ object Tables {
     * exactly the table file. */
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val sch =
-      if (name == "events") eventsSchema
+      if (name == "events") rawEvents(spark, s"$dir/$name.parquet").schema
       else spark.read.parquet(s"$dir/$name.parquet").schema
-    spark.readStream.schema(sch).option("basePath", dir)
+    val s = spark.readStream.schema(sch).option("basePath", dir)
       .parquet(s"$dir/{$name}.parquet")
+    if (name == "events") normalizeTs(s) else s
   }
 
   /** Loader closure over one scale-factor directory. */
