@@ -59,7 +59,10 @@ for name in sorted(os.listdir(outdir)):
         continue
     gv = got.values.tolist()
     ev = exp.values.tolist()
-    order_ok = gv == ev
+    # Compare via repr so NaN/None cells (e.g. an all-NULL column)
+    # don't fail elementwise equality: float('nan') != float('nan')
+    # would flag a correctly-ordered result as ORDER-differs.
+    order_ok = list(map(repr, gv)) == list(map(repr, ev))
     if not order_ok:
         gs = sorted(map(repr, gv)); es = sorted(map(repr, ev))
         if gs == es:

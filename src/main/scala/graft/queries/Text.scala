@@ -463,8 +463,26 @@ object Text {
         .graftCkptMem()
       val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
       val marg = toks.groupBy("w").agg(count(lit(1)).as("nw"))
-      val pairs = toks.select(col("doc_id"), col("w").as("term_a"))
-        .join(toks.select(col("doc_id"), col("w").as("term_b")), "doc_id")
+      // The output threshold n_ab >= 5 implies BOTH marginals >= 5
+      // (n_ab <= min(nw_a, nw_b)), so the document-frequency filter is
+      // pushed BELOW the quadratic pair fan-out: a broadcast semi-join
+      // drops every sub-threshold token before pairing. Under a Zipf
+      // vocabulary the df<5 tail is most of the DISTINCT vocabulary, so
+      // at corpus scale this is the difference between pairing the head
+      // and fanning out pairs that can never pass. The surviving vocab
+      // (df >= 5) is the Zipf head — broadcast-sized by construction.
+      // Measured at sf0.1: the driver-generated corpus has NO
+      // sub-threshold tail (31 distinct tokens, every df >= 5 — the 465
+      // output rows are exactly C(31,2)), so the semi-join prunes zero
+      // rows here and the bench delta is noise-level; the pushdown is
+      // the structural fix for real text, where the df<5 tail dominates
+      // |vocab|. Result unchanged (oracle keeps the post-aggregation
+      // n_ab >= 5 form; both filters are implied by each other given
+      // n_ab <= min marginal).
+      val frequent = marg.where(col("nw") >= 5).select("w")
+      val ftoks = toks.join(broadcast(frequent), Seq("w"), "left_semi")
+      val pairs = ftoks.select(col("doc_id"), col("w").as("term_a"))
+        .join(ftoks.select(col("doc_id"), col("w").as("term_b")), "doc_id")
         .where(col("term_a") < col("term_b"))
         .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
         .where(col("n_ab") >= 5)
