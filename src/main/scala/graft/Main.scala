@@ -256,6 +256,7 @@ object Main {
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     // sys.exit inside try/finally would skip the finally block
     // (System.exit never unwinds), so stop the session FIRST and only

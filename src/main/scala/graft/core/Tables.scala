@@ -66,11 +66,23 @@ object Tables {
 
   /** Batch read of events with `ts` left in the file's native type
     * (TimestampType for the current generator, raw-ns Long for the
-    * original one) — callers normalize via [[normalizeTs]]. */
+    * original one) — callers normalize via [[normalizeTs]].
+    *
+    * The nanos-schema fallback fires ONLY on Spark's specific
+    * TIMESTAMP(NANOS) schema-inference rejection
+    * (`[PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64
+    * (TIMESTAMP(NANOS, …))`). Catching more than that was a latent
+    * unit bug: if the inferred read of a TIMESTAMP(MICROS) file failed
+    * transiently (I/O, corrupt footer), the fallback would read the
+    * INT64 micros as raw longs, which [[normalizeTs]] passes through
+    * as NANOseconds — a silent 1000x corruption of every event-time
+    * result. Any other failure now surfaces as the original reader
+    * error. */
   private def rawEvents(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
-    catch { // TIMESTAMP(NANOS) file: reader rejects it, use the raw-int64 schema
-      case scala.util.control.NonFatal(_) =>
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PARQUET_TYPE_ILLEGAL" =>
         spark.read.schema(eventsNanosSchema).parquet(path)
     }
 
