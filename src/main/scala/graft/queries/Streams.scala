@@ -186,5 +186,57 @@ object Streams {
           col("r_val.event_id").as("purchase_id"),
           unix_micros(col("r_ts")).as("purchase_us"))
         .orderBy("view_id", "purchase_id")
+    },
+
+    // LEFT OUTER stream-stream interval join — the reference's one
+    // semantic primitive (README.md:126-137, Southpaw.java:51-60: every
+    // document is a chain of LEFT OUTER joins), lifted to event time.
+    // A view with no purchase in its 30-min window still emits, with
+    // null purchase columns, once the watermark PROVES no partner can
+    // arrive: Spark evicts the left row when the state-cleanup
+    // predicate l_ts <= watermark - upper - 1ms first admits it
+    // (non-strict, ms-granular watermark, 1ms safety slack — pinned in
+    // StreamQuerySpec), and the eviction of a never-matched row IS the
+    // null emission. The oracle replays that exact cutoff; the global
+    // watermark is the MIN of the two sides' (max event ms - delay).
+    // State stays bounded by interval width + delay, same as the inner
+    // variant — the null path adds no state, only makes eviction
+    // visible.
+    "q_stream_join_outer" -> QueryDef(
+      "stream-stream LEFT OUTER interval join: unmatched views null-emit at the watermark cutoff",
+      """WITH v AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(us // 1000) FROM v),
+        |                    (SELECT max(us // 1000) FROM p)) - 1800000 AS w_ms),
+        |m AS (SELECT v.user_id, v.event_id AS view_id, v.us AS view_us,
+        |             p.event_id AS purchase_id, p.us AS purchase_us
+        |      FROM v JOIN p ON v.user_id = p.user_id
+        |       AND p.us >= v.us AND p.us <= v.us + 1800000000),
+        |u AS (SELECT v.user_id, v.event_id AS view_id, v.us AS view_us,
+        |             CAST(NULL AS BIGINT) AS purchase_id,
+        |             CAST(NULL AS BIGINT) AS purchase_us
+        |      FROM v, wm
+        |      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |              AND p.us >= v.us AND p.us <= v.us + 1800000000)
+        |        AND v.us <= (w_ms - 1800001) * 1000)
+        |SELECT user_id, view_id, CAST(view_us AS BIGINT) AS view_us,
+        |       purchase_id, purchase_us
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin) { (spark, dir) =>
+      def side(kind: String) = eventStream(spark, dir)
+        .where(col("event_type") === kind)
+        .select(col("user_id"), col("tstamp"), col("event_id"))
+      val joined = EventTime.intervalJoin(
+        side("view"), side("purchase"), "user_id", "tstamp", "tstamp",
+        lowerBound = "0 seconds", upperBound = "30 minutes",
+        watermarkDelay = "30 minutes", joinType = "left_outer")
+      runStream(spark, joined, OutputMode.Append())
+        .select(col("user_id"), col("l_val.event_id").as("view_id"),
+          unix_micros(col("l_ts")).as("view_us"),
+          col("r_val.event_id").as("purchase_id"),
+          unix_micros(col("r_ts")).as("purchase_us"))
+        .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
     })
 }

@@ -88,7 +88,19 @@ object EventTime {
     *
     * Column naming: output = left columns with `tsCol` as `l_ts`, plus
     * the right value/ts columns prefixed `r_` — collision-free without
-    * caller renames. */
+    * caller renames.
+    *
+    * `joinType = "left_outer"` is the reference's semantic primitive
+    * (README.md:126-137, Southpaw.java:51-60 — every document is a
+    * chain of LEFT OUTER joins): a left row that never finds a partner
+    * still emits, with null right columns, once the watermark proves
+    * no partner can arrive — i.e. when the watermark passes
+    * `l_ts + upperBound`, Spark evicts the left row from join state
+    * and emits the null-extended row in the same micro-batch. That
+    * makes the outer join exactly as state-bounded as the inner one;
+    * the null emission is just the eviction made visible. The precise
+    * cutoff (strict, on ms-truncated event time) is pinned in
+    * StreamQuerySpec and replayed by the q_stream_join_outer oracle. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -97,7 +109,8 @@ object EventTime {
       rightTsCol: String,
       lowerBound: String,
       upperBound: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermarkDelay)
       .select(col(keyCol).as("__k"), col(leftTsCol).as("l_ts"),
         struct(left.columns.filterNot(c => c == keyCol || c == leftTsCol)
@@ -109,7 +122,8 @@ object EventTime {
     l.join(r,
       col("__k") === col("__rk") &&
         col("r_ts") >= expr(s"l_ts + INTERVAL $lowerBound") &&
-        col("r_ts") <= expr(s"l_ts + INTERVAL $upperBound"))
+        col("r_ts") <= expr(s"l_ts + INTERVAL $upperBound"),
+      joinType)
       .select(col("__k").as(keyCol), col("l_ts"), col("l_val"),
         col("r_ts"), col("r_val"))
   }

@@ -53,6 +53,63 @@ class StreamQuerySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer interval join: unmatched left null-emits exactly when the watermark passes l_ts + upper + 1ms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Times sit far from epoch 0 on purpose: the join input filter
+    // drops rows with ts <= current watermark, and the initial
+    // watermark is 0 — a row at exactly epoch 0 is silently treated as
+    // late and never enters join state (cost this suite a long probe
+    // session to discover).
+    val base = 1000L
+    val ls = MemoryStream[(Timestamp, String, Long)]
+    val rs = MemoryStream[(Timestamp, String, Long)]
+    val out = EventTime.intervalJoin(
+      ls.toDF().toDF("ts", "k", "id"), rs.toDF().toDF("ts", "k", "id"),
+      "k", "ts", "ts",
+      lowerBound = "0 seconds", upperBound = "10 seconds",
+      watermarkDelay = "5 seconds", joinType = "left_outer")
+    val query = out.writeStream.format("memory").queryName("loj_boundary")
+      .outputMode(OutputMode.Append()).start()
+    def rows(): Set[(Long, Option[Long])] = spark.table("loj_boundary")
+      .select(col("l_val.id"), col("r_val.id"))
+      .as[(Long, Option[Long])].collect().toSet
+    try {
+      // left row at base never matches; a matched pair (b) shows inner
+      // rows emit immediately, regardless of the watermark
+      ls.addData(Seq((ts(base), "a", 1L), (ts(base + 1), "b", 2L)))
+      rs.addData(Seq((ts(base + 2), "b", 20L)))
+      query.processAllAvailable()
+      assert(rows() == Set(2L -> Some(20L)),
+        s"inner match must emit before any watermark movement, got ${rows()}")
+
+      // advance BOTH watermarks to exactly base+10s (= l_ts + upper):
+      // max event base+15 minus 5s delay. A partner AT l_ts + upper is
+      // still admissible, so the row must NOT null-emit yet.
+      ls.addData(Seq((ts(base + 15), "z", 3L)))
+      rs.addData(Seq((ts(base + 15), "z", 30L)))
+      query.processAllAvailable()
+      assert(rows() == Set(2L -> Some(20L), 3L -> Some(30L)),
+        s"unmatched left must not emit at watermark == l_ts + upper, got ${rows()}")
+
+      // at watermark == l_ts + upper + 1ms the state-cleanup predicate
+      // (l_ts <= watermark - upper - 1ms, non-strict) first admits the
+      // row: it evicts and null-emits. The q_stream_join_outer oracle
+      // replays exactly this boundary.
+      ls.addData(Seq((new Timestamp(base * 1000 + 15001L), "z2", 4L)))
+      rs.addData(Seq((new Timestamp(base * 1000 + 15001L), "z2", 40L)))
+      query.processAllAvailable()
+      assert(rows().contains(1L -> None),
+        s"unmatched left must null-emit at watermark == l_ts + upper + 1ms, got ${rows()}")
+      // matched left rows and matched right rows never null-emit
+      assert(!rows().exists(r => r._1 == 2L && r._2.isEmpty))
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("loj_boundary")
+    }
+  }
+
   test("q_stream_window: AvailableNow flushes finalized windows; matches batch replay") {
     import spark.implicits._
     val streamed = SparkEntry.registry("q_stream_window").build(spark, dir)
@@ -151,5 +208,37 @@ class StreamQuerySpec extends SparkSpec {
     val leaked = spark.catalog.listTables().collect()
       .filter(_.name.startsWith("graft_stream_sink_"))
     assert(leaked.isEmpty, s"leaked memory sinks: ${leaked.map(_.name).toSeq}")
+  }
+
+  test("q_stream_join_outer matches a batch replay of the null-emission cutoff") {
+    import spark.implicits._
+    val got = SparkEntry.registry("q_stream_join_outer").build(spark, dir)
+      .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)))
+      .as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.exists(_._2 == -1L), "expected at least one null-extended view")
+
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("view_us"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"))
+    // global watermark = min over sides of (max event-ms − 30min)
+    val wMs = math.min(
+      v.agg(max(expr("view_us div 1000"))).head().getLong(0),
+      p.agg(max(expr("purchase_us div 1000"))).head().getLong(0)) - 1800000L
+    val joined = v.join(p, col("user_id") === col("p_uid") &&
+        col("purchase_us") >= col("view_us") &&
+        col("purchase_us") <= col("view_us") + 1800000000L, "left_outer")
+    val batch = joined
+      .where(col("purchase_id").isNotNull ||
+        col("view_us") <= (wMs - 1800001L) * 1000L)
+      .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)))
+      .as[(Long, Long)].collect().toSeq
+    assert(got.toSet == batch.toSet)
+    assert(got.size == batch.size)
   }
 }
