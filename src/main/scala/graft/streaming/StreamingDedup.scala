@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -22,9 +24,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale shape: the state store is hash-partitioned by content hash
   * and holds one fixed-width entry per DISTINCT document — the same
   * asymptotics as the batch hash-group, but incremental and
-  * checkpointed. For bounded state on endless streams, swap
-  * `NoTimeout` for a processing-time timeout (dedup-within-horizon),
-  * exactly like `dropDuplicatesWithinWatermark`.
+  * checkpointed. For bounded state on endless streams,
+  * [[firstSeenBounded]] swaps `NoTimeout` for an event-time timeout
+  * (dedup-within-horizon), exactly like
+  * `dropDuplicatesWithinWatermark`.
   */
 object StreamingDedup {
 
@@ -61,5 +64,69 @@ object StreamingDedup {
     }
     canon.foreach(c => state.update(SeenState(c)))
     out.iterator
+  }
+
+  case class DocArrivalTs(
+      doc_id: Long, offset: Long, content_hash: String, tstamp: Timestamp)
+
+  /** Dedup-within-horizon — the bounded-state variant of [[firstSeen]]
+    * and the `dropDuplicatesWithinWatermark` analogue: a copy arriving
+    * within `horizon` of the last seen copy dedups against the
+    * canonical id; once the WATERMARK passes (last copy's event time +
+    * horizon) the hash's state EVICTS via `EventTimeTimeout`, and a
+    * later copy starts a fresh canonical. That trades the unbounded
+    * exactness of [[firstSeen]] (state per distinct hash, forever) for
+    * state proportional to the hashes seen in the last horizon — the
+    * only shape that runs forever on an endless stream whose distinct
+    * count grows without bound.
+    *
+    * The timeout renews on every copy (last-seen + horizon, like a
+    * session gap), so a hash that keeps re-arriving keeps deduping;
+    * eviction needs a quiet horizon. Input needs an event-time column
+    * `tstamp`; rows behind the watermark are dropped by the runtime
+    * before they reach the operator (the standard late-data contract).
+    * Run with `OutputMode.Append`. */
+  def firstSeenBounded(
+      docs: DataFrame,
+      horizonMs: Long,
+      watermarkDelay: String): Dataset[DedupDecision] = {
+    implicit val outEnc = Encoders.product[DedupDecision]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.product[SeenState]
+    docs.withWatermark("tstamp", watermarkDelay)
+      .as[DocArrivalTs](Encoders.product[DocArrivalTs])
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        dedupGroupBounded(horizonMs))
+  }
+
+  private[streaming] def dedupGroupBounded(horizonMs: Long)(
+      hash: String,
+      rows: Iterator[DocArrivalTs],
+      state: GroupState[SeenState]): Iterator[DedupDecision] = {
+    if (state.hasTimedOut) {
+      // watermark passed last-seen + horizon with no new copies: evict
+      state.remove()
+      Iterator.empty
+    } else {
+      val ordered = rows.toSeq.sortBy(r => (r.offset, r.doc_id))
+      var canon = state.getOption.map(_.canonical_id)
+      val out = ordered.map { r =>
+        canon match {
+          case None =>
+            canon = Some(r.doc_id)
+            DedupDecision(r.doc_id, hash, None)
+          case Some(c) =>
+            DedupDecision(r.doc_id, hash, Some(c))
+        }
+      }
+      canon.foreach(c => state.update(SeenState(c)))
+      // renew the horizon from the newest copy in this batch (admitted
+      // rows are ahead of the watermark, so this timestamp always is too)
+      if (ordered.nonEmpty)
+        state.setTimeoutTimestamp(ordered.map(_.tstamp.getTime).max + horizonMs)
+      out.iterator
+    }
   }
 }

@@ -46,4 +46,62 @@ class StreamingDedupSpec extends SparkSpec {
       assert(rows.values.count(_.isEmpty) == 3)
     } finally query.stop()
   }
+
+  test("bounded horizon: dups within the horizon dedup, state evicts after it, late re-arrival restarts") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(sec: Long) = new Timestamp((1000L + sec) * 1000L) // off epoch 0
+
+    val stream = MemoryStream[(Long, Long, String, Timestamp)]
+    val out = StreamingDedup.firstSeenBounded(
+      stream.toDF().toDF("doc_id", "offset", "content_hash", "tstamp"),
+      horizonMs = 60000L, watermarkDelay = "10 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("dedup_bounded")
+      .outputMode(OutputMode.Append())
+      .start()
+    def rows(): Map[Long, Option[Long]] = spark.table("dedup_bounded").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    def stateRows(): Long =
+      query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // batch 1: h1 canonical, h2 canonical
+      stream.addData(Seq(
+        (10L, 1L, "h1", ts(0)), (20L, 2L, "h2", ts(1))))
+      query.processAllAvailable()
+      // batch 2: dup of h1 within the 60s horizon → dedups
+      stream.addData(Seq((11L, 3L, "h1", ts(30))))
+      query.processAllAvailable()
+      assert(rows()(11L).contains(10L), "dup within horizon dedups")
+
+      // advance the watermark past h2's horizon (ts(1)+60s) but not
+      // h1's (renewed at ts(30)+60s): filler at ts(80) → watermark 70s
+      stream.addData(Seq((30L, 4L, "h3", ts(80))))
+      query.processAllAvailable()
+      stream.addData(Seq((31L, 5L, "h4", ts(81))))
+      query.processAllAvailable()
+      val afterPartialEvict = stateRows()
+      assert(afterPartialEvict <= 3,
+        s"h2 must have evicted (watermark 71s > ts(1)+60s): state=$afterPartialEvict")
+
+      // h2 re-arrives AFTER its horizon expired: fresh canonical, not
+      // a dup — the bounded contract (an unbounded firstSeen would
+      // have deduped it against 20)
+      stream.addData(Seq((21L, 6L, "h2", ts(75))))
+      query.processAllAvailable()
+      assert(rows()(21L).isEmpty,
+        s"post-eviction re-arrival restarts a canonical, got ${rows()(21L)}")
+
+      // h1's horizon renewed at ts(30): a copy at ts(85) (watermark
+      // 71s < ts(30)+60s = 90s at admission) still dedups against 10
+      stream.addData(Seq((12L, 7L, "h1", ts(85))))
+      query.processAllAvailable()
+      assert(rows()(12L).contains(10L),
+        s"renewed horizon keeps deduping, got ${rows()(12L)}")
+    } finally query.stop()
+  }
 }
