@@ -210,6 +210,130 @@ class StreamQuerySpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked memory sinks: ${leaked.map(_.name).toSeq}")
   }
 
+  test("multi-batch replay (maxFilesPerTrigger=1) matches every single-batch stream result") {
+    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+
+    // split sf0.001 events into 4 TIME-ORDERED parquet files with
+    // ascending mod-times: FileStreamSource admits them oldest-first,
+    // one per micro-batch, so the watermark advances batch by batch
+    // and state (windows, sessions, join buffers) must carry across
+    // batches — the thing the AvailableNow single-batch runs of the
+    // q_stream_* queries cannot exercise.
+    val chunkDir = Files.createTempDirectory("graft_mb")
+    val e = Tables.load(spark, dir, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .drop("ts", "props")
+    val ordered = e.withColumn("__c", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy("tstamp", "event_id")))
+    for (k <- 1 to 4) {
+      val sub = Files.createTempDirectory("graft_mb_part")
+      ordered.where(col("__c") === k).drop("__c")
+        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = Files.list(sub).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = chunkDir.resolve(f"chunk_$k%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000L + k * 10000L))
+    }
+    val sch = spark.read.parquet(chunkDir.resolve("chunk_01.parquet").toString).schema
+    def chunkStream(): DataFrame = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", chunkDir.toString)
+      .parquet(s"$chunkDir/*.parquet")
+
+    var lastBatches = 0L
+    def run(df: DataFrame): DataFrame = {
+      val name = "graft_mb_sink"
+      val ckpt = Files.createTempDirectory("graft_mb_ckpt")
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastBatches = q.recentProgress.map(_.batchId).max
+      val out = spark.table(name).localCheckpoint(true)
+      q.stop()
+      spark.catalog.dropTempView(name)
+      Files.walk(ckpt).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach((p: Path) => Files.deleteIfExists(p))
+      out
+    }
+
+    // windows
+    val mbWindow = run(EventTime.windowedCounts(chunkStream(), "tstamp",
+        "event_type", windowLen = "1 hour", watermarkDelay = "30 minutes"))
+      .select(unix_micros(col("win_start")).as("w"), col("event_type"), col("n"))
+      .collect().toSet
+    assert(lastBatches >= 4, s"expected one batch per chunk, got $lastBatches")
+    val sbWindow = SparkEntry.registry("q_stream_window").build(spark, dir)
+      .collect().toSet
+    assert(mbWindow == sbWindow, "multi-batch windows != single-batch windows")
+
+    // sessions
+    val mbSession = run(EventTime.sessionCounts(chunkStream(), "tstamp",
+        "user_id", gap = "30 minutes", watermarkDelay = "30 minutes"))
+      .select(col("user_id"), unix_micros(col("sess_start")), col("n"))
+      .collect().toSet
+    val sbSession = SparkEntry.registry("q_stream_session").build(spark, dir)
+      .collect().toSet
+    assert(mbSession == sbSession, "multi-batch sessions != single-batch sessions")
+
+    // stream-stream joins, inner and left-outer: matches and
+    // null-extensions must survive batch boundaries (a view in chunk k
+    // joining a purchase in chunk k+1 exercises cross-batch state)
+    def side(kind: String) = chunkStream().where(col("event_type") === kind)
+      .select(col("user_id"), col("tstamp"), col("event_id"))
+    for ((joinType, qname) <- Seq("inner" -> "q_stream_join",
+        "left_outer" -> "q_stream_join_outer")) {
+      val mb = run(EventTime.intervalJoin(
+          side("view"), side("purchase"), "user_id", "tstamp", "tstamp",
+          lowerBound = "0 seconds", upperBound = "30 minutes",
+          watermarkDelay = "30 minutes", joinType = joinType))
+        .select(col("l_val.event_id"), col("r_val.event_id"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val sb = SparkEntry.registry(qname).build(spark, dir)
+        .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mb == sb, s"multi-batch $joinType join != single-batch $qname")
+    }
+
+    Files.walk(chunkDir).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach((p: Path) => Files.deleteIfExists(p))
+  }
+
+  test("a row behind the advanced watermark is dropped and counted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val out = EventTime.windowedCounts(stream.toDF().toDF("ts", "k"), "ts", "k",
+      windowLen = "10 seconds", watermarkDelay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq(ts(1000) -> "a", ts(2000) -> "a"))
+      query.processAllAvailable() // watermark now 1995s
+      stream.addData(Seq(ts(100) -> "late"))
+      query.processAllAvailable()
+      val dropped = query.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1L, s"late row must be counted as dropped, got $dropped")
+      // and it never surfaces: no window for key "late" can ever emit
+      stream.addData(Seq(ts(3000) -> "a"))
+      query.processAllAvailable()
+      val keys = spark.table("late_drop").select("k").as[String].collect().toSet
+      assert(!keys.contains("late"), "dropped row must not contribute output")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("late_drop")
+    }
+  }
+
   test("q_stream_join_outer matches a batch replay of the null-emission cutoff") {
     import spark.implicits._
     val got = SparkEntry.registry("q_stream_join_outer").build(spark, dir)
