@@ -43,10 +43,16 @@ object Bench {
     // subset; unset (the driver's mode) runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // Deterministic order, streaming pipelines LAST: the q_stream_*
+    // queries each spin up a checkpointed state-store runtime whose
+    // setup/teardown and GC footprint measurably bleeds into whatever
+    // runs next in the shared JVM (see BENCH_AB_r10.md) — isolating
+    // them at the tail keeps the batch numbers clean, and a sorted
+    // name order makes run-to-run comparisons line up.
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy { case (n, _) => (n.startsWith("q_stream_"), n) }
     // A failing query must be VISIBLE in the output: it gets a negative
     // duration in `queries` and an entry in `errors` — never a silent
     // fast "win". `total` sums successful queries only.
@@ -89,7 +95,7 @@ object Bench {
     })
     val errJson = errors.reverse
       .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
