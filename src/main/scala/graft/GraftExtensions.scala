@@ -30,8 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
-    // partition-aligned union (durable delta-chain composition)
+    // partition-aligned union (durable delta-chain composition) + its
+    // per-child Filter/Project pushdown
     ext.injectPlannerStrategy(_ => graft.plans.BucketUnionStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.BucketUnionPushdown)
   }
 }
 

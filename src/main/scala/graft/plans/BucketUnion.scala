@@ -35,13 +35,12 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * just that child — the node degrades to correctness, never to a
   * wrong answer, because both children then share one hash layout.
   *
-  * Scale note: the node is opaque to the optimizer, so filters/
-  * projections written over the composed view evaluate ABOVE it
-  * rather than pushing into the parquet scans. The state engine's
-  * reads are keyed joins against batch-sized probe sets (broadcast),
-  * which never pushed through a union either — nothing regresses —
-  * but ad-hoc selective scans over a composed chain should prefer
-  * reading after a compaction.
+  * Scale note: the node is opaque to the GENERIC optimizer, but
+  * [[BucketUnionPushdown]] (registered alongside the strategy)
+  * distributes deterministic filters and projections into both
+  * children — cascading down nested compose chains — so selective
+  * ad-hoc scans over a composed view reach the leaf parquet scans as
+  * `PushedFilters` + pruned `ReadSchema` (asserted in BucketingSpec).
   */
 case class BucketUnionPlan(
     left: LogicalPlan,
@@ -67,10 +66,9 @@ case class BucketUnionPlan(
     * set is empty — generic ColumnPruning would then prune each child
     * independently to the PARENT's references, which name only left's
     * exprIds: the right child collapses to an empty projection and the
-    * zip breaks. Claiming every child attribute keeps pruning above
-    * the node (per-side pruning needs Union-style per-child attribute
-    * mapping, which a compose chain of batch-sized deltas doesn't
-    * earn). */
+    * zip breaks. Claiming every child attribute keeps the GENERIC rule
+    * above the node; the safe per-side version (positional remap, key
+    * retained) is [[BucketUnionPushdown]]. */
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(
       left.output ++ right.output)
@@ -123,9 +121,12 @@ object BucketUnionStrategy extends SparkStrategy {
 
 object BucketUnion {
 
-  /** Idempotently register the planner strategy on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register the planner strategy + pushdown rule on a
+    * live session. */
+  def register(spark: SparkSession): Unit = {
     PlanBridge.addStrategy(spark, BucketUnionStrategy)
+    PlanBridge.addOptimizerRule(spark, BucketUnionPushdown)
+  }
 
   /** True when `df`'s plan is a partition-aligned compose on
     * (`keyName`, `numPartitions`): a caller about to write `df` back

@@ -29,4 +29,19 @@ object PlanBridge {
         exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Append an optimizer rule if absent (idempotent). Runs in the
+    * "User Provided Optimizers" fixed-point batch, after the built-in
+    * operator optimizations — late enough that pushed-down operators
+    * sit where physical planning's PhysicalOperation expects them. */
+  def addOptimizerRule(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(r))
+        exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
 }

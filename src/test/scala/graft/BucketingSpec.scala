@@ -147,6 +147,65 @@ class BucketingSpec extends SparkSpec {
     } finally backend.deleteAll()
   }
 
+  test("Filter and Project push through a composed delta chain to the leaf parquet scans") {
+    // Uses the spark.sql.extensions session path: injectOptimizerRule
+    // places BucketUnionPushdown INSIDE the operator-optimization
+    // fixed point, so after it distributes the filter/projection into
+    // the compose children, the built-in PushDownPredicates /
+    // ColumnPruning carry them through the anti-join levels down to
+    // the leaf relations, and FileSourceStrategy turns them into
+    // parquet PushedFilters + a pruned ReadSchema.
+    import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+    import org.apache.spark.sql.types._
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val root = "file://" +
+        java.nio.file.Files.createTempDirectory("graft_bucket_push")
+      val schema = StructType(Seq(
+        StructField("__pk", BinaryType), StructField("v", LongType),
+        StructField("w", StringType)))
+      def df(pairs: (Int, Long)*): DataFrame = fresh.createDataFrame(
+        java.util.Arrays.asList(
+          pairs.map { case (k, v) => Row(Array(k.toByte), v, s"w$k") }: _*),
+        schema)
+      val b = new graft.streaming.BucketedParquetBackend(
+        fresh, root, buckets = 4, compactEvery = 10)
+      try {
+        b.persist("t", df((1 to 50).map(i => i -> i.toLong): _*), None)
+        b.persist("t", df(), Some((df(2 -> 200L, 51 -> 510L),
+          df(2 -> 0L, 51 -> 0L).select("__pk"))))
+        val composed = b.persist("t", df(), Some((df(3 -> 300L),
+          df(3 -> 0L, 4 -> 0L).select("__pk"))))
+
+        val q = composed.where(col("v") >= 40L).select("__pk", "v")
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("GreaterThanOrEqual(v,40)"),
+          s"filter must reach the parquet scans as a PushedFilter:\n$plan")
+        assert(!plan.contains("w:string"),
+          s"unreferenced column w must be pruned from every ReadSchema:\n$plan")
+
+        val got = q.collect()
+          .map(r => r.getAs[Array[Byte]]("__pk")(0).toInt -> r.getLong(1))
+          .toMap
+        val expect = ((1 to 50).map(i => i -> i.toLong).toMap
+          - 4 + (2 -> 200L) + (51 -> 510L) + (3 -> 300L))
+          .filter(_._2 >= 40L)
+        assert(got == expect)
+      } finally b.deleteAll()
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("chain RECOVERED mid-delta composes bucket-aligned: no Exchange on keyed reads, aligned compaction write") {
     import org.apache.spark.sql.{DataFrame, Row}
     import org.apache.spark.sql.types._
