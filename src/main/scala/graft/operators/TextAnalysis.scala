@@ -245,6 +245,70 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** Byte-pair-encoding merge induction (tokenizer training) over the
+    * corpus word distribution — the vocabulary-building step of a
+    * BPE/WordPiece tokenizer pipeline (Sennrich et al. 2016).
+    *
+    * Scale shape: the corpus contributes exactly ONE aggregation pass —
+    * word counting, map-side combined, one shuffle on the word key —
+    * and only the top-`vocab` (frequency, word)-ordered slice reaches
+    * the driver (bounded by construction: `vocab` rows ≤ a few KB,
+    * same only-k×dim-crosses-the-driver contract as
+    * [[graft.operators.Similarity.kmeansRefine]]). The merge loop then
+    * runs on that bounded table: classic BPE is inherently sequential
+    * (merge i+1's pair counts depend on merge i's rewrite), and on a
+    * ≤`vocab`-row table each iteration is microseconds of driver work —
+    * distributing it would add `merges` shuffles to save nothing.
+    *
+    * Determinism (what makes a DuckDB oracle possible): the top-`vocab`
+    * cut orders by (n DESC, word ASC); each iteration's argmax pair
+    * breaks count ties lexicographically; the rewrite is leftmost
+    * non-overlapping replacement of the space-delimited pair — Java
+    * `String.replace`, DuckDB `replace`, and the oracle's padded-space
+    * form all agree (" a a a " → " aa a ", measured).
+    *
+    * @return one row per merge: (rank, pair "a b", merged "ab", cnt)
+    */
+  def bpeMerges(
+      docsDf: DataFrame,
+      textCol: String = "text",
+      vocab: Int = 1000,
+      merges: Int = 5): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val topWords: Array[(String, Long)] = docsDf
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")).between(2, 15))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(String, Long)] =
+      topWords.map { case (w, n) => (w.mkString(" "), n) }
+    val out = Array.newBuilder[(Long, String, String, Long)]
+    for (i <- 1 to merges) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (sym, n) =>
+        val s = sym.split(' ')
+        var j = 0
+        while (j < s.length - 1) {
+          val p = s(j) + " " + s(j + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace(" ", "")
+        out += ((i.toLong, pair, merged, cnt))
+        words = words.map { case (sym, n) =>
+          ((" " + sym + " ").replace(" " + pair + " ", " " + merged + " ").trim, n)
+        }
+      }
+    }
+    out.result().toSeq.toDF("rank", "pair", "merged", "cnt")
+  }
+
   /** Argmax language with deterministic first-wins tiebreak (order of
     * [[langMarkers]]); "und" (undetermined) when no marker hit. */
   def langId(text: Column): Column = {

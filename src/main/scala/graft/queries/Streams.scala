@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup}
+import graft.streaming.{EventTime, StreamingDedup, TwsCompaction}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -157,6 +157,46 @@ object Streams {
       runStream(spark, decisions, OutputMode.Append())
         .select(col("doc_id"), col("content_hash"), col("dup_of"))
         .orderBy("doc_id")
+    },
+
+    // Latest-per-key compaction on transformWithState (Spark 4's
+    // arbitrary-state API, RocksDB state store — the provider a real
+    // deployment runs): the events stream recast as a unified
+    // changelog (offset = event_id, key = user), compacted to one
+    // final row per user. Update mode + a single AvailableNow batch
+    // means the sink holds exactly the final state; the oracle is the
+    // per-key argmax-by-offset. Value/key payloads are built with
+    // plain string concatenation on BOTH engines so no engine JSON
+    // serializer enters the comparison.
+    "q_stream_latest" -> QueryDef(
+      "streaming latest-per-key compaction on transformWithState (RocksDB)",
+      """WITH c AS (SELECT 'user' AS entity, event_id AS "offset",
+        |    '{"user":' || user_id || '}' AS key_json,
+        |    '{"type":"' || event_type || '","ts":' || epoch_ns(ts) || '}' AS value_json
+        |  FROM events)
+        |SELECT entity, "offset", key_json, value_json FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key_json ORDER BY "offset" DESC) AS rn
+        |  FROM c)
+        |WHERE rn = 1 ORDER BY key_json""".stripMargin) { (spark, dir) =>
+      val changelog = Tables.loadStream(spark, dir, "events")
+        .select(lit("user").as("entity"), col("event_id").as("offset"),
+          concat(lit("{\"user\":"), col("user_id").cast("string"), lit("}"))
+            .as("key_json"),
+          concat(lit("{\"type\":\""), col("event_type"), lit("\",\"ts\":"),
+            col("ts").cast("string"), lit("}")).as("value_json"))
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        runStream(spark, TwsCompaction.latestStream(changelog).toDF(),
+          OutputMode.Update())
+          .select("entity", "offset", "key_json", "value_json")
+          .orderBy("key_json")
+      } finally prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     },
 
     // Stream-stream event-time interval join: each view matched to the

@@ -80,7 +80,44 @@ object Text {
        |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
        |          WHERE i * 5 >= (sa.n + sb.n - i) * 3)""".stripMargin
 
+  /** BPE-merge oracle: one (pair-count → argmax → rewrite) CTE triple
+    * per iteration, replaying TextAnalysis.bpeMerges' driver loop in
+    * SQL. `replace` is leftmost non-overlapping in both engines, and
+    * the padded-space form makes pair occurrences unambiguous. */
+  private def bpeOracleSql(vocab: Int, merges: Int): String = {
+    val iters = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest([l[j+1] || ' ' || l[j+2] FOR j IN range(len(l)-1)]) AS pair, n
+         |  FROM (SELECT string_split(sym, ' ') AS l, n FROM $prev)) GROUP BY pair),
+         |b$i AS (SELECT CAST($i AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged, cnt
+         |        FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w$i AS (SELECT trim(replace(' ' || sym || ' ', ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS sym, n
+         |        FROM $prev, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""WITH raw AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |             FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM raw
+       |       WHERE len(word) BETWEEN 2 AND 15
+       |       GROUP BY word ORDER BY n DESC, word LIMIT $vocab),
+       |w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, n FROM wc),
+       |$iters
+       |SELECT rank, pair, merged, cnt FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // BPE vocabulary induction (tokenizer training): one corpus-scale
+    // word-count pass, then the sequential merge loop on the bounded
+    // top-1000 vocab slice driver-side (see TextAnalysis.bpeMerges
+    // scaladoc for why the loop does not distribute).
+    "q_bpe" -> QueryDef(
+      "BPE merge induction: first 5 merges over the top-1000 word vocabulary",
+      bpeOracleSql(vocab = 1000, merges = 5)) { (spark, dir) =>
+      TextAnalysis.bpeMerges(docs(spark, dir), "text",
+        vocab = 1000, merges = 5).orderBy("rank")
+    },
 
     "q_text_stats" -> QueryDef(
       "per-document token/stopword/quality statistics",
