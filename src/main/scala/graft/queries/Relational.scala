@@ -78,9 +78,9 @@ object Relational {
     // `quantile_cont` share the same definition (sort, index p·(n−1),
     // linear interpolation); round(6) absorbs last-ulp interpolation
     // differences. At scale this is one shuffle with map-side partial
-    // aggregation of the per-group value buffers; for quantiles over
-    // 100 TB the approx_percentile sketch is the cheaper variant, but
-    // this is the exact-answer operator.
+    // aggregation of the per-group value buffers; q_quantile_sketch
+    // below is the documented 100 TB scale path (histogram sketch),
+    // this is the exact-answer twin.
     "q_quantiles" -> QueryDef(
       "exact grouped quantiles of extended price per return flag",
       """SELECT l_returnflag,
@@ -98,6 +98,52 @@ object Relational {
           round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
           round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
           count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // Histogram-sketch grouped quantiles — the documented 100 TB twin
+    // of q_quantiles (same exact/sketch pairing as q_budget_select /
+    // q_budget_sketch). Exact percentile buffers every group value
+    // through the shuffle; this aggregates to a (group, 1000-unit bin)
+    // histogram — map-side combinable, ≤ ~105 bins per group at any
+    // corpus size — and the rank scan runs as a window over that tiny
+    // frame. Estimator = bin upper bound at rank ceil(q·n): error ≤ one
+    // bin width, and every step is BIGINT arithmetic, so both engines
+    // agree bit-for-bit (no interpolation-division float to drift).
+    "q_quantile_sketch" -> QueryDef(
+      "histogram-sketch grouped quantiles (1000-unit bins, upper-bound estimator)",
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, bin, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN (bin + 1) * 1000 END) AS p25_ub,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN (bin + 1) * 1000 END) AS p50_ub,
+        |  min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN (bin + 1) * 1000 END) AS p75_ub,
+        |  min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN (bin + 1) * 1000 END) AS p95_ub,
+        |  CAST(max(n) AS BIGINT) AS n_rows
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.partitionBy(col("l_returnflag"))
+      def ub(p: Int) =
+        min(when(col("cum") >= expr(s"(n * $p + 99) div 100"),
+          (col("bin") + 1) * 1000)).as(s"p${p}_ub")
+      t(spark, dir)("lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100000").as("bin"))
+        .groupBy("l_returnflag", "bin").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(allW))
+        .groupBy("l_returnflag")
+        .agg(ub(25), ub(50), ub(75), ub(95), max(col("n")).as("n_rows"))
         .orderBy("l_returnflag")
     },
 
