@@ -333,6 +333,33 @@ object Cdc {
     },
 
     // lag/lead window surface: inter-event gaps per user.
+    // Salted skew-resistant join (Skew.saltedJoin): the fact side's
+    // hot keys scatter over 16 salt buckets, the dim side replicates
+    // 16×, and the per-(key, salt) equijoin rows are provably identical
+    // to the plain join — the oracle aggregates over ALL join rows, so
+    // a single duplicated or dropped row under salting breaks the
+    // value-exact compare. AQE's runtime skew-split is the default
+    // answer; explicit salting is the pathological-hot-key escape hatch
+    // (one key ≫ a task's worth of rows even after splitting), and
+    // this query keeps it oracle-verified on real data.
+    "q_skew_join" -> QueryDef(
+      "salted join of events to a per-user dim, aggregate over join rows",
+      """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_total
+        |           FROM events GROUP BY user_id)
+        |SELECT e.event_type, CAST(sum(d.user_total) AS BIGINT) AS sum_user_total,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events e JOIN d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+      val ev = t(spark, dir)("events")
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+      graft.operators.Skew.saltedJoin(
+          ev.select("user_id", "event_type"), dim, "user_id", salt = 16)
+        .groupBy("event_type")
+        .agg(sum(col("user_total")).as("sum_user_total"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    },
+
     "q_lag" -> QueryDef(
       "lag window: time since previous event per user",
       """SELECT user_id, event_id,
