@@ -269,6 +269,19 @@ object TextAnalysis {
     *
     * @return one row per merge: (rank, pair "a b", merged "ab", cnt)
     */
+  /** The one corpus-scale stage of [[bpeMerges]]: word frequencies
+    * (map-side combined) cut to the deterministic top-`vocab` slice —
+    * plans as partial agg → exchange → TakeOrdered, never a global
+    * sort (asserted in BpeSpec). */
+  def bpeWordCounts(
+      docsDf: DataFrame, textCol: String, vocab: Int): DataFrame =
+    docsDf
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")).between(2, 15))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(vocab)
+
   def bpeMerges(
       docsDf: DataFrame,
       textCol: String = "text",
@@ -276,13 +289,9 @@ object TextAnalysis {
       merges: Int = 5): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
-    val topWords: Array[(String, Long)] = docsDf
-      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
-      .where(length(col("word")).between(2, 15))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("word"))
-      .limit(vocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val topWords: Array[(String, Long)] =
+      bpeWordCounts(docsDf, textCol, vocab)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(String, Long)] =
       topWords.map { case (w, n) => (w.mkString(" "), n) }
     val out = Array.newBuilder[(Long, String, String, Long)]

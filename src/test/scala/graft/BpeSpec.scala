@@ -59,6 +59,22 @@ class BpeSpec extends SparkSpec {
     assert(m(0) == (1L, "a a", "aa", 1L))
   }
 
+  test("corpus pass plans map-side partials + TakeOrdered, no global sort") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.bpeWordCounts(
+          spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+          "text", 1000)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"vocab cut must be TakeOrdered (limit+sort fused), not a global sort:\n$plan")
+      assert("HashAggregate.*partial_count".r.findFirstIn(plan.replace("\n", " ")).isDefined
+          || plan.contains("partial_count"),
+        s"word counting must partial-aggregate map-side:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("result is invariant to input partitioning") {
     val texts = Seq("the quick brown fox jumps over the lazy dog",
       "pack my box with five dozen liquor jugs",
