@@ -333,6 +333,40 @@ object Cdc {
     },
 
     // lag/lead window surface: inter-event gaps per user.
+    // Weekly cohort retention: users grouped by first-event week, then
+    // per (cohort_week, week_offset) distinct active users — the
+    // classic engagement-curve readout. Scale shape: everything is
+    // keyed on user_id (per-user min, then a co-partitioned equijoin
+    // back to the event stream) or on the tiny (cohort, offset) pair —
+    // no window ever runs over the event corpus, and the per-user
+    // distinct happens BEFORE the final count so the last aggregation
+    // sees at most |users|·|weeks| rows. All integer day/week
+    // arithmetic (ns → day → week), identical in both engines on
+    // non-negative timestamps.
+    "q_retention" -> QueryDef(
+      "weekly cohort retention: distinct active users per (cohort week, week offset)",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, c.cohort_day // 7 AS cohort_week,
+        |             (e.day - c.cohort_day) // 7 AS week_offset
+        |      FROM e JOIN c ON e.user_id = c.user_id)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |       CAST(week_offset AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM a GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val c = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(c, "user_id")
+        .select(col("user_id"), expr("cohort_day div 7").as("cohort_week"),
+          expr("(day - cohort_day) div 7").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Salted skew-resistant join (Skew.saltedJoin): the fact side's
     // hot keys scatter over 16 salt buckets, the dim side replicates
     // 16×, and the per-(key, salt) equijoin rows are provably identical

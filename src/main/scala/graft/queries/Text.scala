@@ -119,6 +119,55 @@ object Text {
         vocab = 1000, merges = 5).orderBy("rank")
     },
 
+    // Cross-source overlap matrix — the corpus-contamination
+    // diagnostic (how much text do corpora share): per unordered
+    // source pair, the distinct 5-gram shingles present in both and
+    // the gram-set Jaccard. Scale shape: gram extraction + per-doc
+    // dedup stays map-side (gramArrays); then ONE shuffle keyed on the
+    // gram builds the per-gram source set, which is bounded by
+    // |sources| (a constant) — the pair fan-out is quadratic only in
+    // that constant, never a corpus self-join. Per-source totals
+    // derive from the same aggregated frame (checkpointed, no second
+    // corpus pass) and broadcast back. Jaccard = one IEEE division of
+    // two exact integers, identical in both engines.
+    "q_dup_matrix" -> QueryDef(
+      "cross-source overlap matrix: shared 5-gram shingles + Jaccard per source pair",
+      """WITH g AS (SELECT DISTINCT source, substr(text, i, 5) AS gram
+        |  FROM (SELECT source, text,
+        |          unnest(range(1, greatest(len(text)-3, 2))) AS i
+        |        FROM documents)),
+        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared), 6) AS jaccard
+        |FROM p JOIN t ta ON src_a = ta.source JOIN t tb ON src_b = tb.source
+        |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+      val sets = TextAnalysis.gramArrays(docs(spark, dir), "source", "text", 5)
+        .select(col("source"), explode(col("grams")).as("gram"))
+        .groupBy("gram").agg(collect_set(col("source")).as("srcs"))
+        .graftCkptMem()
+      val tot = sets.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sets
+        .select(explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("src_a"), explode(col("srcs")).as("src_b"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(tot.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "n_a")), "src_a")
+        .join(broadcast(tot.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     "q_text_stats" -> QueryDef(
       "per-document token/stopword/quality statistics",
       s"""SELECT doc_id,
