@@ -199,6 +199,50 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Per-source unigram-distribution KL divergence vs the whole
+    * corpus, D(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the
+    * corpus-drift / mixture-skew diagnostic (which sources' term
+    * distributions deviate most from the blend they feed).
+    *
+    * Scale shape: ONE corpus tokenize+aggregate pass to (source, term)
+    * frequencies (map-side combined, checkpointed); the corpus
+    * marginals (ctf) aggregate those already-reduced rows — no second
+    * corpus pass; per-source totals (≤|sources| rows) and the 1-row
+    * grand total ride broadcasts; the ctf probe is the one
+    * vocab-keyed shuffle join, Zipf-bound ≪ corpus.
+    *
+    * Determinism: every p_s(t) > 0 term also has p(t) > 0 (ctf ≥ tf),
+    * so the log argument is a ratio of exact BIGINT products; both
+    * engines evaluate the same IEEE divide + ln, round to 6 decimals,
+    * and accumulate tf-weighted DECIMALs — addition-order independent;
+    * the final /tot_s is a single IEEE division.
+    *
+    * @return (source, n_tokens, kl)
+    */
+  def klDrift(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val tf = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(srcCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(srcCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .graftCkptMem()
+    val ctf = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val totS = tf.groupBy(col(srcCol)).agg(sum(col("tf")).as("tot_s"))
+    val tot = tf.agg(sum(col("tf")).as("tot"))
+    tf.join(ctf, "term")
+      .crossJoin(broadcast(tot))
+      .join(broadcast(totS), srcCol)
+      .withColumn("r",
+        round(log((col("tf") * col("tot")).cast(DoubleType) /
+          (col("tot_s") * col("ctf")).cast(DoubleType)), 6).cast(dec))
+      .groupBy(col(srcCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("r") * col("tf")).as("__s"))
+      .select(col(srcCol), col("n_tokens"),
+        round(col("__s").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("kl"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df), rounded to 6 decimals for cross-engine
     * rank stability; ties break on the term).

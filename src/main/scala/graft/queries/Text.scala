@@ -354,6 +354,29 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Per-source KL drift vs the corpus blend (TextAnalysis.klDrift):
+    // the mixture-skew readout — pairs with q_mixture/q_mixture_apply
+    // (which sources to rebalance) and q_lm_score (which docs to gate).
+    "q_kl_drift" -> QueryDef(
+      "per-source unigram KL divergence vs the corpus distribution",
+      """WITH t AS (SELECT source,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+        |tots AS (SELECT source, sum(tf) AS tot_s FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS tot FROM tf),
+        |r AS (SELECT tf.source, tf.tf,
+        |        round(ln(CAST(tf.tf * tot.tot AS DOUBLE) /
+        |                 CAST(tots.tot_s * ctf.ctf AS DOUBLE)), 6)::DECIMAL(30,6) AS r
+        |      FROM tf JOIN ctf USING (term) JOIN tots USING (source) CROSS JOIN tot)
+        |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(r * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS kl
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      TextAnalysis.klDrift(docs(spark, dir), "source", "text")
+        .orderBy("source")
+    },
+
     "q_token_count" -> QueryDef(
       "BPE-style pre-tokenizer token counting",
       s"""SELECT doc_id,
