@@ -354,6 +354,59 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Per-source median-gated quality filter: score every doc with the
+    // unigram-LM nll (q_lm_score's operator), take each source's exact
+    // median, keep docs at-or-below it (better-than-median quality) —
+    // the standard LM-score corpus-curation gate, summarized per
+    // source. The median frame is ≤|sources| rows and broadcasts back;
+    // kept-doc accumulation is DECIMAL-exact so the mean is
+    // addition-order independent. Median parity across engines holds
+    // because per-doc nll is a 6-decimal-rounded double on both sides
+    // and the even/odd-count interpolation is one IEEE op on identical
+    // inputs (q_quantiles precedent), rounded to 6 again.
+    "q_quality_gate" -> QueryDef(
+      "per-source LM-score median gate: keep better-than-median docs, summarize",
+      """WITH t AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS tot FROM tf),
+        |lp AS (SELECT term,
+        |         round(ln(CAST(ctf AS DOUBLE) / CAST(tot AS DOUBLE)), 6)::DECIMAL(30,6) AS logp
+        |       FROM ctf CROSS JOIN tot),
+        |nll AS (SELECT doc_id,
+        |          round(-CAST(sum(logp * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS nll
+        |        FROM tf JOIN lp USING (term) GROUP BY doc_id),
+        |s AS (SELECT d.source, n.nll FROM nll n JOIN documents d USING (doc_id)),
+        |m AS (SELECT source, round(quantile_cont(nll, 0.5), 6) AS med FROM s GROUP BY source)
+        |SELECT s.source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN s.nll <= m.med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  max(m.med) AS median_nll,
+        |  round(CAST(sum(CASE WHEN s.nll <= m.med THEN s.nll::DECIMAL(30,6)
+        |                 ELSE 0::DECIMAL(30,6) END) AS DOUBLE) /
+        |        sum(CASE WHEN s.nll <= m.med THEN 1 ELSE 0 END), 6) AS kept_mean_nll
+        |FROM s JOIN m USING (source)
+        |GROUP BY s.source ORDER BY s.source""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(30, 6)
+      val d = docs(spark, dir)
+      val scores = TextAnalysis.lmScore(d, "doc_id", "text")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .graftCkptMem()
+      val med = scores.groupBy("source")
+        .agg(round(expr("percentile(nll, 0.5)"), 6).as("med"))
+      scores.join(broadcast(med), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("nll") <= col("med"), 1L).otherwise(0L)).as("n_kept"),
+          max(col("med")).as("median_nll"),
+          round(sum(when(col("nll") <= col("med"), col("nll").cast(dec))
+              .otherwise(lit(0).cast(dec))).cast(DoubleType) /
+            sum(when(col("nll") <= col("med"), 1L).otherwise(0L)), 6)
+            .as("kept_mean_nll"))
+        .orderBy("source")
+    },
+
     // Per-source KL drift vs the corpus blend (TextAnalysis.klDrift):
     // the mixture-skew readout — pairs with q_mixture/q_mixture_apply
     // (which sources to rebalance) and q_lm_score (which docs to gate).
