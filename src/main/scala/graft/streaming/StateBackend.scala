@@ -486,12 +486,30 @@ object BucketedParquetBackend {
     * inspection and cross-backend reads. ENGINE restarts should go
     * through the live backend's [[BucketedParquetBackend.recover]],
     * which composes the same chain bucket-aligned. */
-  def latest(spark: SparkSession, root: String): Map[String, DataFrame] = {
+  def latest(spark: SparkSession, root: String): Map[String, DataFrame] =
+    asOf(spark, root, Long.MaxValue)
+
+  /** Time travel over the generational layout: every table's committed
+    * state as of generation `gen` — the last committed full generation
+    * with id ≤ `gen`, composed with its committed delta suffix up to
+    * `gen`. Because every engine batch commits one generation per
+    * touched table, this answers "what did the engine believe after
+    * batch N" for any batch still on disk — the per-batch refinement of
+    * the reference's whole-store backup restore (RocksDBState.java:
+    * 355-461 can only rewind to a rotated backup; the delta chain
+    * rewinds to any batch for free).
+    *
+    * Retention bound: [[gc]] retires a superseded chain when
+    * compaction rewrites full, so the travel window is what gc hasn't
+    * deleted yet — a retired chain's base and deltas go together, so a
+    * too-old `gen` yields the table ABSENT from the map, never a
+    * half-composed state. */
+  def asOf(spark: SparkSession, root: String, gen: Long): Map[String, DataFrame] = {
     val rootPath = new Path(root)
     val f = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(rootPath)) return Map.empty
     f.listStatus(rootPath).toSeq.filter(_.isDirectory).flatMap { tableDir =>
-      val gens = committedGens(f, tableDir.getPath)
+      val gens = committedGens(f, tableDir.getPath).filter(_._1 <= gen)
       val base = gens.filter(_._3.exists(_._1 == "full")).lastOption
       // A COMMITTED delta can only exist after its base committed, so
       // finding one with no committed full generation is corruption —

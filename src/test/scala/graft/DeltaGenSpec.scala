@@ -92,6 +92,31 @@ class DeltaGenSpec extends SparkSpec with BeforeAndAfterAll {
     b.deleteAll()
   }
 
+  test("asOf time-travels to any committed generation still on disk") {
+    val b = new BucketedParquetBackend(spark, root, buckets = 4, compactEvery = 10)
+    b.persist("tt", df(1 -> 10L, 2 -> 20L), None)
+    b.persist("tt", df(1 -> 10L, 2 -> 21L),
+      Some((df(2 -> 21L), keysDf(2))))
+    b.persist("tt", df(1 -> 10L, 2 -> 21L, 3 -> 30L),
+      Some((df(3 -> 30L), keysDf(3))))
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val ids = genDirs(fs, "tt").map(_.getName.drop(1).toLong)
+    assert(ids.size == 3)
+    // each batch's believed state is reproducible by generation id
+    assert(contents(BucketedParquetBackend.asOf(spark, root, ids(0))("tt")) ==
+      Map(1 -> 10L, 2 -> 20L))
+    assert(contents(BucketedParquetBackend.asOf(spark, root, ids(1))("tt")) ==
+      Map(1 -> 10L, 2 -> 21L))
+    assert(contents(BucketedParquetBackend.asOf(spark, root, ids(2))("tt")) ==
+      Map(1 -> 10L, 2 -> 21L, 3 -> 30L))
+    // latest == asOf(∞)
+    assert(contents(BucketedParquetBackend.latest(spark, root)("tt")) ==
+      Map(1 -> 10L, 2 -> 21L, 3 -> 30L))
+    // before the first generation: the table is absent, never empty
+    assert(!BucketedParquetBackend.asOf(spark, root, ids(0) - 1).contains("tt"))
+    b.deleteAll()
+  }
+
   test("latest skips an uncommitted delta suffix (no _MANIFEST marker)") {
     val b = new BucketedParquetBackend(spark, root, buckets = 4, compactEvery = 10)
     b.persist("u", df(1 -> 1L), None)
