@@ -362,6 +362,39 @@ object TextAnalysis {
     out.result().toSeq.toDF("rank", "pair", "merged", "cnt")
   }
 
+  /** Apply learned BPE merges ([[bpeMerges]] output) to the corpus and
+    * count the resulting symbol vocabulary — the tokenize-with-the-
+    * trained-tokenizer half. The merge rewrites are literal string
+    * replaces inlined from the (≤`merges`-row) learned table, so the
+    * whole apply is a pure codegen projection chain (no UDF, no join):
+    * one map pass over the corpus, then one map-side-combined count
+    * and a TakeOrdered top-k — the same two-stage shape at any scale.
+    *
+    * @return (tok, n): top-`k` symbols by frequency (ties break on the
+    *         symbol)
+    */
+  def bpeApply(
+      docsDf: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      k: Int = 20): DataFrame = {
+    require(merges.forall { case (p, m) =>
+      (p + m).forall(c => c == ' ' || (c >= 'a' && c <= 'z')) },
+      "merge pairs must be space-separated lowercase symbols")
+    var df = docsDf
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")).between(2, 15))
+      .select(concat(lit(" "),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")).as("s"))
+    merges.foreach { case (p, m) =>
+      df = df.withColumn("s", expr(s"replace(s, ' $p ', ' $m ')"))
+    }
+    df.select(explode(split(trim(col("s")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Argmax language with deterministic first-wins tiebreak (order of
     * [[langMarkers]]); "und" (undetermined) when no marker hit. */
   def langId(text: Column): Column = {

@@ -84,7 +84,7 @@ object Text {
     * per iteration, replaying TextAnalysis.bpeMerges' driver loop in
     * SQL. `replace` is leftmost non-overlapping in both engines, and
     * the padded-space form makes pair occurrences unambiguous. */
-  private def bpeOracleSql(vocab: Int, merges: Int): String = {
+  private def bpeCtes(vocab: Int, merges: Int): String = {
     val iters = (1 to merges).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -95,15 +95,39 @@ object Text {
          |w$i AS (SELECT trim(replace(' ' || sym || ' ', ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS sym, n
          |        FROM $prev, b$i b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
     s"""WITH raw AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
        |             FROM documents),
        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM raw
        |       WHERE len(word) BETWEEN 2 AND 15
        |       GROUP BY word ORDER BY n DESC, word LIMIT $vocab),
        |w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, n FROM wc),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracleSql(vocab: Int, merges: Int): String = {
+    val union = (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""${bpeCtes(vocab, merges)}
        |SELECT rank, pair, merged, cnt FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** Tokenize-with-the-learned-merges oracle: the same training CTEs,
+    * then the corpus re-tokenized by applying each learned merge in
+    * rank order (padded-space literal replaces, identical to the
+    * Spark codegen chain) and the symbol counts cut to top-`k`. */
+  private def bpeApplyOracleSql(vocab: Int, merges: Int, k: Int): String = {
+    val applies = (1 to merges).map { i =>
+      val prev = if (i == 1) "s0" else s"a${i - 1}"
+      s"""a$i AS (SELECT replace(s, ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS s
+         |        FROM $prev, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeCtes(vocab, merges)},
+       |corpus AS (SELECT word FROM raw WHERE len(word) BETWEEN 2 AND 15),
+       |s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS s
+       |       FROM corpus),
+       |$applies
+       |SELECT tok, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT unnest(string_split(trim(s), ' ')) AS tok FROM a$merges)
+       |GROUP BY tok ORDER BY n DESC, tok LIMIT $k""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -117,6 +141,23 @@ object Text {
       bpeOracleSql(vocab = 1000, merges = 5)) { (spark, dir) =>
       TextAnalysis.bpeMerges(docs(spark, dir), "text",
         vocab = 1000, merges = 5).orderBy("rank")
+    },
+
+    // Tokenizer APPLY: learn the merges (q_bpe's operator), then
+    // re-tokenize the whole corpus with them — the learned rewrites
+    // inline as literal replaces, so the apply pass is a pure codegen
+    // projection chain over one corpus map pass, ending in a map-side-
+    // combined count + TakeOrdered. Train-then-apply end to end under
+    // one oracle.
+    "q_bpe_apply" -> QueryDef(
+      "apply learned BPE merges to the corpus: top-20 symbol frequencies",
+      bpeApplyOracleSql(vocab = 1000, merges = 5, k = 20)) { (spark, dir) =>
+      val learned = TextAnalysis.bpeMerges(docs(spark, dir), "text",
+          vocab = 1000, merges = 5)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApply(docs(spark, dir), "text", learned, k = 20)
+        .orderBy(col("n").desc, col("tok"))
     },
 
     // Cross-source overlap matrix — the corpus-contamination
