@@ -52,6 +52,8 @@ object Main {
       build: Boolean = false,
       restore: Boolean = false,
       verifyState: Boolean = false,
+      showState: Boolean = false,
+      asOfGen: Option[Long] = None,
       deleteState: Boolean = false,
       deleteBackup: Boolean = false,
       help: Boolean = false)
@@ -61,6 +63,8 @@ object Main {
       |  --build          consume the changelog topics and maintain documents
       |  --restore        restore engine state from the newest readable backup
       |  --verify-state   check index invariants; exit code = violation count
+      |  --show-state     list durable state tables and row counts
+      |  --as-of <gen>    with --show-state: time-travel to generation <gen>
       |  --delete-state   delete the durable state root. BE VERY CAREFUL!
       |  --delete-backup  delete the backup root. BE VERY CAREFUL!
       |  --help           this text""".stripMargin
@@ -77,6 +81,10 @@ object Main {
       case "--build" :: t => go(t, acc.copy(build = true))
       case "--restore" :: t => go(t, acc.copy(restore = true))
       case "--verify-state" :: t => go(t, acc.copy(verifyState = true))
+      case "--show-state" :: t => go(t, acc.copy(showState = true))
+      case "--as-of" :: v :: t => go(t, acc.copy(asOfGen = Some(v.toLong)))
+      case "--as-of" :: Nil =>
+        throw new IllegalArgumentException("--as-of needs a generation id")
       case "--delete-state" :: t => go(t, acc.copy(deleteState = true))
       case "--delete-backup" :: t => go(t, acc.copy(deleteBackup = true))
       case "--help" :: t => go(t, acc.copy(help = true))
@@ -158,10 +166,26 @@ object Main {
     val conf: JsonNode = new ObjectMapper().readTree(
       cli.config.map(readText).getOrElse("{}"))
     val trees = cli.relations.flatMap(r => Relation.parseUri(r))
-    require(trees.nonEmpty || cli.deleteState || cli.deleteBackup,
+    require(trees.nonEmpty || cli.deleteState || cli.deleteBackup || cli.showState,
       "no relations given (--relations)")
     val backupUri = str(conf, "backupUri")
     val backendRoot = str(conf, "backendRoot")
+
+    if (cli.showState) {
+      // read-only inspection of the durable generational layout —
+      // latest by default, any still-on-disk batch via --as-of
+      val root = backendRoot.getOrElse(throw new IllegalArgumentException(
+        "show-state needs backendRoot in config"))
+      val tables = cli.asOfGen match {
+        case Some(g) => BucketedParquetBackend.asOf(spark, root, g)
+        case None => BucketedParquetBackend.latest(spark, root)
+      }
+      if (tables.isEmpty) println("[graft] show-state: no committed state")
+      tables.toSeq.sortBy(_._1).foreach { case (n, df) =>
+        println(s"[graft] state $n: ${df.count()} rows")
+      }
+      return 0
+    }
 
     if (cli.deleteBackup)
       backupUri.foreach { u => println(s"[graft] deleting backups $u"); StateOps.deleteState(u) }

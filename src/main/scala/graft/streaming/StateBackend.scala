@@ -137,6 +137,19 @@ final class BucketedParquetBackend(
 
   import BucketedParquetBackend.writeMarker
 
+  // Register the BucketUnion planner strategy + pushdown rule NOW, at
+  // backend construction — not lazily at the first compose. A
+  // Structured Streaming query clones the session (and with it the
+  // experimental strategy list) when it STARTS; if the first delta
+  // compose happens inside a later micro-batch, the registration lands
+  // on the outer session only, and the clone's planner fails with
+  // "No plan for BucketUnionPlan" on the first keyed read of composed
+  // state. Construction always precedes StreamRunner.start, so the
+  // clone inherits the strategy. (Caught by MainSpec's restart test
+  // run in a fresh session: a delta-free recovery registers nothing,
+  // and the restarted run's first delta compose was mid-stream.)
+  graft.plans.BucketUnion.register(spark)
+
   val durable = true
 
   private case class Chain(
@@ -210,6 +223,12 @@ final class BucketedParquetBackend(
       .bucketBy(buckets, keyCol)
       .option("path", dir.toString)
       .saveAsTable(tbl)
+    // schema sidecar BEFORE the commit marker: a bucketed write of an
+    // EMPTY frame emits no data files at all, so a later recover/asOf
+    // could not infer the table schema from parquet footers — an empty
+    // state table (a scrubbed rootmap, a link table before its first
+    // edge) must survive restart as EMPTY, not as unreadable
+    BucketedParquetBackend.writeSchema(fs(dir), dir, df.schema)
     writeMarker(fs(dir), dir, "full", buckets)
     if (prev != null) {
       retired.add((Some(prev.table), prev.baseDir))
@@ -308,7 +327,8 @@ final class BucketedParquetBackend(
         val bucketCount = counts.head
         val frame =
           if (bucketCount.isDefined && counts.forall(_ == bucketCount)) {
-            val schema = spark.read.parquet(baseDir.toString).schema
+            val schema =
+              BucketedParquetBackend.readBase(spark, f, baseDir).schema
             val keyCol = schema.fields.head.name
             val baseTbl =
               registerBucketed(baseDir, schema, keyCol, bucketCount.get)
@@ -335,7 +355,7 @@ final class BucketedParquetBackend(
           } else
             // legacy chain: plain compose; the table stays out of
             // `live`, so its first persist takes the adoptDiskGens path
-            suffix.foldLeft(spark.read.parquet(baseDir.toString)) {
+            suffix.foldLeft(BucketedParquetBackend.readBase(spark, f, baseDir)) {
               (cur, g) => BucketedParquetBackend.applyDelta(spark, cur, g._2)
             }
         name -> frame
@@ -375,6 +395,44 @@ final class BucketedParquetBackend(
 
 object BucketedParquetBackend {
   private val instances = new AtomicInteger(0)
+
+  /** Schema sidecar for full generations (`_SCHEMA`, StructType json):
+    * the authoritative table schema when the generation holds no
+    * parquet files (empty state table). Written before the commit
+    * marker, so a committed generation always carries it. */
+  private[streaming] def writeSchema(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path, schema: StructType): Unit = {
+    val out = f.create(new Path(dir, "_SCHEMA"), true)
+    out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readSchemaSidecar(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[StructType] = {
+    val p = new Path(dir, "_SCHEMA")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          bytes.toString("UTF-8")).asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  /** Read a full-generation directory, surviving the zero-file case
+    * via the `_SCHEMA` sidecar; pre-sidecar generations (which always
+    * had data files) fall back to footer inference. */
+  private[streaming] def readBase(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: Path): DataFrame =
+    readSchemaSidecar(f, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir.toString)
+      case None => spark.read.parquet(dir.toString)
+    }
 
   /** Commit marker: `_MANIFEST` holds `kind:buckets` (the bucket
     * count lets [[BucketedParquetBackend.recover]] re-register the
@@ -525,7 +583,7 @@ object BucketedParquetBackend {
       base.map { case (baseId, baseDir, _) =>
         val suffix = gens.filter(_._1 > baseId)
           .takeWhile(_._3.exists(_._1 == "delta"))
-        val frame = suffix.foldLeft(spark.read.parquet(baseDir.toString)) {
+        val frame = suffix.foldLeft(readBase(spark, f, baseDir)) {
           (cur, g) => applyDelta(spark, cur, g._2)
         }
         tableDir.getPath.getName -> frame

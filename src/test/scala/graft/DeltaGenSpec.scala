@@ -117,6 +117,23 @@ class DeltaGenSpec extends SparkSpec with BeforeAndAfterAll {
     b.deleteAll()
   }
 
+  test("an EMPTY committed full generation recovers as empty, not unreadable") {
+    // a bucketed write of zero rows emits NO parquet files — the
+    // _SCHEMA sidecar is the only schema carrier; before it, recovery
+    // of an empty state table (scrubbed rootmap, pre-first-edge link
+    // table) died with UNABLE_TO_INFER_SCHEMA
+    val b = new BucketedParquetBackend(spark, root, buckets = 4, compactEvery = 10)
+    b.persist("empty", df(), None)
+    val rec = BucketedParquetBackend.latest(spark, root)("empty")
+    assert(rec.schema == schema, "sidecar schema must round-trip")
+    assert(rec.count() == 0)
+    // the live recover() path composes the same empty chain
+    val b2 = new BucketedParquetBackend(spark, root, buckets = 4, compactEvery = 10)
+    val rec2 = b2.recover()("empty")
+    assert(rec2.count() == 0 && rec2.schema.fieldNames.toSeq == Seq("__pk", "v"))
+    b2.deleteAll()
+  }
+
   test("latest skips an uncommitted delta suffix (no _MANIFEST marker)") {
     val b = new BucketedParquetBackend(spark, root, buckets = 4, compactEvery = 10)
     b.persist("u", df(1 -> 1L), None)

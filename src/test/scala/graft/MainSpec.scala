@@ -149,6 +149,21 @@ class MainSpec extends SparkSpec {
     assert(Main.run(cli("--restore"), spark) == 0)
   }
 
+  test("--show-state lists durable state tables; --as-of time-travels") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      assert(Main.run(cli("--show-state"), spark) == 0)
+    }
+    assert(out.toString.contains("] state ") && out.toString.contains(" rows"),
+      s"expected per-table state listing, got:\n$out")
+    // generation 0 predates every commit: nothing to show, still exit 0
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      assert(Main.run(cli("--show-state", "--as-of", "0"), spark) == 0)
+    }
+    assert(out2.toString.contains("no committed state"), out2.toString)
+  }
+
   test("--delete-state / --delete-backup remove the roots") {
     assert(Main.run(cli("--delete-state", "--delete-backup"), spark) == 0)
     assert(!Files.exists(Paths.get(s"$base/state")))
