@@ -289,6 +289,69 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, the Okapi BM25
+    * scoring function) for a fixed query-term set — the ranking step
+    * a retrieval or data-curation pipeline runs after the boolean
+    * match ([[graft.queries.Text]] `q_keyword_search`).
+    *
+    * Scale shape: because the query terms are literals, tf per term is
+    * a pure projection over the token array (`filter` + `size`) — the
+    * corpus NEVER shuffles. One pass computes (dl, tf_1..tf_q) per
+    * document; a single 1-row aggregate derives N, avgdl, and the
+    * per-term document frequencies and rides back as a broadcast; the
+    * ranked answer is a sort-limit (TakeOrdered: per-partition partial
+    * top-k, driver merge — no global sort). At 100 TB with ad-hoc
+    * queries the tf projection becomes a probe of pre-materialized
+    * term-bucketed postings (the q_keyword_search note), but the
+    * score algebra and the broadcast-stats shape are unchanged.
+    *
+    * Determinism: per-term idf rounds to 6 decimals
+    * (ln((N − df + 0.5)/(df + 0.5) + 1), the non-negative BM25+ idf);
+    * each term's contribution rounds to 6 decimals and accumulates as
+    * exact DECIMAL, so the score is independent of partitioning and
+    * addition order; ties rank by doc id.
+    *
+    * @return (id, dl, score) — top `k` docs, score desc, id asc
+    */
+  def bm25(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val t = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(
+        (col(idCol) +: size(col("__t")).cast(LongType).as("dl") +:
+          terms.map(tm =>
+            size(filter(col("__t"), x => x === lit(tm)))
+              .cast(LongType).as(s"tf_$tm"))): _*)
+      .graftCkptMem()
+    val stats = t.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("tot") +:
+        terms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))): _*)
+      .withColumn("avgdl", col("tot").cast(DoubleType) / col("n_docs"))
+      .select(col("*") +: terms.map { tm =>
+        round(log(
+          ((col("n_docs") - col(s"df_$tm")).cast(DoubleType) + lit(0.5)) /
+            (col(s"df_$tm").cast(DoubleType) + lit(0.5)) + lit(1.0)), 6)
+          .as(s"idf_$tm")
+      }: _*)
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * (col("dl").cast(DoubleType) / col("avgdl")))
+    val score = terms.map { tm =>
+      round(col(s"idf_$tm") * (col(s"tf_$tm").cast(DoubleType) * lit(k1 + 1)) /
+        (col(s"tf_$tm").cast(DoubleType) + norm), 6).cast(dec)
+    }.reduce(_ + _)
+    t.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), score.cast(DoubleType).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Byte-pair-encoding merge induction (tokenizer training) over the
     * corpus word distribution — the vocabulary-building step of a
     * BPE/WordPiece tokenizer pipeline (Sennrich et al. 2016).

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsCompaction}
+import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsSessions}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -100,6 +100,41 @@ object Streams {
   private def cutoffSql(rel: String): String =
     s"SELECT ((max(epoch_ns(ts) // 1000000) - 1800000) * 1000) AS w_us FROM $rel"
 
+  /** Run `f` with the RocksDB state store provider (required by
+    * `transformWithState`, and the provider a real deployment runs). */
+  private def withRocksDb[A](spark: SparkSession)(f: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Gaps-and-islands + final-watermark finalization cutoff — the
+    * oracle for BOTH session operators (the built-in `session_window`
+    * in q_stream_session and the timer-driven transformWithState
+    * twin in q_stream_session_tws must produce identical output). */
+  private val sessionOracleSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+       |wm AS (${cutoffSql("events")}),
+       |flag AS (SELECT user_id, us,
+       |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > $GapUs
+       |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |sess AS (SELECT user_id, us,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flag)
+       |SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM sess, wm GROUP BY user_id, sid, w_us
+       |HAVING max(us) + $GapUs <= w_us
+       |ORDER BY user_id, sess_start_us""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Tumbling event-time counts over a live stream: append mode emits
@@ -129,22 +164,7 @@ object Streams {
     // (last event + gap). Oracle = gaps-and-islands + the same cutoff.
     "q_stream_session" -> QueryDef(
       "streaming session windows (30min gap + watermark) finalized in append mode",
-      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
-         |wm AS (${cutoffSql("events")}),
-         |flag AS (SELECT user_id, us,
-         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > $GapUs
-         |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-         |         THEN 1 ELSE 0 END AS new_session
-         |  FROM e),
-         |sess AS (SELECT user_id, us,
-         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |  FROM flag)
-         |SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
-         |       CAST(count(*) AS BIGINT) AS n_events
-         |FROM sess, wm GROUP BY user_id, sid, w_us
-         |HAVING max(us) + $GapUs <= w_us
-         |ORDER BY user_id, sess_start_us""".stripMargin) { (spark, dir) =>
+      sessionOracleSql) { (spark, dir) =>
       val sessions = EventTime.sessionCounts(
         eventStream(spark, dir), "tstamp", "user_id",
         gap = "30 minutes", watermarkDelay = "30 minutes")
@@ -153,6 +173,27 @@ object Streams {
           unix_micros(col("sess_start")).as("sess_start_us"),
           col("n").as("n_events"))
         .orderBy("user_id", "sess_start_us")
+    },
+
+    // The SAME session semantics on transformWithState with EVENT-TIME
+    // TIMERS (TwsSessions scaladoc) — custom keyed state finalized by
+    // explicit watermark-clock timers instead of the built-in
+    // session_window operator's internal eviction. Sharing
+    // q_stream_session's oracle makes the parity third-party-checkable:
+    // built-in operator, timer-driven processor, and DuckDB replay must
+    // all agree row-for-row.
+    "q_stream_session_tws" -> QueryDef(
+      "session windows via transformWithState event-time timers (RocksDB)",
+      sessionOracleSql) { (spark, dir) =>
+      val stream = eventStream(spark, dir)
+        .withWatermark("tstamp", "30 minutes")
+      val sessions = TwsSessions.sessionStream(
+        stream, "tstamp", "user_id", GapUs)
+      withRocksDb(spark) {
+        runStream(spark, sessions.toDF(), OutputMode.Append())
+          .select(col("user_id"), col("sess_start_us"), col("n_events"))
+          .orderBy("user_id", "sess_start_us")
+      }
     },
 
     // Streaming first-seen dedup (flatMapGroupsWithState): every doc
@@ -201,18 +242,11 @@ object Streams {
             .as("key_json"),
           concat(lit("{\"type\":\""), col("event_type"), lit("\",\"ts\":"),
             col("ts").cast("string"), lit("}")).as("value_json"))
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prior = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDb(spark) {
         runStream(spark, TwsCompaction.latestStream(changelog).toDF(),
           OutputMode.Update())
           .select("entity", "offset", "key_json", "value_json")
           .orderBy("key_json")
-      } finally prior match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
       }
     },
 

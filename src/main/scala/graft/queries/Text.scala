@@ -731,6 +731,56 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // BM25 ranked retrieval over the same query terms — the scoring
+    // step after q_keyword_search's boolean match. The corpus never
+    // shuffles: tf per literal term is an array projection, the
+    // (N, avgdl, df, idf) stats are ONE 1-row aggregate broadcast
+    // back, and the ranked answer is a TakeOrdered sort-limit.
+    // k1 = 1.25 and b = 0.75 are chosen exactly representable in
+    // binary, so every constant (k1+1 = 2.25, 1−b = 0.25) is the
+    // same double in both engines; idf and each term's contribution
+    // round to 6 decimals and sum as exact DECIMALs.
+    "q_bm25" -> {
+      val qterms = Seq("dup", "merge", "scan")
+      val tfSel = qterms.map(t =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t")
+        .mkString(",\n        |    ")
+      val dfSel = qterms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(",\n        |    ")
+      val idfSel = qterms.map(t =>
+        s"round(ln((CAST(n_docs - df_$t AS DOUBLE) + 0.5) / " +
+          s"(CAST(df_$t AS DOUBLE) + 0.5) + 1.0), 6) AS idf_$t")
+        .mkString(",\n        |    ")
+      val contrib = qterms.map(t =>
+        s"CAST(round(idf_$t * (CAST(tf_$t AS DOUBLE) * 2.25) / " +
+          s"(CAST(tf_$t AS DOUBLE) + 1.25 * (0.25 + 0.75 * " +
+          s"(CAST(dl AS DOUBLE) / avgdl))), 6) AS DECIMAL(30,6))")
+        .mkString("\n        |    + ")
+      QueryDef(
+        "BM25 top-20 docs for the query terms (Okapi ranking)",
+        s"""WITH t AS (SELECT doc_id,
+          |         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          |       FROM documents),
+          |tt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+          |    $tfSel
+          |  FROM t),
+          |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot,
+          |    $dfSel
+          |  FROM tt),
+          |s2 AS (SELECT *, CAST(tot AS DOUBLE) / n_docs AS avgdl,
+          |    $idfSel
+          |  FROM s)
+          |SELECT doc_id, dl, score FROM (
+          |  SELECT doc_id, dl,
+          |    CAST($contrib AS DOUBLE) AS score
+          |  FROM tt CROSS JOIN s2)
+          |WHERE score > 0
+          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+        TextAnalysis.bm25(docs(spark, dir), "doc_id", "text", qterms, 20)
+      }
+    },
+
     // The KEEP side of near-dup removal — what a dedup pipeline
     // actually ships: every document that is either untouched by the
     // duplicate graph or the canonical (minimum-id) member of its
