@@ -224,6 +224,39 @@ object Dedup {
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
+  /** Per-ROW banded signatures — the streaming-safe twin of
+    * [[bandedSignatures]], producing the identical (id, band, bh)
+    * rows from (id, text) directly. The batch form explodes grams and
+    * runs 32 codegen'd min AGGREGATES (faster per the measured note
+    * on [[minhashSignatures]]), but an aggregation cannot run inside
+    * a streaming append pipeline ahead of a stateful operator — so
+    * this variant folds each document's gram array per row
+    * (`transform` + `array_min`): a pure projection, no shuffle, legal
+    * and incremental in a stream. Same grams, same base hash, same
+    * permutations, same md5 band key ⇒ bucket-compatible with every
+    * batch consumer (parity pinned in StreamingDedupSpec). */
+  def bandedSignaturesRowwise(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+        pos => substring(col(textCol), pos, lit(n)))).as("grams"))
+    val hashed = grams.select(col(idCol),
+      transform(col("grams"), g => baseHash(g) % P).as("__h"))
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__h"), h => (lit(a) * h + lit(b)) % P))
+        .as(s"s$i")
+    }
+    val sigs = hashed.select(col(idCol) +: sigCols: _*)
+    val bandCols = (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("_", parts: _*)).as("bh")).as(s"b$bnd")
+    }
+    sigs.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
   /** LSH candidate pairs: same md5-hashed band signature in any band,
     * then exact-Jaccard verification ≥ tau on full gram sets. */
   def minhashPairs(

@@ -217,6 +217,39 @@ object Streams {
         .orderBy("doc_id")
     },
 
+    // Streaming NEAR-dup screening: MinHash/LSH band buckets as
+    // streaming state (StreamingDedup.lshScreen scaladoc). The whole
+    // pre-state pipeline is a per-row projection (rowwise signatures —
+    // no shuffle before the state store); the oracle replays the
+    // batch band machinery (same grams/perms/md5 constants as
+    // q_dedup_minhash) with min-anchor semantics, which single-batch
+    // arrival makes identical to first-seen. dup_of here is the
+    // SCREENING verdict (shares a bucket with an earlier doc); the
+    // exact-Jaccard verify stays a downstream batch pass, as in the
+    // batch pipeline.
+    "q_stream_dedup_lsh" -> QueryDef(
+      "streaming MinHash/LSH near-dup screen: bucket anchor per doc",
+      s"""WITH ${Text.minhashBandsCtes},
+         |m AS (SELECT a.doc_id, min(b.doc_id) AS mn
+         |      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |      GROUP BY a.doc_id)
+         |SELECT d.doc_id, CASE WHEN m.mn < d.doc_id THEN m.mn END AS dup_of
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      val arrivals = Tables.loadStream(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val bands = graft.operators.Dedup
+        .bandedSignaturesRowwise(arrivals, "doc_id", "text", 5)
+        .select(col("band"), col("bh"), col("id").as("doc_id"))
+      val hits = runStream(spark,
+        StreamingDedup.lshScreen(bands).toDF(), OutputMode.Append())
+      val rollup = hits.groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      Tables.load(spark, dir, "documents").select("doc_id")
+        .join(rollup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"))
+        .orderBy("doc_id")
+    },
+
     // Latest-per-key compaction on transformWithState (Spark 4's
     // arbitrary-state API, RocksDB state store — the provider a real
     // deployment runs): the events stream recast as a unified

@@ -60,14 +60,20 @@ object Text {
   /** Full MinHash+LSH pair pipeline as a CTE chain ending in
     * `pairs(doc_a, doc_b, jaccard)` — shared by the pair query and the
     * cluster query (which closes `pairs` transitively). */
-  private val minhashPairsCtes: String =
+  /** Grams → hashes → signatures → band buckets, ending in
+    * `bands(doc_id, band, bh)` — shared by the pair pipeline below and
+    * the streaming LSH screen's oracle (queries/Streams.scala). */
+  private[queries] val minhashBandsCtes: String =
     s"""$gramsCte,
        |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % ${Dedup.P} AS h FROM g),
        |sig AS (SELECT doc_id,
        |    $sigSelects
        |  FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+
+  private val minhashPairsCtes: String =
+    s"""$minhashBandsCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),

@@ -129,4 +129,59 @@ object StreamingDedup {
       out.iterator
     }
   }
+
+  /** One LSH band-bucket membership row (Dedup.bandedSignaturesRowwise
+    * output, renamed to carry the doc id). */
+  case class BandHit(band: Int, bh: String, doc_id: Long)
+
+  /** A near-dup screening hit: `doc_id` shares an LSH bucket with the
+    * bucket's first-seen anchor. */
+  case class LshDecision(doc_id: Long, dup_of: Long)
+
+  /** Streaming NEAR-dup screening — MinHash/LSH lifted to arrival
+    * time: the streaming face of the batch `q_dedup_minhash` candidate
+    * machinery, for ingestion pipelines that must flag likely
+    * duplicates as documents arrive. Input is the per-row banded
+    * signature stream ([[graft.operators.Dedup.bandedSignaturesRowwise]]
+    * — a pure projection, so the whole pipeline before the state store
+    * is shuffle-free); state is ONE fixed-width entry per occupied
+    * (band, bucket): the first-seen anchor doc. Every later arrival in
+    * an occupied bucket emits (doc, anchor); a doc's final screening
+    * verdict is min(anchor) over its bands (rolled up by the sink-side
+    * consumer, `q_stream_dedup_lsh`).
+    *
+    * First-wins contract, same as [[firstSeen]]: the anchor is the
+    * first ARRIVAL (ties within a batch break by doc id), never
+    * retracted — so cross-batch, `dup_of` may exceed `doc_id`
+    * (pinned in StreamingDedupSpec); single-batch arrival makes
+    * first-seen == min(doc id), which is what the DuckDB oracle
+    * replays. This is the candidate/screening stage only — the exact
+    * verify (Jaccard on full gram sets) needs both documents' grams
+    * and belongs to a downstream batch pass over flagged pairs, the
+    * standard async-verify split for streaming near-dup.
+    *
+    * Scale shape: state is bounded by occupied buckets (≤ docs ×
+    * bands, fixed width each), hash-partitioned by bucket key; a hot
+    * bucket costs O(members) emissions total, never O(members²) pairs
+    * — the same star shape as the batch `lshBucketEdges`. Run with
+    * `OutputMode.Append`. */
+  def lshScreen(bands: DataFrame): Dataset[LshDecision] = {
+    implicit val outEnc = Encoders.product[LshDecision]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val stateEnc = Encoders.product[SeenState]
+    bands.as[BandHit](Encoders.product[BandHit])
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(lshGroup)
+  }
+
+  private[streaming] def lshGroup(
+      key: (Int, String),
+      rows: Iterator[BandHit],
+      state: GroupState[SeenState]): Iterator[LshDecision] = {
+    val ids = rows.map(_.doc_id).toSeq.sorted
+    val anchor = state.getOption.map(_.canonical_id).getOrElse(ids.head)
+    if (!state.exists) state.update(SeenState(anchor))
+    ids.filter(_ != anchor).map(d => LshDecision(d, anchor)).iterator
+  }
 }

@@ -104,4 +104,56 @@ class StreamingDedupSpec extends SparkSpec {
         s"renewed horizon keeps deduping, got ${rows()(12L)}")
     } finally query.stop()
   }
+
+  test("rowwise banded signatures equal the batch aggregate form on real data") {
+    // the streaming LSH screen is bucket-compatible with every batch
+    // MinHash consumer only if the per-row fold produces the exact
+    // same (id, band, bh) rows as the explode + min-aggregate form
+    import graft.operators.Dedup
+    import graft.operators.TextAnalysis
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val batch = Dedup.bandedSignatures(
+        TextAnalysis.gramArrays(d, "doc_id", "text", 5), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val rowwise = Dedup.bandedSignaturesRowwise(d, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(batch.nonEmpty && rowwise == batch,
+      s"rowwise=${rowwise.size} batch=${batch.size} " +
+        s"diff=${(rowwise diff batch).take(3)}/${(batch diff rowwise).take(3)}")
+  }
+
+  test("lsh screen: first-seen anchor wins across batches even against a smaller id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Int, String, Long)]
+    val out = StreamingDedup.lshScreen(
+      stream.toDF().toDF("band", "bh", "doc_id")).toDF()
+    val query = out.writeStream.format("memory").queryName("lsh_screen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows(): Set[(Long, Long)] = spark.table("lsh_screen")
+        .as[(Long, Long)].collect().toSet
+
+      // batch 1: docs 9 and 12 share bucket (0, "A"); 9 anchors
+      // (in-batch ties break by id = first-seen == min, the oracle's
+      // single-batch semantics); doc 50 alone in (1, "B")
+      stream.addData(Seq((0, "A", 9L), (0, "A", 12L), (1, "B", 50L)))
+      query.processAllAvailable()
+      assert(rows() == Set((12L, 9L)), s"got ${rows()}")
+
+      // batch 2: doc 4 hits bucket (0, "A") — SMALLER id than the
+      // anchor, but first-seen is never retracted: 4 points at 9
+      stream.addData(Seq((0, "A", 4L)))
+      query.processAllAvailable()
+      assert(rows() == Set((12L, 9L), (4L, 9L)), s"got ${rows()}")
+
+      // batch 3: the anchor itself re-arrives — no self-decision
+      stream.addData(Seq((0, "A", 9L)))
+      query.processAllAvailable()
+      assert(rows() == Set((12L, 9L), (4L, 9L)), s"got ${rows()}")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("lsh_screen")
+    }
+  }
 }
