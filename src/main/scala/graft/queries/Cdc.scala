@@ -233,6 +233,50 @@ object Cdc {
       out
     },
 
+    // Incrementally MAINTAINED grouped aggregate over a chunked
+    // changelog replay — the aggregation face of the IVM model
+    // (IncrementalAggregate scaladoc): per-status order counts and
+    // exact-decimal revenue kept current under inserts, a group-moving
+    // update wave (every 7th order re-priced into status 'U'), and a
+    // tombstone wave (every 97th deleted), with RETRACTION of old
+    // contributions instead of any rescan. The oracle computes the
+    // same aggregate directly from the net effect of the replay — the
+    // maintained rollup must equal the from-scratch answer exactly
+    // (decimal sums make retraction lossless).
+    "q_incr_agg" -> QueryDef(
+      "incrementally maintained per-status count/revenue under updates + deletes",
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS g,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |fin AS (SELECT k,
+        |         CASE WHEN k % 7 = 0 THEN 'U' ELSE g END AS g,
+        |         CASE WHEN k % 7 = 0 THEN CAST(v * 2 AS DECIMAL(18,2)) ELSE v END AS v
+        |       FROM base WHERE k % 97 <> 0)
+        |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(v) AS DOUBLE) AS total
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin) { (spark, dir) =>
+      import graft.streaming.IncrementalAggregate
+      val dec = DecimalType(18, 2)
+      val base = t(spark, dir)("orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("g"),
+        col("o_totalprice").cast(dec).as("v"))
+      val inserts = (0 until 4).map(i =>
+        base.where(pmod(col("k"), lit(4)) === i)
+          .select(col("k"), (col("k") * 10 + i).as("offset"), col("g"), col("v")))
+      val updates = base.where(col("k") % 7 === 0)
+        .select(col("k"), (col("k") * 10 + 5).as("offset"),
+          lit("U").as("g"), (col("v") * 2).cast(dec).as("v"))
+      val tombstones = base.where(col("k") % 97 === 0)
+        .select(col("k"), (col("k") * 10 + 6).as("offset"),
+          lit(null).cast(StringType).as("g"), lit(null).cast(dec).as("v"))
+      val finalState = (inserts :+ updates :+ tombstones)
+        .foldLeft(IncrementalAggregate.empty(spark))(
+          IncrementalAggregate.applyBatch)
+      finalState.agg
+        .select(col("g"), col("cnt"),
+          col("s").cast(DoubleType).as("total"))
+        .orderBy("g")
+    },
+
     // Sessionization: session_window with a 30-minute gap — the
     // streaming session-window operator evaluated in batch; the oracle
     // is the classic gaps-and-islands SQL, proving the semantics match.

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.IncrementalAggregate
+import graft.streaming.IncrementalAggregate.{applyBatch, batchDeltas, empty, recompute}
+
+/** Incrementally maintained grouped aggregates: the maintained rollup
+  * must equal the from-scratch aggregate of the latest state after
+  * EVERY batch (retraction correctness), and a batch's delta frame
+  * must touch only the groups the batch touches (the O(|delta|)
+  * contract that makes maintenance cheaper than recomputation).
+  */
+class IncrementalAggSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dec = DecimalType(18, 2)
+
+  private def changes(rows: (Long, Long, String, String)*) =
+    rows.toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v"))
+
+  private def aggRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("g"), col("cnt"), col("s").cast(StringType))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+  test("maintained rollup equals recompute after every batch (updates, group moves, deletes, re-inserts)") {
+    var st = empty(spark)
+    def step(batch: org.apache.spark.sql.DataFrame): Unit = {
+      st = applyBatch(st, batch)
+      assert(aggRows(st.agg) == aggRows(recompute(st.latest)),
+        s"maintained != recompute:\n${st.agg.collect().toSeq}\n" +
+          s"${recompute(st.latest).collect().toSeq}")
+    }
+
+    // batch 1: three inserts across two groups
+    step(changes((1L, 1L, "A", "10.00"), (2L, 2L, "A", "5.50"),
+      (3L, 3L, "B", "7.25")))
+    assert(aggRows(st.agg) ==
+      Set(("A", 2L, "15.50"), ("B", 1L, "7.25")))
+
+    // batch 2: k=1 moves A -> B with a new value; in-batch dup for k=2
+    // (higher offset wins without double-counting)
+    step(changes((1L, 4L, "B", "20.00"), (2L, 5L, "A", "6.00"),
+      (2L, 6L, "A", "6.50")))
+    assert(aggRows(st.agg) ==
+      Set(("A", 1L, "6.50"), ("B", 2L, "27.25")))
+
+    // batch 3: tombstone k=3 (B loses its original member) and a
+    // tombstone for a key that never existed (no-op)
+    step(Seq((3L, 7L, null: String, null: String), (99L, 8L, null: String, null: String))
+      .toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+    assert(aggRows(st.agg) ==
+      Set(("A", 1L, "6.50"), ("B", 1L, "20.00")))
+
+    // batch 4: k=3 re-inserts after its delete; group A empties out
+    // entirely (k=2 tombstone) — emptied groups leave the rollup
+    step(changes((3L, 9L, "C", "1.00")).unionByName(
+      Seq((2L, 10L, null: String, null: String)).toDF("k", "offset", "g", "v")
+        .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v"))))
+    assert(aggRows(st.agg) ==
+      Set(("B", 1L, "20.00"), ("C", 1L, "1.00")))
+  }
+
+  test("a batch's delta frame touches only the batch's groups") {
+    var st = empty(spark)
+    st = applyBatch(st, changes(
+      (1L, 1L, "A", "1.00"), (2L, 2L, "B", "2.00"), (3L, 3L, "C", "3.00"),
+      (4L, 4L, "D", "4.00")))
+    // one key moves B -> D: the delta aggregate must contain exactly
+    // {B, D} — groups A and C are untouched, so maintenance cost is
+    // independent of how many groups (or rows) the rollup holds
+    val cc = changes((2L, 5L, "D", "9.00"))
+      .groupBy("k").agg(max(struct(col("offset"), col("g"), col("v"))).as("__m"))
+      .select(col("k"), col("__m.g").as("g_new"), col("__m.v").as("v_new"))
+    val touched = batchDeltas(st.latest, cc)
+      .select("g").as[String].collect().toSet
+    assert(touched == Set("B", "D"), s"delta touched $touched")
+  }
+}
