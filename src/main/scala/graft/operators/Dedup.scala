@@ -230,9 +230,12 @@ object Dedup {
     * runs 32 codegen'd min AGGREGATES (faster per the measured note
     * on [[minhashSignatures]]), but an aggregation cannot run inside
     * a streaming append pipeline ahead of a stateful operator — so
-    * this variant folds each document's gram array per row
-    * (`transform` + `array_min`): a pure projection, no shuffle, legal
-    * and incremental in a stream. Same grams, same base hash, same
+    * this variant computes each document's full signature per row via
+    * the native one-pass [[graft.functions.MinHashSigsExpr]] (a
+    * lambda-HOF fold here would be CodegenFallback, interpreted per
+    * gram per permutation — see that expression's scaladoc for the
+    * measured gap): a pure projection, no shuffle, legal and
+    * incremental in a stream. Same grams, same base hash, same
     * permutations, same md5 band key ⇒ bucket-compatible with every
     * batch consumer (parity pinned in StreamingDedupSpec). */
   def bandedSignaturesRowwise(
@@ -241,15 +244,11 @@ object Dedup {
       array_distinct(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         pos => substring(col(textCol), pos, lit(n)))).as("grams"))
-    val hashed = grams.select(col(idCol),
-      transform(col("grams"), g => baseHash(g) % P).as("__h"))
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("__h"), h => (lit(a) * h + lit(b)) % P))
-        .as(s"s$i")
-    }
-    val sigs = hashed.select(col(idCol) +: sigCols: _*)
+    val sigs = grams.select(col(idCol),
+      graft.functions.MinHashSigs.sigs(col("grams"), perms, P).as("__s"))
     val bandCols = (0 until numBands).map { bnd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"s${bnd * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand)
+        .map(r => element_at(col("__s"), bnd * rowsPerBand + r + 1))
       struct(lit(bnd).as("band"),
         md5(concat_ws("_", parts: _*)).as("bh")).as(s"b$bnd")
     }
