@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsSessions}
+import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsSessions, TwsSourceStats}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -280,6 +280,29 @@ object Streams {
           OutputMode.Update())
           .select("entity", "offset", "key_json", "value_json")
           .orderBy("key_json")
+      }
+    },
+
+    // Running per-source corpus composition on transformWithState MAP
+    // state (TwsSourceStats scaladoc) — the live ingest counter, and
+    // the MapState face of the arbitrary-state API (entry-wise point
+    // reads/writes; a ValueState[Map] would rewrite the whole map per
+    // update). One AvailableNow batch makes each (source, lang)'s
+    // single Update-mode emission its final running total — the plain
+    // GROUP BY the oracle replays; per-batch running totals are
+    // pinned in TwsSourceStatsSpec.
+    "q_stream_source_stats" -> QueryDef(
+      "running per-source language composition on transformWithState MapState",
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+      val docs = Tables.loadStream(spark, dir, "documents")
+        .select(col("source"), col("lang"))
+      withRocksDb(spark) {
+        runStream(spark, TwsSourceStats.countsStream(docs).toDF(),
+          OutputMode.Update())
+          .select(col("source"), col("lang"), col("n"))
+          .orderBy("source", "lang")
       }
     },
 
