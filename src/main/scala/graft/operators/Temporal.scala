@@ -66,6 +66,40 @@ object Temporal {
       .select((leftCols ++ payloadCols).map(col): _*)
   }
 
+  /** SCD Type 2 compile: a keyed changelog becomes a VERSIONED
+    * dimension — each maximal run of consecutive identical `attrCol`
+    * values (in `offsetCol` order per `keyCol`) is one validity
+    * interval. Emits one row per version: `valid_from` = the offset
+    * that opened the run, `valid_to` = the offset of the next change
+    * (−1 for the open version), `is_current` = 1 on the open version.
+    * This is the history-preserving counterpart of latest-per-key
+    * compaction (the reference keeps only current state,
+    * topic/KafkaTopic.java:193-205; SCD2 is what a warehouse keeps so
+    * point-in-time queries can join "as of" any offset).
+    *
+    * Shape at scale: ONE shuffle on `keyCol`; the change filter (lag)
+    * runs in that partitioning and discards every no-op change row
+    * BEFORE the lead pass, so the second window sees only version
+    * boundaries — under real CDC traffic (mostly-unchanged upserts)
+    * the heavy frame never materializes a second time, and Catalyst
+    * plans both windows in the same exchange with no re-sort. */
+  def scd2(
+      changelog: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      offsetCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(offsetCol))
+    changelog
+      .select(col(keyCol), col(offsetCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__next", lead(col(offsetCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(offsetCol).cast("long").as("valid_from"),
+        coalesce(col("__next"), lit(-1L)).cast("long").as("valid_to"),
+        when(col("__next").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
   /** Self range-join count: for every row, how many rows with the same
     * `keys` fall in the half-open time window (t, t + window]. A naive
     * formulation is an inequality join, which Spark plans as a

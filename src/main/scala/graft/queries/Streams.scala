@@ -306,6 +306,33 @@ object Streams {
       }
     },
 
+    // Stream-static dimension enrichment — the Spark-native face of
+    // the reference's one structural operation (joining a changelog
+    // record to dimension state; Southpaw.java:51-60) when the
+    // dimension is SMALL and SLOWLY CHANGING: the static side
+    // broadcasts to every task and the stream is enriched map-side,
+    // STATELESS — no state store, no watermark, nothing to evict, and
+    // the static plan re-resolves each micro-batch so a dimension
+    // refresh is picked up at the next trigger. At 100 TB this is the
+    // plan for every dimension that fits in memory (the alternative —
+    // keyed state per dimension row — pays a shuffle plus a state
+    // store for data that never needed either).
+    "q_stream_enrich" -> QueryDef(
+      "stream-static broadcast enrichment: events joined to the customer dimension",
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+      val dim = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val enriched = Tables.loadStream(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      runStream(spark, enriched, OutputMode.Append())
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_mktsegment"), col("value"))
+        .orderBy("event_id")
+    },
+
     // Stream-stream event-time interval join: each view matched to the
     // same user's purchases within the next 30 minutes. Inner join —
     // every match emits exactly once regardless of watermark, so the

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+import graft.queries.Cdc
+
+/** SCD Type 2 compile (`Temporal.scd2`): run-collapse, interval
+  * chaining, exactly one current version per key, and the point-in-time
+  * contract — reconstructing state as of any offset from the version
+  * table must equal latest-per-key over the changelog prefix.
+  */
+class Scd2Spec extends SparkSpec {
+
+  test("planted changelog: runs collapse, intervals chain, open version is current") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a"),
+      (2L, 5L, "x")).toDF("k", "off", "v")
+    val got = Temporal.scd2(log, "k", "v", "off")
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 1L, 3L, 0L), (1L, "b", 3L, 4L, 0L), (1L, "a", 4L, -1L, 1L),
+      (2L, "x", 5L, -1L, 1L)))
+  }
+
+  test("real changelog invariants: one current per key, contiguous intervals, current == latest") {
+    import spark.implicits._
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val v = Temporal.scd2(events, "user_id", "event_type", "event_id").cache()
+    try {
+      // exactly one open (current) version per key
+      val perKey = v.groupBy("user_id")
+        .agg(sum(col("is_current")).as("n_cur")).collect()
+      assert(perKey.nonEmpty && perKey.forall(_.getLong(1) == 1L))
+
+      // versions chain: each closed version's valid_to opens the next
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("valid_from"))
+      val broken = v
+        .withColumn("__next_from", lead(col("valid_from"), 1).over(w))
+        .where(col("valid_to") =!= -1L &&
+          col("valid_to") =!= col("__next_from"))
+        .count()
+      assert(broken == 0L)
+
+      // the current version's attribute equals latest-per-key
+      val cur = v.where(col("is_current") === 1L)
+        .select(col("user_id"), col("event_type"))
+      val latest = Cdc.latestPerKey(events)
+        .select(col("user_id"), col("event_type"))
+      assert(cur.except(latest).isEmpty && latest.except(cur).isEmpty)
+
+      // point-in-time: as-of offset K, the covering version's attr ==
+      // latest event_type over the changelog prefix (event_id <= K)
+      for (k <- Seq(100L, 500L, 900L)) {
+        val asOf = v.where(col("valid_from") <= k &&
+            (col("valid_to") === -1L || col("valid_to") > k))
+          .select(col("user_id"), col("event_type"))
+        val prefix = Cdc.latestPerKey(events.where(col("event_id") <= k))
+          .select(col("user_id"), col("event_type"))
+        assert(asOf.except(prefix).isEmpty && prefix.except(asOf).isEmpty,
+          s"as-of $k mismatch")
+      }
+    } finally v.unpersist()
+  }
+}
