@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Ckpt.CkptOps
+import graft.functions.TopKByScore
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, quality scoring, heuristic language ID,
@@ -26,6 +27,55 @@ object TextAnalysis {
   def hashBucket(key: Column, buckets: Int): Column =
     conv(substring(md5(key.cast(StringType)), 1, 15), 16, 10)
       .cast(LongType) % buckets
+
+  /** 52-bit md5-prefix hash — exactly representable in a double (no
+    * precision loss inside double-scored aggregates) and reproducible
+    * in DuckDB as ('0x'||substr(md5(x),1,13))::BIGINT. */
+  def hash52(key: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 13), 16, 10).cast(LongType)
+
+  /** K-minimum-values distinct sketch per group: keeps the k smallest
+    * DISTINCT 52-bit hashes of `keyCol` and estimates the group's
+    * distinct count as (k−1)·2⁵²/h_k (integer division; groups with
+    * fewer than k distinct hashes report their exact size — the sketch
+    * IS the whole distinct set there). Unlike HLL registers the sketch
+    * is a uniform sample of the distinct domain, so merged sketches
+    * answer union/intersection cardinalities too.
+    *
+    * Shape at scale: NO distinct set is ever built — [[graft.functions
+    * .TopKByScore]] keeps each partition's k smallest hashes map-side
+    * (exact duplicates collapse inside the buffer), so the shuffle
+    * carries ≤ k rows per (partition, group) no matter how many rows
+    * or distinct values the group has.
+    *
+    * Output: (groupCol, kmv_distinct: long, kmv_size: long) where
+    * kmv_size = min(k, distinct) — callers wanting the exact/sketch
+    * twin add their own countDistinct alongside. */
+  def kmvDistinct(rows: DataFrame, groupCol: String, keyCol: String,
+      k: Int, withExact: Boolean = false): DataFrame = {
+    require(k > 1 && k <= 2048, s"kmv k must be in (1, 2048], got $k")
+    val numerator = (k - 1).toLong << 52
+    val sketchAgg = TopKByScore.topK(
+      struct((-col("__h")).cast(DoubleType).as("score"),
+        col("__h").as("id")), k).as("__kmv")
+    // `withExact` adds the exact-distinct verification twin IN THE SAME
+    // aggregate (one scan; it is the expensive thing the sketch
+    // replaces at scale — only sane at test/verify SF).
+    val aggs =
+      if (withExact) Seq(sketchAgg, countDistinct(col("__h")).as("exact_distinct"))
+      else Seq(sketchAgg)
+    rows
+      .select(col(groupCol), hash52(col(keyCol)).as("__h"))
+      .groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("kmv_distinct",
+        when(size(col("__kmv")) < k,
+          size(col("__kmv")).cast(LongType))
+          .otherwise(expr(
+            s"${numerator}L div greatest(get(__kmv, ${k - 1}).id, 1L)")))
+      .withColumn("kmv_size", size(col("__kmv")).cast(LongType))
+      .drop("__kmv")
+  }
 
   /** Adjacent word-token bigrams ("w1 w2") as an array column (one
     * zip_with pass over the token array). Input must have ≥ 2 tokens. */

@@ -438,6 +438,63 @@ object Cdc {
         .orderBy("event_type")
     },
 
+    // SCD Type 2: the history-preserving compile of the changelog —
+    // every run of consecutive identical event_type values per user
+    // becomes one validity interval; the open version is current. The
+    // point-in-time complement of q_latest (Temporal.scd2 scaladoc).
+    "q_scd2" -> QueryDef(
+      "SCD Type 2: changelog compiled to validity-interval version history",
+      """WITH c AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, event_type FROM c
+        |        WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, CAST(event_id AS BIGINT) AS valid_from,
+        |  CAST(coalesce(lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id), -1) AS BIGINT) AS valid_to,
+        |  CAST(CASE WHEN lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin) { (spark, dir) =>
+      Temporal.scd2(t(spark, dir)("events"),
+          keyCol = "user_id", attrCol = "event_type", offsetCol = "event_id")
+        .orderBy("user_id", "valid_from")
+    },
+
+    // Point-in-time (PIT) join against the SCD2 dimension: each
+    // purchase event is enriched with the user's activity state (the
+    // SCD2 version built from the NON-purchase changelog) in effect at
+    // the purchase's offset. Joining the run-collapsed VERSION table
+    // instead of the raw changelog is the point at scale — the as-of
+    // side carries one row per state CHANGE, not one per event, and
+    // Temporal.asofJoin turns the interval probe into one union +
+    // window pass (no inequality join, no nested-loop fallback).
+    "q_scd2_join" -> QueryDef(
+      "point-in-time join: purchases enriched with the SCD2 version in effect",
+      """WITH c AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |v AS (SELECT user_id, event_id AS valid_from, event_type,
+        |        lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+        |      FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT p.event_id, p.user_id, p.value, v.event_type AS state
+        |FROM events p LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.valid_from <= p.event_id
+        |     AND (v.valid_to IS NULL OR p.event_id < v.valid_to)
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+      val events = t(spark, dir)("events")
+      val dim = Temporal.scd2(
+          events.where(col("event_type") =!= "purchase"),
+          keyCol = "user_id", attrCol = "event_type", offsetCol = "event_id")
+        .select(col("user_id"), col("valid_from").as("event_id"),
+          col("event_type").as("state"))
+      val facts = events.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      Temporal.asofJoin(facts, dim,
+          keys = Seq("user_id"), timeCol = "event_id",
+          payloadCols = Seq("state"))
+        .orderBy("event_id")
+    },
+
     "q_lag" -> QueryDef(
       "lag window: time since previous event per user",
       """SELECT user_id, event_id,

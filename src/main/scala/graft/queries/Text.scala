@@ -38,6 +38,15 @@ object Text {
     (1 to 1024).map(v => math.round(1024.0 * math.log(1024.0 / v)))
       .mkString(", ")
 
+  /** KMV sketch size and the estimator numerator (k−1)·2⁵², one exact
+    * integer shared by both engines: with h uniform on [0, 2⁵²), the
+    * k-th smallest distinct hash h_k estimates the distinct count as
+    * (k−1)·2⁵²/h_k (the classic k-minimum-values estimator), and
+    * integer division keeps the oracle comparison byte-exact. */
+  private[queries] val kmvK = 512
+  private[queries] val kmvNumerator: String =
+    (BigInt(kmvK - 1) * (BigInt(1) << 52)).toString
+
   private val gramsCte =
     """g AS (
       |  SELECT DISTINCT doc_id, substr(text, g, 5) AS gram
@@ -1633,6 +1642,45 @@ object Text {
           when(col("raw_est") <= 2560L && col("v") > 0L,
             expr(s"element_at(array(${Text.hllLcTable}), cast(v as int))"))
             .otherwise(col("raw_est")).cast(LongType).as("hll_estimate"))
+        .orderBy("source")
+    },
+
+    // K-minimum-values distinct sketch — HLL's mergeable cousin with a
+    // different 100 TB trade: the sketch IS a uniform sample of the
+    // distinct domain (the k smallest hashes), so beyond cardinality it
+    // answers set operations (union = merge-and-truncate, intersection
+    // via the Jaccard of merged sketches) that HLL registers cannot.
+    // The Spark plan never builds the distinct set: TopKByScore keeps
+    // each partition's k smallest hashes map-side (duplicates collapse
+    // in the buffer for free), so the shuffle carries ≤ k rows per
+    // (partition, source) instead of one row per distinct token — no
+    // exact-distinct expand, no wide shuffle. `exact_distinct` is the
+    // verification twin (the thing the sketch avoids at scale), kept in
+    // the same result so the oracle pins both and the error is visible.
+    // Estimator: (k−1)·2⁵²/h_k, integer division, byte-exact on both
+    // engines (hashes are 52-bit md5 prefixes — exactly representable
+    // in the aggregate's double score, no precision loss).
+    "q_kmv_distinct" -> QueryDef(
+      s"per-source distinct-token estimate via a k-minimum-values sketch (k=$kmvK)",
+      s"""WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |           FROM documents),
+         |h AS (SELECT DISTINCT source,
+         |        ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h FROM t),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS nd
+         |      FROM h)
+         |SELECT source,
+         |  CAST(CASE WHEN max(nd) < $kmvK THEN max(nd)
+         |       ELSE $kmvNumerator // greatest(max(CASE WHEN rn = $kmvK THEN h END), 1)
+         |       END AS BIGINT) AS kmv_distinct,
+         |  CAST(max(nd) AS BIGINT) AS exact_distinct
+         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      val toks = docs(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      TextAnalysis.kmvDistinct(toks, "source", "tok", kmvK, withExact = true)
+        .select(col("source"), col("kmv_distinct"),
+          col("exact_distinct").cast(LongType).as("exact_distinct"))
         .orderBy("source")
     },
 
