@@ -147,6 +147,28 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // primitive behind Layout.zorderLayout: sorting a 100 TB table by
+    // this interleaved value gives every parquet file a small bounding
+    // box in BOTH dimensions, so min/max stats prune range queries on
+    // either column (a single-column sort prunes only its own). The
+    // bit math is 10 shift/mask steps of plain functions._ columns —
+    // whole-stage codegen end to end — and the oracle emits the
+    // identical expression in DuckDB (ZOrder.duckDbSql).
+    "q_zorder" -> QueryDef(
+      "z-order curve key over (o_custkey, o_orderkey), curve-sorted",
+      s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |  CAST(o_custkey AS BIGINT) AS o_custkey,
+         |  CAST(${graft.functions.ZOrder.duckDbSql("o_custkey", "o_orderkey")} AS BIGINT) AS zval
+         |FROM orders ORDER BY zval, o_orderkey""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("orders")
+        .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+          col("o_custkey").cast(LongType).as("o_custkey"),
+          graft.functions.ZOrder.zValue(col("o_custkey"), col("o_orderkey"))
+            .as("zval"))
+        .orderBy("zval", "o_orderkey")
+    },
+
     "q_topk" -> QueryDef(
       "top-3 orders by total price per market segment (rank window)",
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
