@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsSessions, TwsSourceStats}
+import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsScd2, TwsSessions, TwsSourceStats}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -331,6 +331,36 @@ object Streams {
         .select(col("event_id"), col("user_id"), col("c_name"),
           col("c_mktsegment"), col("value"))
         .orderBy("event_id")
+    },
+
+    // Streaming SCD2 maintenance (TwsScd2 scaladoc): keyed state holds
+    // each user's OPEN version; every event_type change emits the
+    // version it closes, exactly once, append-only. One AvailableNow
+    // batch over the full changelog must therefore emit exactly the
+    // CLOSED intervals of the batch SCD2 compile (q_scd2 minus its
+    // is_current rows) — which is what the oracle replays.
+    "q_stream_scd2" -> QueryDef(
+      "streaming SCD2: closed validity intervals maintained on transformWithState",
+      """WITH c AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, event_type FROM c
+        |        WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  CAST(event_id AS BIGINT) AS valid_from,
+        |  CAST(lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS valid_to
+        |FROM chg QUALIFY valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from""".stripMargin) { (spark, dir) =>
+      val changes = Tables.loadStream(spark, dir, "events")
+        .select(col("user_id").as("key"), col("event_id").as("offset"),
+          col("event_type").as("attr"))
+      withRocksDb(spark) {
+        runStream(spark, TwsScd2.versionStream(changes).toDF(),
+          OutputMode.Append())
+          .select(col("key").as("user_id"), col("attr").as("event_type"),
+            col("valid_from"), col("valid_to"))
+          .orderBy("user_id", "valid_from")
+      }
     },
 
     // Stream-stream event-time interval join: each view matched to the
