@@ -55,19 +55,19 @@ object TextAnalysis {
       k: Int, withExact: Boolean = false): DataFrame = {
     require(k > 1 && k <= 2048, s"kmv k must be in (1, 2048], got $k")
     val numerator = (k - 1).toLong << 52
-    val sketchAgg = TopKByScore.topK(
-      struct((-col("__h")).cast(DoubleType).as("score"),
-        col("__h").as("id")), k).as("__kmv")
-    // `withExact` adds the exact-distinct verification twin IN THE SAME
-    // aggregate (one scan; it is the expensive thing the sketch
-    // replaces at scale — only sane at test/verify SF).
-    val aggs =
-      if (withExact) Seq(sketchAgg, countDistinct(col("__h")).as("exact_distinct"))
-      else Seq(sketchAgg)
-    rows
-      .select(col(groupCol), hash52(col(keyCol)).as("__h"))
+    val raw = rows.select(col(groupCol), hash52(col(keyCol)).as("__h"))
+    // `withExact` joins the exact-distinct verification twin from a
+    // SEPARATE aggregate over a memoized input (|groups|-row join) —
+    // folding countDistinct into the sketch aggregate would trigger
+    // Catalyst's distinct rewrite, which re-keys the partial TopK by
+    // (group, hash) and shuffles one buffer per DISTINCT hash: the
+    // exact wide shuffle the sketch exists to avoid. Verify-SF only.
+    val hashed = if (withExact) raw.graftCkptMem() else raw
+    val sketch = hashed
       .groupBy(groupCol)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(TopKByScore.topK(
+        struct((-col("__h")).cast(DoubleType).as("score"),
+          col("__h").as("id")), k).as("__kmv"))
       .withColumn("kmv_distinct",
         when(size(col("__kmv")) < k,
           size(col("__kmv")).cast(LongType))
@@ -75,6 +75,11 @@ object TextAnalysis {
             s"${numerator}L div greatest(get(__kmv, ${k - 1}).id, 1L)")))
       .withColumn("kmv_size", size(col("__kmv")).cast(LongType))
       .drop("__kmv")
+    if (!withExact) sketch
+    else sketch.join(
+      hashed.groupBy(groupCol)
+        .agg(countDistinct(col("__h")).as("exact_distinct")),
+      Seq(groupCol))
   }
 
   /** Adjacent word-token bigrams ("w1 w2") as an array column (one
