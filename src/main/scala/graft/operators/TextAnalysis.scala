@@ -51,34 +51,84 @@ object TextAnalysis {
     * Output: (groupCol, kmv_distinct: long, kmv_size: long) where
     * kmv_size = min(k, distinct) — callers wanting the exact/sketch
     * twin add their own countDistinct alongside. */
+  /** The raw KMV sketch per group: the k smallest distinct 52-bit
+    * hashes of `keyCol`, ascending, as one array column `kmv`. */
+  def kmvSketch(rows: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame =
+    rows.select(col(groupCol), hash52(col(keyCol)).as("__h"))
+      .groupBy(groupCol)
+      .agg(TopKByScore.topK(
+        struct((-col("__h")).cast(DoubleType).as("score"),
+          col("__h").as("id")), k).as("__kmv"))
+      // best-first by score = ascending by hash; project ids out
+      .select(col(groupCol),
+        transform(col("__kmv"), e => e.getField("id")).as("kmv"))
+
+  /** Pairwise corpus overlap from merged KMV sketches — the set
+    * algebra HLL registers can't do. For each group pair (a < b):
+    * the k smallest hashes of kmv_a ∪ kmv_b form a valid sketch of
+    * A ∪ B (each is ≤ both sketches' maxima, so sketch membership is
+    * an EXACT set test there); `k_common` counts merged-sketch hashes
+    * present in both sides, estimating Jaccard as k_common/|D| and the
+    * intersection as (union_est div |D|) · k_common (divide first —
+    * the product k_common · union_est can overflow a long; both
+    * engines evaluate the identical order so results stay byte-exact).
+    * Groups whose union has < k distinct hashes degrade to EXACT
+    * counts (the merged sketch is the whole union).
+    *
+    * Shape at scale: the corpus reduces to ONE ≤ k·|groups| sketch
+    * table (same bounded aggregate as [[kmvSketch]]); the pair join is
+    * |groups|² rows of k-length arrays — driver-free, broadcastable,
+    * and independent of corpus size. The exact twin (q_dup_matrix's
+    * full pairwise distinct-join) re-shuffles the corpus per pair. */
+  def kmvOverlap(rows: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 1 && k <= 2048, s"kmv k must be in (1, 2048], got $k")
+    val numerator = (k - 1).toLong << 52
+    val sk = kmvSketch(rows, groupCol, keyCol, k)
+    val a = sk.select(col(groupCol).as("src_a"), col("kmv").as("ka"))
+    val b = sk.select(col(groupCol).as("src_b"), col("kmv").as("kb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("__nu", size(array_union(col("ka"), col("kb"))))
+      .withColumn("__u",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("k_common",
+        size(array_intersect(array_intersect(col("__u"), col("ka")),
+          col("kb"))).cast(LongType))
+      .withColumn("union_est",
+        when(col("__nu") < k, col("__nu").cast(LongType))
+          .otherwise(expr(
+            s"${numerator}L div greatest(get(__u, ${k - 1}), 1L)")))
+      .withColumn("inter_est",
+        expr("(union_est div size(__u)) * k_common"))
+      .select(col("src_a"), col("src_b"), col("k_common"),
+        col("union_est"), col("inter_est"))
+  }
+
   def kmvDistinct(rows: DataFrame, groupCol: String, keyCol: String,
       k: Int, withExact: Boolean = false): DataFrame = {
     require(k > 1 && k <= 2048, s"kmv k must be in (1, 2048], got $k")
     val numerator = (k - 1).toLong << 52
-    val raw = rows.select(col(groupCol), hash52(col(keyCol)).as("__h"))
     // `withExact` joins the exact-distinct verification twin from a
     // SEPARATE aggregate over a memoized input (|groups|-row join) —
     // folding countDistinct into the sketch aggregate would trigger
     // Catalyst's distinct rewrite, which re-keys the partial TopK by
     // (group, hash) and shuffles one buffer per DISTINCT hash: the
     // exact wide shuffle the sketch exists to avoid. Verify-SF only.
-    val hashed = if (withExact) raw.graftCkptMem() else raw
-    val sketch = hashed
-      .groupBy(groupCol)
-      .agg(TopKByScore.topK(
-        struct((-col("__h")).cast(DoubleType).as("score"),
-          col("__h").as("id")), k).as("__kmv"))
+    val src =
+      if (withExact) rows.select(col(groupCol), col(keyCol)).graftCkptMem()
+      else rows
+    val sketch = kmvSketch(src, groupCol, keyCol, k)
       .withColumn("kmv_distinct",
-        when(size(col("__kmv")) < k,
-          size(col("__kmv")).cast(LongType))
+        when(size(col("kmv")) < k, size(col("kmv")).cast(LongType))
           .otherwise(expr(
-            s"${numerator}L div greatest(get(__kmv, ${k - 1}).id, 1L)")))
-      .withColumn("kmv_size", size(col("__kmv")).cast(LongType))
-      .drop("__kmv")
+            s"${numerator}L div greatest(get(kmv, ${k - 1}), 1L)")))
+      .withColumn("kmv_size", size(col("kmv")).cast(LongType))
+      .drop("kmv")
     if (!withExact) sketch
     else sketch.join(
-      hashed.groupBy(groupCol)
-        .agg(countDistinct(col("__h")).as("exact_distinct")),
+      src.groupBy(groupCol)
+        .agg(countDistinct(hash52(col(keyCol))).as("exact_distinct")),
       Seq(groupCol))
   }
 

@@ -1684,6 +1684,47 @@ object Text {
         .orderBy("source")
     },
 
+    // KMV set algebra — the reason to carry KMV next to HLL: merged
+    // sketches answer PAIRWISE union/intersection cardinalities from
+    // one bounded sketch table (k longs per source), where the exact
+    // twin (q_dup_matrix) re-shuffles the whole corpus per source
+    // pair. The pair join here is |sources|² rows of k-length arrays —
+    // independent of corpus size. Estimators are pure integer array
+    // math replayed identically by DuckDB's list functions
+    // (TextAnalysis.kmvOverlap scaladoc for the divide-first order).
+    "q_kmv_overlap" -> QueryDef(
+      s"pairwise source vocabulary overlap from merged KMV sketches (k=$kmvK)",
+      s"""WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |           FROM documents),
+         |h AS (SELECT DISTINCT source,
+         |        ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h FROM t),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM h),
+         |sk AS (SELECT source, list_sort(list(h)) AS kmv
+         |       FROM r WHERE rn <= $kmvK GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        a.kmv AS ka, b.kmv AS kb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |m AS (SELECT src_a, src_b, ka, kb,
+         |        len(list_distinct(list_concat(ka, kb))) AS nu,
+         |        (list_sort(list_distinct(list_concat(ka, kb))))[1:$kmvK] AS u
+         |      FROM p),
+         |e AS (SELECT src_a, src_b,
+         |        CAST(len(list_intersect(list_intersect(u, ka), kb)) AS BIGINT) AS k_common,
+         |        CAST(CASE WHEN nu < $kmvK THEN nu
+         |             ELSE $kmvNumerator // greatest(u[$kmvK], 1) END AS BIGINT) AS union_est,
+         |        CAST(len(u) AS BIGINT) AS du
+         |      FROM m)
+         |SELECT src_a, src_b, k_common, union_est,
+         |  (union_est // du) * k_common AS inter_est
+         |FROM e ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+      val toks = docs(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      TextAnalysis.kmvOverlap(toks, "source", "tok", kmvK)
+        .orderBy("src_a", "src_b")
+    },
+
     // Per-document duplicated-text coverage: the fraction of a doc's
     // distinct 5-gram shingles that occur in ANY other document — the
     // shingle approximation of suffix-array substring dedup (how much

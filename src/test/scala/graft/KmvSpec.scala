@@ -44,6 +44,30 @@ class KmvSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("overlap: sub-k pairs report exact intersection and union") {
+    import spark.implicits._
+    // |A|=30, |B|=25, |A∩B|=15 — both sketches complete, so the merged
+    // sketch IS the union and every estimate must be exact
+    val rows = ((0 until 30).map(i => ("a", s"v$i")) ++
+      (15 until 40).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val got = TextAnalysis.kmvOverlap(rows, "g", "v", k)
+      .select("src_a", "src_b", "k_common", "union_est", "inter_est")
+      .as[(String, String, Long, Long, Long)].head()
+    assert(got == (("a", "b", 15L, 40L, 15L)))
+  }
+
+  test("overlap: estimates land near truth on a 8k/8k pair sharing half") {
+    import spark.implicits._
+    // A = [0, 8000), B = [4000, 12000): union 12000, intersection 4000
+    val rows = ((0 until 8000).map(i => ("a", s"tok_$i")) ++
+      (4000 until 12000).map(i => ("b", s"tok_$i"))).toDF("g", "v")
+    val (kc, u, i) = TextAnalysis.kmvOverlap(rows, "g", "v", k)
+      .select("k_common", "union_est", "inter_est")
+      .as[(Long, Long, Long)].head()
+    assert(u > 9000 && u < 15000, s"union_est $u")
+    assert(i > 2400 && i < 5600, s"inter_est $i (k_common=$kc)")
+  }
+
   test("sketch of the union == union of the sketches (mergeability)") {
     import spark.implicits._
     // two overlapping halves; merging = re-sketching their sketch rows
