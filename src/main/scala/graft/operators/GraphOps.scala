@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Ckpt.CkptOps
+
+/** Iterative graph analytics as repeated co-partitioned joins — the
+  * one distributed-compute shape (fixed-point iteration) the rest of
+  * the engine never needs. Connected components already exist for the
+  * dup-cluster queries (Dedup large-star/small-star); this adds rank
+  * propagation.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank with INTEGER-EXACT arithmetic: ranks are
+    * parts-per-trillion longs, per-edge contributions divide before
+    * summing, and the damping multiply divides last — every step is
+    * order-independent integer math, so any engine (or any partition
+    * layout) reproduces it bit-for-bit. A float PageRank would differ
+    * between engines by summation order; this one is oracle-checkable.
+    *
+    * Simplified model (documented, matched by the oracle): dangling
+    * mass is dropped, not redistributed, and iteration count is fixed
+    * rather than convergence-tested — rank ORDER at fixed iters is
+    * what curation pipelines consume (e.g. centrality-weighted corpus
+    * sampling à la harmonic-centrality web filtering).
+    *
+    * Shape at scale: edges dedupe once and memoize; each iteration is
+    * one join (edges ⋈ ranks, both hash-partitioned on the same key,
+    * so consecutive iterations reuse the exchange layout) + one
+    * aggregate, write ∝ |nodes|. The node count is ONE driver scalar
+    * (metadata, like Layout's min/max). Lineage truncates per
+    * iteration so the plan never grows with the iteration count. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, massPpt: Long = 1000000000000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .graftCkptMem()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .graftCkptMem()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val base = ((15L * massPpt) / 100L) / n
+    var ranks = nodes.select(col("node"), lit(massPpt / n).as("r"))
+    for (_ <- 1 to iters) {
+      val inbound = e
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(inbound, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+        .graftCkptMem()
+    }
+    ranks.select(col("node"), col("r").as("rank_ppt"))
+  }
+}

@@ -25,6 +25,35 @@ object Relational {
 
   private val dec = DecimalType(18, 2)
 
+  /** Generated fixed-iteration PageRank oracle: one CTE per iteration,
+    * each replaying GraphOps.pageRank's exact integer arithmetic
+    * (divide-per-edge before the sum, damping-multiply divided last,
+    * everything BIGINT) so DuckDB reproduces the ranks bit-for-bit. */
+  private[queries] def pagerankOracle(iters: Int): String = {
+    val R = 1000000000000L
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST((SELECT ((15 * $R) // 100) // nn FROM ncount) +
+         |       (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // d.deg) AS m
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |           JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |ncount AS (SELECT count(*) AS nn FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST((SELECT $R // nn FROM ncount) AS BIGINT) AS r
+       |       FROM nodes),
+       |$iterCtes
+       |SELECT CAST(node AS BIGINT) AS node, r AS rank_ppt
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "q1_agg" -> QueryDef(
@@ -145,6 +174,25 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(ub(25), ub(50), ub(75), ub(95), max(col("n")).as("n_rows"))
         .orderBy("l_returnflag")
+    },
+
+    // Integer-exact PageRank over the (symmetrized) supplier–customer
+    // trade graph — rank propagation as repeated co-partitioned joins
+    // (GraphOps.pageRank scaladoc: ppt-scaled longs, divide-before-sum,
+    // so both engines agree bit-for-bit at any partition layout; the
+    // curation use is centrality-weighted corpus sampling). Customer
+    // nodes offset by 1e6 to keep the two key spaces disjoint.
+    "q_pagerank" -> QueryDef(
+      "3-iteration integer PageRank on the supplier<->customer trade graph",
+      Relational.pagerankOracle(3)) { (spark, dir) =>
+      val b = t(spark, dir)("lineitem")
+        .join(t(spark, dir)("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3)
+        .orderBy("node")
     },
 
     // Z-order (Morton) clustering key — the multi-dimensional layout
