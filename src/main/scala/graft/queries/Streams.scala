@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsScd2, TwsSessions, TwsSourceStats}
+import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -331,6 +331,31 @@ object Streams {
         .select(col("event_id"), col("user_id"), col("c_name"),
           col("c_mktsegment"), col("value"))
         .orderBy("event_id")
+    },
+
+    // Running top-k per source on transformWithState LIST state
+    // (TwsTopK scaladoc) — the leaderboard maintained continuously,
+    // O(k·keys) state, everything below the cut discarded on arrival.
+    // One AvailableNow batch emits each source's leaderboard once
+    // (ver = 1), which is the batch row_number top-k the oracle takes.
+    "q_stream_topk" -> QueryDef(
+      "streaming running top-5 longest docs per source on ListState",
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(1 AS BIGINT) AS ver, CAST(rn AS INTEGER) AS "rank",
+        |  doc_id AS id, n_chars AS score
+        |FROM r WHERE rn <= 5 ORDER BY source, "rank"""".stripMargin) { (spark, dir) =>
+      val scored = Tables.loadStream(spark, dir, "documents")
+        .select(col("source").as("key"), col("n_chars").as("score"),
+          col("doc_id").as("id"))
+      withRocksDb(spark) {
+        runStream(spark, TwsTopK.topKStream(scored, 5).toDF(),
+          OutputMode.Update())
+          .select(col("key").as("source"), col("ver"), col("rank"),
+            col("id"), col("score"))
+          .orderBy("source", "rank")
+      }
     },
 
     // Streaming SCD2 maintenance (TwsScd2 scaladoc): keyed state holds

@@ -724,6 +724,43 @@ object Text {
     // partition-pruned read of |terms| buckets), and a doc matches the
     // AND-query when its surviving posting count equals the term count.
     // No LIKE scan over the corpus text ever runs.
+    // Materialized inverted-index export — the posting-list table a
+    // search/retrieval layer consumes. Two scale decisions visible in
+    // the plan: (1) the df >= 5 threshold applies via a semi-join on
+    // the term marginals BEFORE the collect (the q_cooccur lesson:
+    // under a Zipf vocabulary the sub-threshold tail IS most of the
+    // vocabulary — filtering after the collect would build and then
+    // discard millions of singleton lists); (2) lists shard by
+    // hash(doc_id) so a stopword's near-every-doc posting list never
+    // lands in ONE task's collect buffer — no unbounded array, and a
+    // reader re-merges shards by key. Lists serialize as sorted CSV
+    // strings so the engine/oracle comparison is a plain column.
+    "q_posting_lists" -> QueryDef(
+      "sharded inverted-index export: df>=5 terms with sorted posting lists",
+      """WITH p AS (SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |marg AS (SELECT term, count(*) AS df FROM p GROUP BY term HAVING count(*) >= 5)
+        |SELECT p.term,
+        |  ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+        |  CAST(count(*) AS BIGINT) AS df_shard,
+        |  string_agg(p.doc_id, ',' ORDER BY p.doc_id) AS postings
+        |FROM p JOIN marg ON p.term = marg.term
+        |GROUP BY 1, 2 ORDER BY p.term, shard""".stripMargin) { (spark, dir) =>
+      val p = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      val marg = p.groupBy("term").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
+      p.join(marg, Seq("term"), "left_semi")
+        .withColumn("shard", TextAnalysis.hashBucket(col("doc_id"), 16))
+        .groupBy("term", "shard")
+        .agg(count(lit(1)).as("df_shard"),
+          concat_ws(",", sort_array(collect_list(col("doc_id"))))
+            .as("postings"))
+        .orderBy("term", "shard")
+    },
+
     "q_keyword_search" -> QueryDef(
       "inverted-index AND search: docs containing all query terms",
       """SELECT doc_id, source FROM documents
