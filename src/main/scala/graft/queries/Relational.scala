@@ -25,6 +25,21 @@ object Relational {
 
   private val dec = DecimalType(18, 2)
 
+  /** Column specs for q_profile — drives BOTH the Spark aggregation
+    * and the generated DuckDB oracle. Doubles and timestamps skip the
+    * distinct sketch (their engine string forms differ, so a shared
+    * md5-of-string hash isn't portable for them). */
+  private[queries] val ordersProfile: Seq[graft.operators.Profiling.ColSpec] = {
+    import graft.operators.Profiling._
+    Seq(
+      ColSpec("o_orderkey", Num, distinct = true),
+      ColSpec("o_custkey", Num, distinct = true),
+      ColSpec("o_totalprice", Num),
+      ColSpec("o_orderstatus", Str, distinct = true),
+      ColSpec("o_orderpriority", Str, distinct = true),
+      ColSpec("o_orderdate", Ts))
+  }
+
   /** Generated fixed-iteration PageRank oracle: one CTE per iteration,
     * each replaying GraphOps.pageRank's exact integer arithmetic
     * (divide-per-edge before the sum, damping-multiply divided last,
@@ -174,6 +189,20 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(ub(25), ub(50), ub(75), ub(95), max(col("n")).as("n_rows"))
         .orderBy("l_returnflag")
+    },
+
+    // ANALYZE-style table profile: every statistic — row/null counts,
+    // min/max, KMV distinct estimates — from ONE aggregation pass
+    // (Profiling scaladoc: the shuffle carries one partial row plus
+    // bounded sketch buffers per partition; a count-distinct-per-column
+    // loop would re-scan the table once per column). The oracle is
+    // generated from the same column specs as the Spark plan.
+    "q_profile" -> QueryDef(
+      "one-pass ANALYZE profile of orders (counts, min/max, KMV distincts)",
+      graft.operators.Profiling.duckDbSql("orders", Relational.ordersProfile)) {
+      (spark, dir) =>
+        graft.operators.Profiling.profile(
+          t(spark, dir)("orders"), Relational.ordersProfile)
     },
 
     // Integer-exact PageRank over the (symmetrized) supplier–customer
