@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
+import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsKmv, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -331,6 +331,41 @@ object Streams {
         .select(col("event_id"), col("user_id"), col("c_name"),
           col("c_mktsegment"), col("value"))
         .orderBy("event_id")
+    },
+
+    // Running per-source distinct-token estimate with the KMV sketch
+    // AS the streaming state (TwsKmv scaladoc): k longs per key
+    // forever, versus exact streaming distinct whose state grows with
+    // the distinct count. The hash52 projection runs codegen'd BEFORE
+    // the stateful op; one AvailableNow batch reproduces the batch
+    // q_kmv_distinct estimator bit-for-bit, which the oracle replays.
+    "q_stream_kmv" -> QueryDef(
+      "streaming running distinct-token estimate per source (KMV sketch state)",
+      s"""WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |           FROM documents),
+        |h AS (SELECT DISTINCT source,
+        |        ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h FROM t),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS nd
+        |      FROM h)
+        |SELECT source, CAST(1 AS BIGINT) AS ver,
+        |  CAST(CASE WHEN max(nd) < ${Text.kmvK} THEN max(nd)
+        |       ELSE ${Text.kmvNumerator} // greatest(max(CASE WHEN rn = ${Text.kmvK} THEN h END), 1)
+        |       END AS BIGINT) AS kmv_distinct,
+        |  CAST(least(max(nd), ${Text.kmvK}) AS BIGINT) AS kmv_size
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      val hashed = Tables.loadStream(spark, dir, "documents")
+        .select(col("source").as("key"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("key"), graft.operators.TextAnalysis.hash52(col("tok")).as("h"))
+      withRocksDb(spark) {
+        runStream(spark, TwsKmv.distinctStream(hashed, Text.kmvK).toDF(),
+          OutputMode.Update())
+          .select(col("key").as("source"), col("ver"), col("kmv_distinct"),
+            col("kmv_size"))
+          .orderBy("source")
+      }
     },
 
     // Running top-k per source on transformWithState LIST state
