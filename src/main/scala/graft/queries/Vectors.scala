@@ -141,6 +141,29 @@ object Vectors {
       Similarity.lshTopK(probes, corpus, 64, 10, numPlanes = 4).orderBy("qid", "rank")
     },
 
+    // Recall@10 of the LSH index against brute force — the evaluation
+    // harness an ANN deployment runs before trusting the approximate
+    // path (and re-runs when tuning numPlanes/probes). Both pipelines
+    // execute and join per probe; integer hit counts only. At scale
+    // this runs over a SAMPLED probe set — the corpus-side cost is one
+    // LSH pass plus one brute pass over the sample's candidates.
+    "q_ann_recall" -> QueryDef(
+      "recall@10 of LSH top-k against exact brute-force top-k, per probe",
+      recallOracleSql(numPlanes = 4, dim = 64, k = 10)) { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("vec"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+      val brute = Similarity.bruteForceTopK(probes, corpus, 10)
+        .select(col("qid"), col("nid"))
+      val lsh = Similarity.lshTopK(probes, corpus, 64, 10, numPlanes = 4)
+        .select(col("qid"), col("nid"), lit(1L).as("__hit"))
+      brute.join(lsh, Seq("qid", "nid"), "left_outer")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+          lit(10L).as("k"))
+        .orderBy("qid")
+    },
+
     // Spherical k-means refinement (2 Lloyd iterations over the IVF
     // seeds). The oracle replays both iterations in SQL: seed = first
     // 16 vectors, argmax-cosine assignment (rounded, lowest-cid ties),
@@ -340,7 +363,33 @@ object Vectors {
     * are emitted as SQL literal arrays and the whole index — bucket
     * assignment, Hamming-1 multi-probe, in-bucket ranking — replays
     * exactly in SQL (same technique as the MinHash generated oracle). */
-  private def lshOracleSql(numPlanes: Int, dim: Int, k: Int): String = {
+  /** Recall@k of the LSH index against brute force, replayed wholly in
+    * SQL: BOTH pipelines (the lshOracleSql CTE chain and q_ann_topk's
+    * exact ranking) run in one statement and join on (qid, nid) — the
+    * evaluation harness that tunes numPlanes/probes before anyone
+    * trusts the approximate path. Integer hit counts, no floats. */
+  private def recallOracleSql(numPlanes: Int, dim: Int, k: Int): String = {
+    val lsh = lshCtes(numPlanes, dim)
+    s"""WITH $lsh,
+       |p2 AS (SELECT vec_id AS qid, v FROM d WHERE vec_id < 8),
+       |s2 AS (SELECT p2.qid, d.vec_id AS nid,
+       |         round(list_cosine_similarity(p2.v, d.v), 6) AS cos
+       |       FROM p2 JOIN d ON p2.qid <> d.vec_id),
+       |r2 AS (SELECT qid, nid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |       FROM s2)
+       |SELECT b.qid,
+       |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST($k AS BIGINT) AS k
+       |FROM r2 b LEFT JOIN (SELECT qid, nid FROM r WHERE rank <= $k) l
+       |  ON b.qid = l.qid AND b.nid = l.nid
+       |WHERE b.rank <= $k
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+  }
+
+  /** The LSH pipeline's CTE chain (d → buckets → multi-probe join →
+    * ranked `r`) — shared by lshOracleSql and recallOracleSql. */
+  private def lshCtes(numPlanes: Int, dim: Int): String = {
     val planes = (0 until numPlanes).map { m =>
       (0 until dim).map(d => Similarity.planeSign(m, d)).mkString("[", ",", "]::DOUBLE[]")
     }
@@ -351,7 +400,7 @@ object Vectors {
       s"(CASE WHEN round(list_inner_product(v, ${planes(m)}), 6) >= 0 THEN ${1L << m} ELSE 0 END)"
     }.mkString("\n        + ")
     val flips = (0L +: (0 until numPlanes).map(m => 1L << m)).mkString(", ")
-    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucketExpr AS bkt FROM d),
        |pb AS (SELECT vec_id AS qid, v AS qv, xor(bkt::BIGINT, f::BIGINT) AS bkt
        |       FROM b, unnest([$flips]) AS u(f) WHERE vec_id < 8),
@@ -360,8 +409,11 @@ object Vectors {
        |      FROM pb JOIN cb USING (bkt) WHERE qid <> nid),
        |r AS (SELECT qid, nid, cos,
        |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
-       |      FROM s)
+       |      FROM s)""".stripMargin
+  }
+
+  private def lshOracleSql(numPlanes: Int, dim: Int, k: Int): String =
+    s"""WITH ${lshCtes(numPlanes, dim)}
        |SELECT qid, rank, nid, cos FROM r WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
-  }
 }
