@@ -48,6 +48,44 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Fuzzy-match (entity-resolution) pairs within Levenshtein distance
+    * 1, blocked LOSSLESSLY by FastSS deletion neighborhoods: every
+    * string emits itself plus each single-character deletion, and any
+    * two strings within one edit MUST share a variant (substitution →
+    * both delete the edited position; insert/delete → the longer
+    * string's deletion equals the shorter string; equality → the
+    * 0-deletion variant), so the candidate join is a plain equijoin on
+    * variant keys — never an all-pairs levenshtein scan, whose O(n²)
+    * comparisons are the reason naive fuzzy joins die first at scale.
+    * Candidates dedupe on the id pair, then the codegen'd builtin
+    * `levenshtein` verifies (a shared variant is necessary, not
+    * sufficient). Fan-out per row = length+1 variants — linear in
+    * corpus size; hot variants are bounded by how many strings really
+    * are one edit apart, which is the answer's own size.
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist ≤ 1
+    */
+  def editDistancePairs(rows: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val v = rows
+      .select(col(idCol).cast(LongType).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), length(col("s")))).as("i"))
+      .select(col("id"), col("s"),
+        expr("case when i = 0 then s else " +
+          "concat(substring(s, 1, i - 1), substring(s, i + 1, 1000000)) " +
+          "end").as("variant"))
+    val a = v.select(col("id").as("id_a"), col("s").as("s_a"), col("variant"))
+    val b = v.select(col("id").as("id_b"), col("s").as("s_b"), col("variant"))
+    a.join(b, Seq("variant"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast(LongType).as("dist"))
+      .where(col("dist") <= 1)
+  }
+
   /** Exact-Jaccard near-duplicate pairs over distinct n-grams with
     * PREFIX FILTERING (ppjoin-style), which is guaranteed complete:
     * rank every doc's grams by a global (document-frequency, gram)

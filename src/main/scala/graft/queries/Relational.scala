@@ -191,6 +191,25 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Entity-resolution fuzzy join: customer-name pairs within ONE
+    // edit, blocked losslessly by FastSS deletion neighborhoods
+    // (Dedup.editDistancePairs scaladoc) — a variant-key equijoin plus
+    // a codegen'd levenshtein verify. The oracle IS the naive O(n²)
+    // all-pairs scan the blocking avoids: completeness is therefore
+    // value-checked, not argued.
+    "q_fuzzy_join" -> QueryDef(
+      "fuzzy self-match: customer names within Levenshtein distance 1",
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      graft.operators.Dedup.editDistancePairs(
+          t(spark, dir)("customer"), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
+    },
+
     // ANALYZE-style table profile: every statistic — row/null counts,
     // min/max, KMV distinct estimates — from ONE aggregation pass
     // (Profiling scaladoc: the shuffle carries one partial row plus
