@@ -311,9 +311,13 @@ object Streams {
     // record to dimension state; Southpaw.java:51-60) when the
     // dimension is SMALL and SLOWLY CHANGING: the static side
     // broadcasts to every task and the stream is enriched map-side,
-    // STATELESS — no state store, no watermark, nothing to evict, and
-    // the static plan re-resolves each micro-batch so a dimension
-    // refresh is picked up at the next trigger. At 100 TB this is the
+    // STATELESS — no state store, no watermark, nothing to evict. The
+    // static side re-EXECUTES per micro-batch but its file listing is
+    // pinned at plan time (probed empirically: a file appended to the
+    // dimension directory between batches is NOT seen), so a dimension
+    // refresh needs `spark.catalog.refreshByPath` + a restarted query,
+    // or a dimension that changes fast enough to matter belongs on the
+    // keyed-state path (TwsCompaction) instead. At 100 TB this is the
     // plan for every dimension that fits in memory (the alternative —
     // keyed state per dimension row — pays a shuffle plus a state
     // store for data that never needed either).
