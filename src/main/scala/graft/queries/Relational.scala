@@ -220,8 +220,14 @@ object Relational {
       "one-pass ANALYZE profile of orders (counts, min/max, KMV distincts)",
       graft.operators.Profiling.duckDbSql("orders", Relational.ordersProfile)) {
       (spark, dir) =>
+        // spread first: at this SF the table is one parquet split, and
+        // the whole one-pass aggregate (4 TopK sketches per row) would
+        // otherwise run in a single task; at real scale the scan has
+        // thousands of splits and this line is unnecessary
         graft.operators.Profiling.profile(
-          t(spark, dir)("orders"), Relational.ordersProfile)
+          t(spark, dir)("orders")
+            .repartition(spark.sparkContext.defaultParallelism),
+          Relational.ordersProfile)
     },
 
     // Integer-exact PageRank over the (symmetrized) supplier–customer

@@ -748,6 +748,7 @@ object Text {
         |FROM p JOIN marg ON p.term = marg.term
         |GROUP BY 1, 2 ORDER BY p.term, shard""".stripMargin) { (spark, dir) =>
       val p = docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
       val marg = p.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1714,6 +1715,7 @@ object Text {
          |  CAST(max(nd) AS BIGINT) AS exact_distinct
          |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
       val toks = docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       TextAnalysis.kmvDistinct(toks, "source", "tok", kmvK, withExact = true)
         .select(col("source"), col("kmv_distinct"),
@@ -1757,6 +1759,7 @@ object Text {
          |  (union_est // du) * k_common AS inter_est
          |FROM e ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
       val toks = docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       TextAnalysis.kmvOverlap(toks, "source", "tok", kmvK)
         .orderBy("src_a", "src_b")
