@@ -20,9 +20,17 @@ object Layout {
     * rescale, a 40-bit dimension's high bits would dominate every
     * comparison and the curve degenerates to a single-column sort. */
   private def scaled(c: Column, lo: Long, hi: Long): Column = {
-    val span = math.max(hi - lo, 1L)
-    // (c - lo) * 2^20 / span, in long arithmetic (no float boundaries)
-    (c.cast("long") - lit(lo)) * lit(1L << 20) / lit(span + 1)
+    val span = hi - lo
+    require(span >= 0, s"zorderLayout range overflowed a long: [$lo, $hi]")
+    // shift, don't multiply-then-divide: (c - lo) * 2^20 overflows once
+    // the observed span exceeds 2^43, and Column./ is FLOATING-POINT
+    // division (loses exactness past 2^53). A right-shift by
+    // bitlen(span) - 20 lands every offset in [0, 2^20) for ANY long
+    // range, stays integer-exact, and codegens to one instruction
+    // (narrow spans shift by 0 — raw offsets, already < 2^20).
+    val shift = math.max(
+      64 - java.lang.Long.numberOfLeadingZeros(span) - 20, 0)
+    shiftright(c.cast("long") - lit(lo), shift)
   }
 
   /** Returns `df` re-arranged for a z-ordered write on (xCol, yCol):

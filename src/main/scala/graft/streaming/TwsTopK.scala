@@ -12,6 +12,10 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * history). Everything below the top-k is discarded on arrival —
   * state and output are O(k · keys) regardless of stream length.
   *
+  * One board row per id: a re-scored id keeps its BEST observation
+  * (top-k over all observations — the batch aggregate's semantic;
+  * latest-per-id top-k is the compose of TwsCompaction then this).
+  *
   * The batch twin is the `TopKByScore` aggregate; the stream answers
   * the same question continuously without re-scanning the corpus.
   */
@@ -60,8 +64,13 @@ object TwsTopK {
         rows: Iterator[Scored],
         timerValues: TimerValues): Iterator[RankedEntry] = {
       val prior = entries.get().toSeq
+      // one entry per id — a re-scored id keeps its BEST entry (so the
+      // board never shows the same id twice); exact replays collapse
+      // in the same pass
       val merged = (prior ++ rows)
-        .distinct // replayed duplicates collapse
+        .groupBy(_.id).valuesIterator
+        .map(_.reduce((a, b) => if (better(a, b)) a else b))
+        .toSeq
         .sortWith(better)
         .take(k)
       if (merged == prior) Iterator.empty

@@ -54,6 +54,11 @@ class TwsTopKSpec extends SparkSpec {
       stream.addData(Seq(("s", 30L, 0L)))
       q.processAllAvailable()
       assert(latest() == Seq((1, 0L, 30L), (2, 2L, 30L), (3, 4L, 25L)))
+
+      // a RE-SCORED id keeps its best entry — never two board rows
+      stream.addData(Seq(("s", 40L, 4L)))
+      q.processAllAvailable()
+      assert(latest() == Seq((1, 4L, 40L), (2, 0L, 30L), (3, 2L, 30L)))
     } finally {
       q.stop()
       spark.catalog.dropTempView("topk_sink")
