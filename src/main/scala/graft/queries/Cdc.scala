@@ -495,6 +495,45 @@ object Cdc {
         .orderBy("event_id")
     },
 
+    // State TIME TRAVEL through the oracle gate: two committed full
+    // generations of a compacted user-state table, then asOf(gen 1)
+    // must reproduce the pre-update compaction EXACTLY while
+    // asOf(latest) is the current one — per-batch rewind vs the
+    // reference's rotated whole-store backups (state/RocksDBState.java
+    // backups restore only whole stores). The oracle replays both
+    // epochs as latest-per-key over the corresponding changelog prefix.
+    "q_time_travel" -> QueryDef(
+      "durable-state time travel: asOf(gen1) == the pre-update compaction",
+      """WITH h AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < 500),
+        |f AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 1 AS gen, user_id, event_type FROM h WHERE rn = 1
+        |UNION ALL
+        |SELECT 2 AS gen, user_id, event_type FROM f WHERE rn = 1
+        |ORDER BY gen, user_id""".stripMargin) { (spark, dir) =>
+      val ev = t(spark, dir)("events")
+      val root = "file://" +
+        java.nio.file.Files.createTempDirectory("graft_q_time_travel")
+      val b = new BucketedParquetBackend(spark, root, buckets = 4)
+      def comp(df: DataFrame) =
+        latestPerKey(df).select(col("user_id"), col("event_type"))
+      b.persist("user_state", comp(ev.where(col("event_id") < 500)))
+      b.persist("user_state", comp(ev))
+      val g1 = BucketedParquetBackend.asOf(spark, root, 1L)("user_state")
+      val cur = BucketedParquetBackend
+        .asOf(spark, root, Long.MaxValue)("user_state")
+      val out = Ckpt.mem(
+        g1.select(lit(1).as("gen"), col("user_id"), col("event_type"))
+          .unionByName(cur.select(lit(2).as("gen"), col("user_id"),
+            col("event_type")))
+          .orderBy("gen", "user_id"))
+      b.deleteAll()
+      out
+    },
+
     "q_lag" -> QueryDef(
       "lag window: time since previous event per user",
       """SELECT user_id, event_id,
