@@ -313,8 +313,9 @@ object Streams {
     // broadcasts to every task and the stream is enriched map-side,
     // STATELESS — no state store, no watermark, nothing to evict. The
     // static side re-EXECUTES per micro-batch but its file listing is
-    // pinned at plan time (probed empirically: a file appended to the
-    // dimension directory between batches is NOT seen), so a dimension
+    // pinned at plan time (pinned both ways in
+    // DimRefreshSpec: appended dimension files are invisible to the
+    // join, but a foreachBatch re-read sees them next batch), so a dimension
     // refresh needs `spark.catalog.refreshByPath` + a restarted query,
     // or a dimension that changes fast enough to matter belongs on the
     // keyed-state path (TwsCompaction) instead. At 100 TB this is the
