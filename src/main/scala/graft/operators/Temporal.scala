@@ -69,7 +69,9 @@ object Temporal {
   /** SCD Type 2 compile: a keyed changelog becomes a VERSIONED
     * dimension — each maximal run of consecutive identical `attrCol`
     * values (in `offsetCol` order per `keyCol`) is one validity
-    * interval. Emits one row per version: `valid_from` = the offset
+    * interval. `attrCol` may be a STRUCT column: multi-attribute SCD2
+    * falls out of struct equality in the run-break compare
+    * (Scd2Spec pins it). Emits one row per version: `valid_from` = the offset
     * that opened the run, `valid_to` = the offset of the next change
     * (−1 for the open version), `is_current` = 1 on the open version.
     * This is the history-preserving counterpart of latest-per-key

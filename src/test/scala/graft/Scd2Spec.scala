@@ -25,6 +25,22 @@ class Scd2Spec extends SparkSpec {
       (2L, "x", 5L, -1L, 1L)))
   }
 
+  test("multi-attribute SCD2 falls out of struct equality") {
+    import spark.implicits._
+    // runs break when ANY tracked field changes (v at 3, t at 4)
+    val log = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "a", 10L), (1L, 3L, "a", 20L),
+      (1L, 4L, "b", 20L))
+      .toDF("k", "off", "t", "v")
+      .select(col("k"), col("off"), struct(col("t"), col("v")).as("attr"))
+    val got = Temporal.scd2(log, "k", "attr", "off")
+      .select(col("k"), col("attr.t"), col("attr.v"),
+        col("valid_from"), col("valid_to"))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    assert(got == Seq(
+      (1L, "a", 10L, 1L, 3L), (1L, "a", 20L, 3L, 4L), (1L, "b", 20L, 4L, -1L)))
+  }
+
   test("real changelog invariants: one current per key, contiguous intervals, current == latest") {
     import spark.implicits._
     val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
