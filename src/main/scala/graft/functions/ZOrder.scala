@@ -41,12 +41,50 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spread(x.cast("long")).bitwiseOR(shiftleft(spread(y.cast("long")), 1))
 
-  /** The same computation as DuckDB SQL over two BIGINT expressions. */
+  /** The same computation as DuckDB SQL over two BIGINT expressions.
+    * DuckDB's `<<` RAISES on signed overflow where Spark's shiftleft
+    * wraps, so the shifted operand pre-masks to exactly the bits that
+    * survive the post-shift mask — `(acc & (m >> sh)) << sh` — which
+    * never leaves the positive range and changes nothing else. */
   def duckDbSql(x: String, y: String): String = {
     def spreadSql(e: String): String =
       masks.foldLeft(e) { case (acc, (sh, m)) =>
-        s"((($acc) | (($acc) << $sh)) & $m)"
+        s"((($acc) | ((($acc) & ${m >> sh}) << $sh)) & $m)"
       }
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+  }
+
+  /** 3-D Morton spread masks: every 3rd bit position, 21 bits per
+    * dimension (3 × 21 = 63 — the z-value stays a positive long). */
+  private val masks3 = Seq(
+    (32, 0x001F00000000FFFFL),
+    (16, 0x001F0000FF0000FFL),
+    (8, 0x100F00F00F00F00FL),
+    (4, 0x10C30C30C30C30C3L),
+    (2, 0x1249249249249249L))
+
+  private def spread3(c: Column): Column =
+    masks3.foldLeft(c.bitwiseAND(lit(0x1FFFFFL))) { case (acc, (sh, m)) =>
+      acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(m))
+    }
+
+  /** The z-value of (x, y, t) — the canonical third dimension is
+    * event time bucketed to [0, 2²¹): range scans on ANY of the three
+    * dimensions prune curve-sorted files. Each input must be in
+    * [0, 2²¹); wider domains rescale first (Layout.zorderLayout's
+    * shift normalization applies the same way). */
+  def zValue3(x: Column, y: Column, t: Column): Column =
+    spread3(x.cast("long"))
+      .bitwiseOR(shiftleft(spread3(y.cast("long")), 1))
+      .bitwiseOR(shiftleft(spread3(t.cast("long")), 2))
+
+  /** zValue3 as DuckDB SQL over three BIGINT expressions (same
+    * overflow-safe pre-mask as [[duckDbSql]]). */
+  def duckDbSql3(x: String, y: String, t: String): String = {
+    def spreadSql(e: String): String =
+      masks3.foldLeft(s"(($e) & ${0x1FFFFFL})") { case (acc, (sh, m)) =>
+        s"((($acc) | ((($acc) & ${m >> sh}) << $sh)) & $m)"
+      }
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1) | (${spreadSql(t)} << 2))"
   }
 }

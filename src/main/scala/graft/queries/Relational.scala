@@ -271,6 +271,29 @@ object Relational {
         .orderBy("zval", "o_orderkey")
     },
 
+    // The 3-D curve — (entity, measure, TIME) is the canonical triple
+    // for event tables: one curve-sorted layout prunes range scans on
+    // any of user, value band, or time window. Value buckets via
+    // floor() on BOTH engines (a bare cast rounds half-even in DuckDB
+    // but truncates in Spark); the time bucket divides the epoch-ns
+    // long so 2024 epochs land under the 2^21 per-dimension cap.
+    "q_zorder3" -> QueryDef(
+      "3-D z-order key over (user_id, value bucket, time bucket)",
+      s"""SELECT CAST(event_id AS BIGINT) AS event_id,
+         |  CAST(${graft.functions.ZOrder.duckDbSql3(
+               "user_id",
+               "CAST(floor(value) AS BIGINT)",
+               "epoch_ns(ts) // 1000000000000")} AS BIGINT) AS zval
+         |FROM events ORDER BY zval, event_id""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("events")
+        .select(col("event_id").cast(LongType).as("event_id"),
+          graft.functions.ZOrder.zValue3(
+            col("user_id"),
+            floor(col("value")).cast(LongType),
+            expr("ts div 1000000000000")).as("zval"))
+        .orderBy("zval", "event_id")
+    },
+
     "q_topk" -> QueryDef(
       "top-3 orders by total price per market segment (rank window)",
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (

@@ -41,6 +41,34 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  private def refZ3(x: Long, y: Long, t: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((x >> i) & 1L) << (3 * i)
+      z |= ((y >> i) & 1L) << (3 * i + 1)
+      z |= ((t >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    z
+  }
+
+  test("zValue3 matches the bit-by-bit 3-D reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val pts = Seq.fill(300)((rnd.nextLong(1L << 21), rnd.nextLong(1L << 21),
+      rnd.nextLong(1L << 21))) ++
+      Seq((0L, 0L, 0L), ((1L << 21) - 1, (1L << 21) - 1, (1L << 21) - 1))
+    val got = pts.toDF("x", "y", "t")
+      .select(col("x"), col("y"), col("t"),
+        ZOrder.zValue3(col("x"), col("y"), col("t")).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, t, z) =>
+      assert(z == refZ3(x, y, t), s"($x, $y, $t)")
+      assert(z >= 0L)
+    }
+  }
+
   test("z-value ordering is curve ordering (interleave preserves quadrant order)") {
     // points in quadrant (0,0) sort before (1,0)-quadrant x-major bit,
     // which sorts before anything with the y-major bit set
