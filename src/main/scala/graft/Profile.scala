@@ -32,7 +32,7 @@ object Profile {
     spark.range(1 << 18).selectExpr("id % 97 as k").groupBy("k").count().count()
 
     time("tokens+tf") {
-      docs.repartition(spark.sparkContext.defaultParallelism)
+      graft.core.Spread.ifNarrow(docs)
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).count()
     }

@@ -37,9 +37,15 @@ object ZOrder {
       acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(m))
     }
 
-  /** The z-value of (x, y): x's bits on even positions, y's on odd. */
+  /** The z-value of (x, y): x's bits on even positions, y's on odd.
+    * Inputs pre-mask to the documented [0, 2³¹) domain (mirroring
+    * spread3's 0x1FFFFF mask) so out-of-contract values degrade
+    * identically to the DuckDB oracle expression instead of producing
+    * negative z-values that break curve ordering. */
   def zValue(x: Column, y: Column): Column =
-    spread(x.cast("long")).bitwiseOR(shiftleft(spread(y.cast("long")), 1))
+    spread(x.cast("long").bitwiseAND(lit(0x7FFFFFFFL)))
+      .bitwiseOR(shiftleft(
+        spread(y.cast("long").bitwiseAND(lit(0x7FFFFFFFL))), 1))
 
   /** The same computation as DuckDB SQL over two BIGINT expressions.
     * DuckDB's `<<` RAISES on signed overflow where Spark's shiftleft
@@ -48,7 +54,7 @@ object ZOrder {
     * never leaves the positive range and changes nothing else. */
   def duckDbSql(x: String, y: String): String = {
     def spreadSql(e: String): String =
-      masks.foldLeft(e) { case (acc, (sh, m)) =>
+      masks.foldLeft(s"(($e) & ${0x7FFFFFFFL})") { case (acc, (sh, m)) =>
         s"((($acc) | ((($acc) & ${m >> sh}) << $sh)) & $m)"
       }
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"

@@ -25,7 +25,10 @@ object Dedup {
     * a*h+b stays within exact Long range). */
   val P: Long = 1000000007L
 
-  /** Deterministic permutation constants (LCG from a fixed seed). */
+  /** Deterministic permutation constants — xorshift64 from a fixed
+    * seed (NOT an LCG; the exact constant sequence is load-bearing for
+    * cross-engine bit parity because the generated DuckDB oracles pin
+    * it — re-derive only by re-running this generator). */
   val numPerms = 32
   val perms: Seq[(Long, Long)] = {
     var x = 88172645463325252L
@@ -80,8 +83,9 @@ object Dedup {
     // parquet split, and without this the entire variant + join +
     // verify pipeline runs in a single task (measured 5.8 s → 1.6 s at
     // sf0.1 from this line alone — the file is 2 MB, the WORK is not).
-    val spread = rows.repartition(
-      rows.sparkSession.sparkContext.defaultParallelism)
+    // Conditional (Spread.ifNarrow): a wide scan at real scale keeps
+    // its splits and pays no round-robin Exchange.
+    val spread = graft.core.Spread.ifNarrow(rows)
     val v = spread
       .select(col(idCol).cast(LongType).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"),
@@ -90,7 +94,7 @@ object Dedup {
         expr("substring(s, i, 1) != substring(s, i - 1, 1)"))
       .select(col("id"), col("s"), col("i"),
         expr("case when i = 0 then s else " +
-          "concat(substring(s, 1, i - 1), substring(s, i + 1, 1000000)) " +
+          "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s) - i)) " +
           "end").as("variant"))
       // materialize ONCE: the self-join otherwise evaluates the
       // variant pipeline twice (broadcast build + probe side), and its

@@ -48,6 +48,9 @@ object Layout {
     val Array(r) = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).collect()
+    // Empty input (or all-null layout columns): min/max aggregate to
+    // null — nothing to lay out, return unchanged rather than NPE.
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
     val z = ZOrder.zValue(
       scaled(col(xCol), r.getLong(0), r.getLong(1)),
       scaled(col(yCol), r.getLong(2), r.getLong(3)))

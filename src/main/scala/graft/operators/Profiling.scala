@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 import graft.functions.TopKByScore
 
@@ -38,6 +38,10 @@ object Profiling {
 
   def profile(df: DataFrame, specs: Seq[ColSpec], k: Int = 512): DataFrame = {
     require(k > 1 && k <= 2048, s"kmv k must be in (1, 2048], got $k")
+    // '~' is the reserved (col_name, metric) separator in the internal
+    // wide-row encoding — fail loudly rather than mis-split the output.
+    require(specs.forall(!_.name.contains("~")),
+      "column names must not contain the reserved '~' separator")
     val numerator = (k - 1).toLong << 52
     val aggs = Seq(count(lit(1)).cast(DoubleType).as("_table_~rows")) ++
       specs.flatMap { s =>
@@ -88,9 +92,66 @@ object Profiling {
       .orderBy("col_name", "metric")
   }
 
+  /** Most-common-values catalog stats: the top-`k` (value, frequency)
+    * pairs per column, the piece a CBO wants next to [[profile]]'s
+    * counts/min-max/distinct.
+    *
+    * ONE corpus scan: each row explodes to |cols| (col_name, value)
+    * pairs, the groupBy reduces them map-side so the shuffle carries
+    * only distinct (column, value) partials — for the categorical
+    * columns MCV is meant for, that is tiny. The per-column rank
+    * window then funnels one COLUMN's distinct values through one
+    * task: bounded by that column's cardinality, not the corpus. For
+    * id-like high-cardinality columns MCV is the wrong statistic —
+    * use [[profile]]'s KMV distinct estimate instead (the window
+    * would funnel the whole column; this is a documented contract,
+    * not a hidden cliff).
+    *
+    * Values are cast to string for a uniform output schema; nulls are
+    * excluded (null counts are already in [[profile]]). Ties break on
+    * the string value, so the result is deterministic and matches the
+    * DuckDB replay exactly. */
+  def mcv(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && k > 0)
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(c).cast(StringType).as("value"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      .where(col("value").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy(col("cnt").desc, col("value"))
+    pairs.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .orderBy("col_name", "rank")
+  }
+
+  /** [[mcv]] as DuckDB SQL over `table` — the same explode/count/rank
+    * shape, with the same (cnt desc, value asc) tie-break. */
+  def mcvDuckDbSql(table: String, cols: Seq[String], k: Int): String = {
+    val arms = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM $table WHERE $c IS NOT NULL")
+    s"""WITH pairs AS (
+       |${arms.mkString("\nUNION ALL\n")}
+       |), counts AS (
+       |  SELECT col_name, value, count(*) AS cnt FROM pairs GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT col_name, value, cnt,
+       |    row_number() OVER (PARTITION BY col_name
+       |                       ORDER BY cnt DESC, value) AS rank
+       |  FROM counts
+       |)
+       |SELECT col_name, value, cnt, rank FROM ranked
+       |WHERE rank <= $k ORDER BY col_name, rank""".stripMargin
+  }
+
   /** The same profile as DuckDB SQL over `table` — one UNION ALL arm
     * per metric, replaying the identical integer arithmetic. */
   def duckDbSql(table: String, specs: Seq[ColSpec], k: Int = 512): String = {
+    require(specs.forall(!_.name.contains("~")),
+      "column names must not contain the reserved '~' separator")
     val numerator = (k - 1).toLong << 52
     val arms = Seq(
       s"SELECT '_table_' AS col_name, 'rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM $table") ++

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Ckpt.CkptOps
+import graft.core.Spread.SpreadOps
 import graft.functions.TopKByScore
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -284,7 +285,7 @@ object TextAnalysis {
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dec = DecimalType(30, 6)
     val tf = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .graftSpread()
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -327,7 +328,7 @@ object TextAnalysis {
   def klDrift(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val dec = DecimalType(30, 6)
     val tf = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .graftSpread()
       .select(col(srcCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(srcCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -376,7 +377,7 @@ object TextAnalysis {
     // (exchange reuse does not fire across the differing aggregate
     // branches) and the regex runs twice over the corpus.
     val tf = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .graftSpread()
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -424,7 +425,7 @@ object TextAnalysis {
       k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     val dec = DecimalType(30, 6)
     val t = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .graftSpread()
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(
         (col(idCol) +: size(col("__t")).cast(LongType).as("dl") +:

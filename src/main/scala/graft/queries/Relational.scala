@@ -40,6 +40,12 @@ object Relational {
       ColSpec("o_orderdate", Ts))
   }
 
+  /** Columns for the q_profile_mcv top-k value stats — categorical
+    * string columns, where the string cast is engine-portable and the
+    * per-column cardinality is tiny. */
+  private[queries] val mcvCols: Seq[String] =
+    Seq("o_orderstatus", "o_orderpriority")
+
   /** Generated fixed-iteration PageRank oracle: one CTE per iteration,
     * each replaying GraphOps.pageRank's exact integer arithmetic
     * (divide-per-edge before the sum, damping-multiply divided last,
@@ -225,9 +231,23 @@ object Relational {
         // otherwise run in a single task; at real scale the scan has
         // thousands of splits and this line is unnecessary
         graft.operators.Profiling.profile(
-          t(spark, dir)("orders")
-            .repartition(spark.sparkContext.defaultParallelism),
+          graft.core.Spread.ifNarrow(t(spark, dir)("orders")),
           Relational.ordersProfile)
+    },
+
+    // Most-common-values catalog stats (ANALYZE companion to
+    // q_profile): top-5 (value, freq) per categorical column in one
+    // corpus scan — explode to (col, value) pairs, map-side-combined
+    // count, per-column rank bounded by that column's cardinality
+    // (Profiling.mcv scaladoc: MCV is for categorical columns; the
+    // KMV estimate covers the id-like ones).
+    "q_profile_mcv" -> QueryDef(
+      "most-common-values (top-5 per column) over orders categoricals",
+      graft.operators.Profiling.mcvDuckDbSql("orders", Relational.mcvCols, 5)) {
+      (spark, dir) =>
+        graft.operators.Profiling.mcv(
+          graft.core.Spread.ifNarrow(t(spark, dir)("orders")),
+          Relational.mcvCols, 5)
     },
 
     // Integer-exact PageRank over the (symmetrized) supplier–customer

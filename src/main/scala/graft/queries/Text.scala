@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, Tables}
 import graft.core.Ckpt.CkptOps
+import graft.core.Spread.SpreadOps
 import graft.operators.{Dedup, Multimodal, TextAnalysis, TrainingData}
 
 /** Text-analysis + deduplication queries over the `documents` table.
@@ -253,7 +254,7 @@ object Text {
       // as a compact single-partition scan, and the lookaround regex is
       // the expensive part — it must run at cluster parallelism.
       docs(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
         .select(col("doc_id"),
           size(toks).cast(LongType).as("n_tokens"),
           nStop.cast(LongType).as("n_stop"),
@@ -379,7 +380,7 @@ object Text {
       val base = docs(spark, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
         .where(size(col("__t")) >= 2)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
       base.select(explode(TextAnalysis.bigrams(col("__t"))).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bg"))
@@ -675,7 +676,7 @@ object Text {
         |FROM s WHERE n_ab >= 5
         |ORDER BY term_a, term_b""".stripMargin) { (spark, dir) =>
       val toks = docs(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
         .graftCkptMem()
@@ -748,7 +749,7 @@ object Text {
         |FROM p JOIN marg ON p.term = marg.term
         |GROUP BY 1, 2 ORDER BY p.term, shard""".stripMargin) { (spark, dir) =>
       val p = docs(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
       val marg = p.groupBy("term").agg(count(lit(1)).as("df"))
@@ -772,7 +773,7 @@ object Text {
       val terms = Seq("dup", "merge", "scan")
       val d = docs(spark, dir)
       val postings = d
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
         .where(col("term").isin(terms: _*))
@@ -1026,7 +1027,7 @@ object Text {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM k GROUP BY split, source ORDER BY split, source""".stripMargin) { (spark, dir) =>
       val scrubbed = docs(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
         .select(col("doc_id"), col("source"),
           TextAnalysis.scrubPii(col("text")).getField("clean").as("clean"))
       val gated = scrubbed
@@ -1200,7 +1201,7 @@ object Text {
       val base = docs(spark, dir)
         .select(col("doc_id"), toks.as("__t"))
         .where(size(col("__t")) >= 2)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
       val bc = base
         .select(col("doc_id"),
           explode(TextAnalysis.bigrams(col("__t"))).as("bg"))
@@ -1564,7 +1565,7 @@ object Text {
       val base = docs(spark, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
         .where(size(col("__t")) >= 2)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
       val bigrams = base
         .select(explode(TextAnalysis.bigrams(col("__t"))).as("bg"))
         .graftCkptMem()
@@ -1715,7 +1716,7 @@ object Text {
          |  CAST(max(nd) AS BIGINT) AS exact_distinct
          |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
       val toks = docs(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       TextAnalysis.kmvDistinct(toks, "source", "tok", kmvK, withExact = true)
         .select(col("source"), col("kmv_distinct"),
@@ -1759,7 +1760,7 @@ object Text {
          |  (union_est // du) * k_common AS inter_est
          |FROM e ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
       val toks = docs(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .graftSpread()
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       TextAnalysis.kmvOverlap(toks, "source", "tok", kmvK)
         .orderBy("src_a", "src_b")

@@ -32,6 +32,34 @@ class ProfilingSpec extends SparkSpec {
     assert(got("s.distinct_kmv") == 3.0) // xx, yyy, z
   }
 
+  test("a column name containing the reserved '~' separator fails loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("a~b", "s")
+    intercept[IllegalArgumentException] {
+      Profiling.profile(df, Seq(ColSpec("a~b", Num)))
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.duckDbSql("t", Seq(ColSpec("a~b", Num)))
+    }
+  }
+
+  test("mcv: top-k values by (freq desc, value asc), nulls excluded, one scan") {
+    import spark.implicits._
+    val df = Seq("b", "b", "a", "a", "c", null, "d")
+      .zipWithIndex.map { case (s, i) => (s, (i % 3).toString) }
+      .toDF("s", "g")
+    val got = Profiling.mcv(df, Seq("s", "g"), 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // s: a×2 and b×2 tie → value asc; g: "0"×3, then "1"×2
+    assert(got == Seq(
+      ("g", "0", 3L, 1L), ("g", "1", 2L, 2L),
+      ("s", "a", 2L, 1L), ("s", "b", 2L, 2L)))
+    val plan = Profiling.mcv(df, Seq("s", "g"), 2)
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one scan, plan:\n$plan")
+  }
+
   test("the whole profile is ONE scan of the input") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("a", "s")

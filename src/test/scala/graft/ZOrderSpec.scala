@@ -41,6 +41,26 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zValue pre-masks out-of-contract inputs to [0, 2^31) — same as the oracle") {
+    import spark.implicits._
+    // negative / too-wide inputs must degrade exactly like the DuckDB
+    // expression (mask then interleave), never to a negative z-value
+    val pts = Seq((-1L, 5L), (1L << 40, 3L), (Long.MinValue, Long.MaxValue))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == refZ(x & 0x7FFFFFFFL, y & 0x7FFFFFFFL), s"($x, $y)")
+      assert(z >= 0L)
+    }
+  }
+
+  test("zorderLayout on an empty input returns it unchanged (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.zorderLayout(empty, "x", "y", 4).count() == 0)
+  }
+
   private def refZ3(x: Long, y: Long, t: Long): Long = {
     var z = 0L
     var i = 0
