@@ -17,6 +17,17 @@ object Bench {
       .filter(_.name.startsWith("graft_state_"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     System.gc()
+    // HARD comparability guard: with 118+ queries sharing one JVM, a
+    // query that leaks pinned blocks or state tables past its own
+    // release taxes every successor's timing silently. Fail the bench
+    // loudly instead of best-effort-cleaning and moving on.
+    val leakedRdds = spark.sparkContext.getPersistentRDDs
+    require(leakedRdds.isEmpty,
+      s"leaked persistent RDDs after release: ${leakedRdds.keys.mkString(",")}")
+    val leakedTables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_state_"))
+    require(leakedTables.isEmpty,
+      s"leaked state tables after release: ${leakedTables.mkString(",")}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,7 +107,16 @@ object Bench {
     val errJson = errors.reverse
       .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_rN.json retains only an output TAIL — with
+    // 119 queries most per-query numbers fall off it. Persist the full
+    // table verbatim (overwritten per run) so round-over-round
+    // regression tracking always has every entry.
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -305,6 +305,41 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Per-document character-distribution Shannon entropy — the
+    * classic low-information filter (keyboard mash, base64 blobs and
+    * one-char spam score near 0; natural prose lands in a narrow
+    * band, so quality gates cut both tails). Computed over the same
+    * [a-z0-9] alphabet as [[tokens]] so the char extraction is
+    * engine-portable.
+    *
+    * Determinism is [[lmScore]]'s recipe: ln(cnt/len) rounds to 6
+    * decimals, accumulates as exact DECIMAL weighted by the integer
+    * count (addition order can't matter), and the final divide is one
+    * IEEE op. One scan, two keyed aggregates on doc id (the second
+    * reuses the first's partitioning), alphabet ≤ 36 rows per doc.
+    *
+    * @return (id, n_chars, entropy) for docs with ≥ 1 alnum char
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val cnts = df
+      .graftSpread()
+      .select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]"), lit(0))).as("ch"))
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .graftCkptMem()
+    val lens = cnts.groupBy(idCol).agg(sum(col("cnt")).as("len"))
+    cnts.join(lens, idCol)
+      .groupBy(col(idCol), col("len"))
+      .agg(sum((round(log(col("cnt").cast(DoubleType) /
+          col("len").cast(DoubleType)), 6).cast(dec)) * col("cnt")).as("__s"))
+      .select(col(idCol), col("len").as("n_chars"),
+        (-col("__s").cast(DoubleType) / col("len").cast(DoubleType))
+          .as("entropy"))
+  }
+
   /** Per-source unigram-distribution KL divergence vs the whole
     * corpus, D(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the
     * corpus-drift / mixture-skew diagnostic (which sources' term

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -274,6 +274,69 @@ object Cdc {
       finalState.agg
         .select(col("g"), col("cnt"),
           col("s").cast(DoubleType).as("total"))
+        .orderBy("g")
+    },
+
+    // min/max under RETRACTION — the non-self-inverse aggregates the
+    // plain q_incr_agg deliberately excluded: each group carries a
+    // bounded candidate multiset per extreme (IncrementalAggregate
+    // scaladoc), so deleting the current minimum promotes the
+    // runner-up from candidates, and the delete waves here drain MORE
+    // than k minima per group on purpose to force the group-scoped
+    // rebuild path as well. A reprice wave (×3) then pushes new maxima
+    // INTO the candidate sets. The oracle computes the same rollup
+    // from the replay's net effect — maintained must equal
+    // from-scratch exactly, extremes included.
+    "q_incr_minmax" -> QueryDef(
+      "incrementally maintained min/max under extreme-deleting retraction",
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS g,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |del_lo AS (SELECT k FROM (
+        |    SELECT k, row_number() OVER (PARTITION BY g ORDER BY v, k) AS rn
+        |    FROM base) WHERE rn <= 12),
+        |del_hi AS (SELECT k FROM (
+        |    SELECT k, row_number() OVER (PARTITION BY g ORDER BY v DESC, k) AS rn
+        |    FROM base) WHERE rn <= 3),
+        |del AS (SELECT k FROM del_lo UNION SELECT k FROM del_hi),
+        |fin AS (SELECT k, g,
+        |         CASE WHEN k % 23 = 0 THEN CAST(v * 3 AS DECIMAL(18,2)) ELSE v END AS v
+        |       FROM base WHERE k NOT IN (SELECT k FROM del))
+        |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(v) AS DOUBLE) AS total,
+        |       CAST(min(v) AS DOUBLE) AS mn,
+        |       CAST(max(v) AS DOUBLE) AS mx
+        |FROM fin GROUP BY g ORDER BY g""".stripMargin) { (spark, dir) =>
+      import graft.streaming.IncrementalAggregate
+      val dec = DecimalType(18, 2)
+      val base = t(spark, dir)("orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("g"),
+        col("o_totalprice").cast(dec).as("v"))
+      val loW = Window.partitionBy("g").orderBy(col("v"), col("k"))
+      val hiW = Window.partitionBy("g").orderBy(col("v").desc, col("k"))
+      val ranked = Ckpt.mem(base
+        .withColumn("rn_lo", row_number().over(loW))
+        .withColumn("rn_hi", row_number().over(hiW)))
+      val nullTomb = (rows: DataFrame, off: Column) => rows.select(
+        col("k"), off.as("offset"),
+        lit(null).cast(StringType).as("g"), lit(null).cast(dec).as("v"))
+      val inserts = (0 until 2).map(i =>
+        base.where(pmod(col("k"), lit(2)) === i)
+          .select(col("k"), (col("k") * 10 + i).as("offset"), col("g"), col("v")))
+      val tombLo = nullTomb(ranked.where(col("rn_lo") <= 12), col("k") * 10 + 2)
+      val tombHi = nullTomb(ranked.where(col("rn_hi") <= 3 && col("rn_lo") > 12),
+        col("k") * 10 + 3)
+      val reprice = ranked.where(col("rn_lo") > 12 && col("rn_hi") > 3 &&
+          col("k") % 23 === 0)
+        .select(col("k"), (col("k") * 10 + 4).as("offset"), col("g"),
+          (col("v") * 3).cast(dec).as("v"))
+      val finalState = (inserts :+ tombLo :+ tombHi :+ reprice)
+        .foldLeft(IncrementalAggregate.empty(spark))(
+          IncrementalAggregate.applyBatch)
+      IncrementalAggregate.rollup(finalState)
+        .select(col("g"), col("cnt"),
+          col("s").cast(DoubleType).as("total"),
+          col("mn").cast(DoubleType).as("mn"),
+          col("mx").cast(DoubleType).as("mx"))
         .orderBy("g")
     },
 

@@ -717,6 +717,81 @@ object Text {
         .orderBy("term_a", "term_b")
     },
 
+    // Per-term TRIANGLE counts over the positive-PMI co-occurrence
+    // graph — the local-clustering readout on top of q_cooccur's
+    // collocation edges (collocation cliques ≈ topical cores). Edge
+    // rule is INTEGER-exact (n_ab·N > nw_a·nw_b ⟺ pmi > 0 — no float
+    // threshold at a log's zero crossing), and the enumeration uses
+    // degree orientation (GraphOps.triangleCounts scaladoc) so no hub
+    // term fans out by its full degree; the oracle enumerates the same
+    // triangles lexicographically — counting is orientation-free.
+    "q_triangles" -> QueryDef(
+      "per-term triangle counts over the positive-PMI co-occurrence graph",
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+        |           FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+        |m AS (SELECT w, count(*) AS nw FROM t GROUP BY w),
+        |p AS (SELECT a.w AS a, b.w AS b, count(*) AS n_ab
+        |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM p, n
+        |      JOIN m ma ON a = ma.w JOIN m mb ON b = mb.w
+        |      WHERE n_ab >= 5 AND n_ab * n.n_docs > ma.nw * mb.nw),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS term FROM tri
+        |            UNION ALL SELECT y FROM tri
+        |            UNION ALL SELECT z FROM tri)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY term ORDER BY n_tri DESC, term""".stripMargin) {
+      (spark, dir) =>
+        val toks = docs(spark, dir)
+          .graftSpread()
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+          .graftCkptMem()
+        val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+        val marg = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+        // same sub-threshold-tail prune as q_cooccur: df < 5 can never
+        // reach n_ab >= 5, so it never enters the pair fan-out
+        val frequent = marg.where(col("nw") >= 5).select("w")
+        val ftoks = toks.join(broadcast(frequent), Seq("w"), "left_semi")
+        val edges = ftoks.select(col("doc_id"), col("w").as("a"))
+          .join(ftoks.select(col("doc_id"), col("w").as("b")), "doc_id")
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 5)
+          .join(broadcast(marg.select(col("w").as("a"), col("nw").as("na"))), "a")
+          .join(broadcast(marg.select(col("w").as("b"), col("nw").as("nb"))), "b")
+          .crossJoin(broadcast(nDocs))
+          .where(col("n_ab") * col("n_docs") > col("na") * col("nb"))
+          .select("a", "b")
+        graft.operators.GraphOps.triangleCounts(edges, "a", "b")
+          .select(col("node").as("term"), col("n_tri"))
+          .orderBy(col("n_tri").desc, col("term"))
+    },
+
+    // Character-distribution entropy per document — the
+    // low-information quality gate (TextAnalysis.charEntropy scaladoc:
+    // mash/base64/one-char spam score at the tails). Same rounded-ln +
+    // exact-DECIMAL accumulation as q_lm_score so both engines agree
+    // bit-for-bit regardless of addition order.
+    "q_char_entropy" -> QueryDef(
+      "per-document character Shannon entropy (low-information filter)",
+      """WITH c AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+        |           FROM documents),
+        |cnts AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len FROM cnts GROUP BY 1)
+        |SELECT cnts.doc_id, l.len AS n_chars,
+        |  -CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / l.len), 6) AS DECIMAL(30,6)) * cnt) AS DOUBLE) / l.len AS entropy
+        |FROM cnts JOIN lens l ON cnts.doc_id = l.doc_id
+        |GROUP BY cnts.doc_id, l.len ORDER BY cnts.doc_id""".stripMargin) {
+      (spark, dir) =>
+        TextAnalysis.charEntropy(docs(spark, dir), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
     // Inverted-index conjunctive keyword search. The scale shape is
     // the index, not the scan: postings (term → doc) are one exploded
     // projection, the query terms prune the postings FIRST (predicate

@@ -1,20 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Ckpt.CkptOps
+import graft.functions.TopKByScore
 
 /** Incrementally maintained GROUPED AGGREGATE over a keyed changelog —
   * the aggregation face of the IVM engine's set-at-a-time model: where
   * [[IncrementalDenormalizer]] maintains joined documents under
-  * upserts and tombstones, this maintains `GROUP BY g → (count, sum)`
-  * rollups under the same changelog contract (latest-per-key wins,
-  * null value = delete), with RETRACTION — an update that moves a key
-  * from group A to group B subtracts its old contribution from A and
-  * adds the new one to B, so the rollup always equals the aggregate
-  * of the compacted latest state without ever rescanning it.
+  * upserts and tombstones, this maintains `GROUP BY g → (count, sum,
+  * min, max)` rollups under the same changelog contract
+  * (latest-per-key wins, null value = delete), with RETRACTION — an
+  * update that moves a key from group A to group B subtracts its old
+  * contribution from A and adds the new one to B, so the rollup always
+  * equals the aggregate of the compacted latest state without ever
+  * rescanning it.
   *
   * Why this shape at 100 TB: the naive alternative recomputes the
   * aggregate from the full latest state every batch — O(|state|) per
@@ -24,9 +26,36 @@ import graft.core.Ckpt.CkptOps
   * aggregate over ≤ 2·|delta| rows, and a merge into the (tiny,
   * ≤ |groups|) rollup table. Count and sum are self-inverse under
   * retraction; the same frame carries exact DECIMAL sums so
-  * retraction is lossless (float retraction would drift). Extending
-  * to min/max needs per-group heaps (not self-inverse) — out of
-  * scope, documented here deliberately.
+  * retraction is lossless (float retraction would drift).
+  *
+  * MIN/MAX are NOT self-inverse (retracting the current extreme needs
+  * the runner-up), so each group carries a bounded candidate multiset
+  * per extreme — the classic IVM bounded-synopsis design:
+  *
+  *  - `mins` holds ALL live values strictly below the exclusion bound
+  *    `minb` (null bound = +∞, i.e. the set is complete), capped at k
+  *    entries: when a merge overflows k, the (k+1)-th smallest value
+  *    becomes the new bound and everything ≥ it is dropped — the
+  *    invariant "complete below the bound" is preserved because only
+  *    values at/above the new bound leave.
+  *  - a DELETE whose value sits below the bound removes exactly one
+  *    occurrence (completeness guarantees it is present — enforced
+  *    with a hard require, never silently absorbed); an INSERT below
+  *    the bound enters; traffic at/above the bound is ignored, the
+  *    fallback owns it.
+  *  - the group min is the candidate head whenever the set is
+  *    non-empty. If deletions empty the set while the group still has
+  *    rows (> k minima deleted between rebuilds), the batch falls back
+  *    to ONE group-scoped rebuild: a [[TopKByScore]]-reduced pass over
+  *    the new latest state restricted (semi-join on the tiny underflow
+  *    group list, broadcast) to exactly the underflowed groups —
+  *    never a full-state rescan for healthy groups.
+  *  - `maxs`/`maxb` mirror all of it with the order reversed.
+  *
+  * Candidate values are stored as exact cents (DECIMAL(18,2) × 100 in
+  * a LONG), so candidate comparison is integer-exact; the rebuild's
+  * top-k scores are doubles, exact for |v| < 2⁵³ cents (~9·10¹³
+  * currency units — beyond any price column; documented, not hidden).
   *
   * State maintenance mirrors the engine: both frames re-checkpoint
   * per batch (lineage truncation); in deployment the latest-state
@@ -44,18 +73,39 @@ object IncrementalAggregate {
   /** Rollup sum type: wide enough that merging never re-widens. */
   val sumType: DecimalType = DecimalType(30, 2)
 
-  /** latest: (k, g, v) one row per live key; agg: (g, cnt, s). */
-  final case class State(latest: DataFrame, agg: DataFrame)
+  /** Input value type; ×100 must stay integral (cents encoding). */
+  val valType: DecimalType = DecimalType(18, 2)
 
-  def empty(spark: SparkSession): State = {
+  /** latest: (k, g, v) one row per live key; agg: (g, cnt, s, mins,
+    * minb, maxs, maxb) one row per live group; k = candidate cap. */
+  final case class State(latest: DataFrame, agg: DataFrame, k: Int = 8)
+
+  /** One group's candidate state + this batch's value traffic, for the
+    * touched-groups-only merge map. */
+  private[graft] final case class Cand(
+      g: String,
+      mins: Seq[Long], minb: Option[Long],
+      maxs: Seq[Long], maxb: Option[Long],
+      dels: Seq[Long], ins: Seq[Long])
+
+  private[graft] final case class CandState(
+      g: String,
+      mins: Seq[Long], minb: Option[Long],
+      maxs: Seq[Long], maxb: Option[Long])
+
+  private def emptyLongs: Column = array().cast(ArrayType(LongType, false))
+
+  def empty(spark: SparkSession, k: Int = 8): State = {
     import spark.implicits._
     val latest = Seq.empty[(Long, String, java.math.BigDecimal)]
       .toDF("k", "g", "v")
-      .select(col("k"), col("g"), col("v").cast(DecimalType(18, 2)))
+      .select(col("k"), col("g"), col("v").cast(valType))
     val agg = Seq.empty[(String, Long, java.math.BigDecimal)]
       .toDF("g", "cnt", "s")
-      .select(col("g"), col("cnt"), col("s").cast(sumType))
-    State(latest, agg)
+      .select(col("g"), col("cnt"), col("s").cast(sumType),
+        emptyLongs.as("mins"), lit(null).cast(LongType).as("minb"),
+        emptyLongs.as("maxs"), lit(null).cast(LongType).as("maxb"))
+    State(latest, agg, k)
   }
 
   /** Per-key compaction of ONE batch: the row with the max offset wins
@@ -66,16 +116,23 @@ object IncrementalAggregate {
       .agg(max(struct(col("offset"), col("g"), col("v"))).as("__m"))
       .select(col("k"), col("__m.g").as("g_new"), col("__m.v").as("v_new"))
 
+  /** Compacted batch LEFT-joined to old state — the single lookup both
+    * the ±sum deltas and the candidate traffic derive from. */
+  private def joined(latest: DataFrame, compacted: DataFrame): DataFrame =
+    compacted.join(
+        latest.select(col("k"), col("g").as("g_old"), col("v").as("v_old")),
+        Seq("k"), "left")
+      .graftCkptMem()
+
   /** The ±contribution rows for one compacted batch against the
     * current latest state: −(old g, old v) for every key that had
     * state, +(new g, new v) for every non-tombstone. Exposed for the
     * spec to pin the O(|delta|) contract (only touched groups appear). */
   private[graft] def batchDeltas(
-      latest: DataFrame, compacted: DataFrame): DataFrame = {
-    val j = compacted.join(
-        latest.select(col("k"), col("g").as("g_old"), col("v").as("v_old")),
-        Seq("k"), "left")
-      .graftCkptMem()
+      latest: DataFrame, compacted: DataFrame): DataFrame =
+    deltas(joined(latest, compacted))
+
+  private def deltas(j: DataFrame): DataFrame = {
     val retract = j.where(col("g_old").isNotNull)
       .select(col("g_old").as("g"), lit(-1L).as("dc"), (-col("v_old")).as("dv"))
     val add = j.where(col("g_new").isNotNull)
@@ -85,29 +142,146 @@ object IncrementalAggregate {
       .agg(sum(col("dc")).as("dc"), sum(col("dv")).cast(sumType).as("dv"))
   }
 
+  private def cents(c: Column): Column = (c * 100).cast(LongType)
+
+  /** Per-group deleted/inserted cent values this batch — the candidate
+    * traffic. Lists are batch-delta-sized per group (the same rows the
+    * ±aggregate already shuffles), never state-sized. */
+  private def valueTraffic(j: DataFrame): DataFrame = {
+    val delRows = j.where(col("g_old").isNotNull)
+      .select(col("g_old").as("g"), cents(col("v_old")).as("v"), lit(true).as("d"))
+    val insRows = j.where(col("g_new").isNotNull && col("v_new").isNotNull)
+      .select(col("g_new").as("g"), cents(col("v_new")).as("v"), lit(false).as("d"))
+    delRows.unionByName(insRows)
+      .groupBy("g")
+      .agg(collect_list(when(col("d"), col("v"))).as("dels"),
+        collect_list(when(!col("d"), col("v"))).as("ins"))
+  }
+
+  /** Merge one side's candidate multiset under its exclusion bound.
+    * `lt` orders best-first (min side: <, max side: >); the bound
+    * excludes at-or-past-bound values (None = unbounded/complete). */
+  private[graft] def mergeSide(cands: Seq[Long], bound: Option[Long],
+      dels: Seq[Long], ins: Seq[Long], k: Int,
+      lt: (Long, Long) => Boolean): (Seq[Long], Option[Long]) = {
+    def covered(v: Long): Boolean = bound.forall(b => lt(v, b))
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    cands.foreach(v => m.update(v, m.getOrElse(v, 0) + 1))
+    ins.iterator.filter(covered).foreach(v => m.update(v, m.getOrElse(v, 0) + 1))
+    dels.iterator.filter(covered).foreach { v =>
+      val c = m.getOrElse(v, 0)
+      // completeness invariant: a live value below the bound IS here
+      require(c > 0, s"retraction of $v not present in candidate set")
+      if (c == 1) m.remove(v) else m.update(v, c - 1)
+    }
+    var merged = m.iterator
+      .flatMap { case (v, c) => Iterator.fill(c)(v) }.toIndexedSeq
+      .sortWith(lt)
+    var nb = bound
+    if (merged.length > k) {
+      val cut = merged(k) // the (k+1)-th best becomes the new bound
+      nb = Some(cut)
+      merged = merged.takeWhile(v => lt(v, cut))
+    }
+    (merged, nb)
+  }
+
+  private val ltMin: (Long, Long) => Boolean = _ < _
+  private val ltMax: (Long, Long) => Boolean = _ > _
+
   /** Fold one changelog batch into the state. Work ∝ batch size plus
     * the rollup merge (≤ |groups| rows); the latest-state upsert is
-    * the same anti-join + union fold the engine's snapshot tables use. */
+    * the same anti-join + union fold the engine's snapshot tables use.
+    * The candidate merge runs as a typed map over the rollup join —
+    * per-row work is bounded by k + that group's batch traffic. */
   def applyBatch(state: State, changes: DataFrame): State = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val kk = state.k
     val cc = compactBatch(changes).graftCkptMem()
-    val dAgg = batchDeltas(state.latest, cc)
-    val mergedAgg = state.agg.join(dAgg, Seq("g"), "full_outer")
+    val j = joined(state.latest, cc)
+    val dAgg = deltas(j)
+    val mergedAgg = state.agg.select("g", "cnt", "s")
+      .join(dAgg, Seq("g"), "full_outer")
       .select(col("g"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cnt"),
         (coalesce(col("s"), lit(0).cast(sumType)) +
           coalesce(col("dv"), lit(0).cast(sumType))).cast(sumType).as("s"))
       .where(col("cnt") > 0)
-    val survivors = state.latest.join(cc.select("k"), Seq("k"), "left_anti")
-    val upserts = cc.where(col("g_new").isNotNull)
-      .select(col("k"), col("g_new").as("g"), col("v_new").as("v"))
-    State(survivors.unionByName(upserts).graftCkptMem(),
-      mergedAgg.graftCkptMem())
+    val mergedCand = state.agg
+      .select(col("g"), col("mins"), col("minb"), col("maxs"), col("maxb"))
+      .join(valueTraffic(j), Seq("g"), "full_outer")
+      .select(col("g"),
+        coalesce(col("mins"), emptyLongs).as("mins"), col("minb"),
+        coalesce(col("maxs"), emptyLongs).as("maxs"), col("maxb"),
+        coalesce(col("dels"), emptyLongs).as("dels"),
+        coalesce(col("ins"), emptyLongs).as("ins"))
+      .as[Cand]
+      .map { c =>
+        val (mn, mnb) = mergeSide(c.mins, c.minb, c.dels, c.ins, kk, ltMin)
+        val (mx, mxb) = mergeSide(c.maxs, c.maxb, c.dels, c.ins, kk, ltMax)
+        CandState(c.g, mn, mnb, mx, mxb)
+      }
+      .toDF()
+    val newLatest = state.latest.join(cc.select("k"), Seq("k"), "left_anti")
+      .unionByName(cc.where(col("g_new").isNotNull)
+        .select(col("k"), col("g_new").as("g"), col("v_new").as("v")))
+      .graftCkptMem()
+    val pre = mergedAgg.join(mergedCand, Seq("g"), "inner").graftCkptMem()
+    // Underflow fallback: a group whose deletions drained a candidate
+    // set rebuilds from the new latest state — restricted to exactly
+    // those groups (broadcast semi-join on the tiny underflow list),
+    // reduced map-side by TopKByScore so only k+1 values per side per
+    // group ever shuffle.
+    val under = pre
+      .where(size(col("mins")) === 0 || size(col("maxs")) === 0)
+      .select("g")
+    val agg2 =
+      if (under.isEmpty) pre
+      else {
+        val vc = cents(col("v"))
+        val rebuilt = newLatest
+          .join(broadcast(under), Seq("g"), "left_semi")
+          .select(col("g"), vc.as("vc"))
+          .groupBy("g")
+          .agg(
+            TopKByScore.topK(struct((-col("vc")).cast(DoubleType).as("score"),
+              col("vc").as("id")), kk + 1).as("lo"),
+            TopKByScore.topK(struct(col("vc").cast(DoubleType).as("score"),
+              col("vc").as("id")), kk + 1).as("hi"))
+          .select(col("g"),
+            expr("transform(lo, x -> x.id)").as("lovs"),
+            expr("transform(hi, x -> x.id)").as("hivs"))
+          .select(col("g"),
+            when(size(col("lovs")) === kk + 1,
+              expr("filter(lovs, v -> v < element_at(lovs, -1))"))
+              .otherwise(col("lovs")).as("mins"),
+            when(size(col("lovs")) === kk + 1, element_at(col("lovs"), -1))
+              .otherwise(lit(null).cast(LongType)).as("minb"),
+            when(size(col("hivs")) === kk + 1,
+              expr("filter(hivs, v -> v > element_at(hivs, -1))"))
+              .otherwise(col("hivs")).as("maxs"),
+            when(size(col("hivs")) === kk + 1, element_at(col("hivs"), -1))
+              .otherwise(lit(null).cast(LongType)).as("maxb"))
+        pre.join(broadcast(under), Seq("g"), "left_anti")
+          .unionByName(pre.select("g", "cnt", "s").join(rebuilt, Seq("g")))
+      }
+    State(newLatest, agg2.graftCkptMem(), kk)
   }
+
+  /** The user-facing rollup: (g, cnt, s, mn, mx). After [[applyBatch]]
+    * every live group's candidate sets are non-empty (underflows were
+    * rebuilt), so the extremes are the candidate heads. */
+  def rollup(state: State): DataFrame =
+    state.agg.select(col("g"), col("cnt"), col("s"),
+      (element_at(col("mins"), 1) / 100.0).cast(valType).as("mn"),
+      (element_at(col("maxs"), 1) / 100.0).cast(valType).as("mx"))
 
   /** The from-scratch aggregate of the latest state — the invariant
     * the maintained rollup must equal after every batch (spec + the
-    * q_incr_agg oracle check it). */
+    * q_incr_agg / q_incr_minmax oracles check it). */
   def recompute(latest: DataFrame): DataFrame =
     latest.groupBy("g")
-      .agg(count(lit(1)).as("cnt"), sum(col("v")).cast(sumType).as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).cast(sumType).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
 }

@@ -64,10 +64,13 @@ object TwsCompaction {
         key: (String, String),
         rows: Iterator[ChangeRow],
         timerValues: TimerValues): Iterator[ChangeRow] = {
-      val ordered = rows.toSeq.sortBy(_.offset)
+      // One streaming pass, O(1) memory per key: latest-per-key only
+      // needs the max-offset row, so the batch NEVER buffers — a hot
+      // key with millions of rows in one micro-batch folds row by row
+      // (offsets are unique per key, so iteration order is irrelevant).
       var cur = if (latest.exists()) Option(latest.get()) else None
       var changed = false
-      ordered.foreach { r =>
+      rows.foreach { r =>
         if (cur.forall(_.offset <= r.offset)) {
           cur = Some(KeyState(r.offset, r.value_json))
           changed = true

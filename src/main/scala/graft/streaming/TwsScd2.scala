@@ -62,6 +62,15 @@ object TwsScd2 {
         key: Long,
         rows: Iterator[AttrChange],
         timerValues: TimerValues): Iterator[ClosedVersion] = {
+      // The sort buffers ONE key's rows from ONE micro-batch — unlike
+      // latest-per-key (TwsCompaction, order-free fold), version
+      // closing is order-DEPENDENT, so the rows must sort before the
+      // fold. The buffer is bounded by per-key arrivals within a
+      // single trigger: admission control (maxOffsetsPerTrigger /
+      // maxFilesPerTrigger) is the documented contract that keeps a
+      // hot key's batch slice in task memory — the reference is a
+      // single-threaded per-record loop and has the identical bound.
+      // TwsScd2Spec pins a 100k-row single-key batch through here.
       val ordered = rows.toArray.sortBy(_.offset)
       val closed = Seq.newBuilder[ClosedVersion]
       var cur = if (open.exists()) Option(open.get()) else None

@@ -199,6 +199,25 @@ class BucketingSpec extends SparkSpec {
           - 4 + (2 -> 200L) + (51 -> 510L) + (3 -> 300L))
           .filter(_._2 >= 40L)
         assert(got == expect)
+
+        // The rule handles Filter(BU) and Project(BU) as separate
+        // cases — the select-THEN-where shape (Filter above Project)
+        // must cascade just the same in ONE optimize pass: the built-in
+        // PushDownPredicates moves the filter under the projection,
+        // then both cases fire level by level. Assert the filter
+        // reaches EVERY data leaf of the 2-delta chain (base + 2
+        // deltas = 3 scans carrying v) and the pruned ReadSchema
+        // reaches every leaf.
+        val q2 = composed.select("__pk", "v").where(col("v") >= 40L)
+        val plan2 = q2.queryExecution.executedPlan.toString
+        val pushed = "GreaterThanOrEqual\\(v,40\\)".r
+          .findAllIn(plan2).size
+        assert(pushed == 3,
+          s"filter must reach all 3 data-leaf scans, found $pushed:\n$plan2")
+        assert(!plan2.contains("w:string"),
+          s"unreferenced column w must be pruned from every ReadSchema:\n$plan2")
+        assert(q2.collect().map(r =>
+          r.getAs[Array[Byte]]("__pk")(0).toInt -> r.getLong(1)).toMap == expect)
       } finally b.deleteAll()
     } finally {
       SparkSession.setDefaultSession(prior)

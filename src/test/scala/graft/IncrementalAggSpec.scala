@@ -65,6 +65,73 @@ class IncrementalAggSpec extends SparkSpec {
       Set(("B", 1L, "20.00"), ("C", 1L, "1.00")))
   }
 
+  private def mmRows(st: IncrementalAggregate.State) =
+    IncrementalAggregate.rollup(st)
+      .select(col("g"), col("cnt"), col("mn").cast(StringType),
+        col("mx").cast(StringType))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+
+  private def mmExpect(st: IncrementalAggregate.State) =
+    recompute(st.latest)
+      .select(col("g"), col("cnt"), col("mn").cast(StringType),
+        col("mx").cast(StringType))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+
+  test("min/max: retraction of the extreme promotes the runner-up (within k)") {
+    var st = empty(spark, k = 4)
+    st = applyBatch(st, changes(
+      (1L, 1L, "A", "1.00"), (2L, 2L, "A", "2.00"), (3L, 3L, "A", "3.00"),
+      (4L, 4L, "A", "9.00")))
+    assert(mmRows(st) == Set(("A", 4L, "1.00", "9.00")))
+    // delete the current min AND the current max in one batch
+    st = applyBatch(st, Seq(
+      (1L, 5L, null: String, null: String),
+      (4L, 6L, null: String, null: String)).toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+    assert(mmRows(st) == Set(("A", 2L, "2.00", "3.00")))
+    assert(mmRows(st) == mmExpect(st))
+  }
+
+  test("min/max: draining > k minima forces the group-scoped rebuild and stays exact") {
+    var st = empty(spark, k = 2) // tiny cap so truncation + underflow both fire
+    // 6 values: candidates hold the 2 smallest / 2 largest only
+    st = applyBatch(st, changes(
+      (1L, 1L, "A", "1.00"), (2L, 2L, "A", "2.00"), (3L, 3L, "A", "3.00"),
+      (4L, 4L, "A", "4.00"), (5L, 5L, "A", "5.00"), (6L, 6L, "A", "6.00"),
+      (7L, 7L, "B", "7.00")))
+    assert(mmRows(st) == Set(("A", 6L, "1.00", "6.00"), ("B", 1L, "7.00", "7.00")))
+    // delete the 3 smallest — more than k=2 — so the min candidate set
+    // drains and the rebuild path must recover min=4.00 from state
+    st = applyBatch(st, Seq(
+      (1L, 8L, null: String, null: String),
+      (2L, 9L, null: String, null: String),
+      (3L, 10L, null: String, null: String)).toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+    assert(mmRows(st) == Set(("A", 3L, "4.00", "6.00"), ("B", 1L, "7.00", "7.00")))
+    assert(mmRows(st) == mmExpect(st))
+    // and the rebuilt candidates keep working incrementally afterwards:
+    // a group-move retraction (5.00 leaves A for B) without a rebuild
+    st = applyBatch(st, changes((5L, 11L, "B", "5.00")))
+    assert(mmRows(st) == Set(("A", 2L, "4.00", "6.00"), ("B", 2L, "5.00", "7.00")))
+    assert(mmRows(st) == mmExpect(st))
+  }
+
+  test("min/max: duplicate values retract one occurrence, ties survive") {
+    var st = empty(spark, k = 2)
+    st = applyBatch(st, changes(
+      (1L, 1L, "A", "1.00"), (2L, 2L, "A", "1.00"), (3L, 3L, "A", "2.00")))
+    // delete ONE of the two 1.00 keys — min must stay 1.00
+    st = applyBatch(st, Seq((1L, 4L, null: String, null: String))
+      .toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+    assert(mmRows(st) == Set(("A", 2L, "1.00", "2.00")))
+    assert(mmRows(st) == mmExpect(st))
+  }
+
   test("a batch's delta frame touches only the batch's groups") {
     var st = empty(spark)
     st = applyBatch(st, changes(

@@ -68,6 +68,37 @@ class TwsScd2Spec extends SparkSpec {
     }
   }
 
+  test("a 100k-row single-key batch folds correctly (the documented buffer bound)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // The per-key sort buffers one key's slice of one micro-batch
+      // (TwsScd2 scaladoc: admission control is the contract). Pin
+      // that a hot key delivering 100k rows in a single trigger folds
+      // to the right version history — out-of-order WITHIN the batch
+      // on purpose (reversed), since the sort must impose the order.
+      val n = 100000L
+      val rows = (0L until n).reverse.map(i => (7L, i, s"v${i / 20000L}"))
+      val stream = MemoryStream[(Long, Long, String)]
+      val q = TwsScd2.versionStream(
+          stream.toDF().toDF("key", "offset", "attr"))
+        .writeStream.format("memory").queryName("scd2_hot")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        stream.addData(rows)
+        q.processAllAvailable()
+        val got = spark.table("scd2_hot")
+          .as[(Long, String, Long, Long)].collect().toSet
+        // 5 attr runs of 20k offsets each → 4 closed versions
+        assert(got == (0L until 4L).map(r =>
+          (7L, s"v$r", r * 20000L, (r + 1) * 20000L)).toSet)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("scd2_hot")
+      }
+    }
+  }
+
   test("closed stream equals the batch scd2 compile's closed intervals (chunked replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
