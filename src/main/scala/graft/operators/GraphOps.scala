@@ -63,6 +63,53 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppt"))
   }
 
+  /** Synchronous label propagation for community detection — the
+    * lightweight complement to PageRank (global centrality) and
+    * connected components (reachability): labels flow to the locally
+    * dominant neighborhood, so densely-linked clusters converge to one
+    * label while bridges stay thin.
+    *
+    * DETERMINISTIC by construction, unlike textbook async LPA whose
+    * result depends on visit order: updates are synchronous (round t+1
+    * reads only round t), every node starts labeled with its own id,
+    * and each round every node takes the most frequent label among its
+    * neighbors with ties broken by the SMALLEST label — integer counts
+    * and an integer tie-break, so any engine (and any partition
+    * layout) reproduces the rounds bit-for-bit, which is what makes an
+    * unrolled SQL oracle possible at all.
+    *
+    * Shape at scale: per round ONE join (neighbor list ⋈ labels, both
+    * hash-partitioned on the node key — consecutive rounds reuse the
+    * exchange layout) + two keyed aggregates; state is one label per
+    * node; lineage truncates per round. The argmax-with-tie-break is
+    * a single `min(struct(-count, label))` — no window funnel.
+    *
+    * Isolated nodes (no edges) are not in the output — they form
+    * singleton communities trivially. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val und = edges
+      .where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+    val neigh = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+      .graftCkptMem()
+    var labels = neigh.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = neigh
+        .join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("lbl"))
+        .graftCkptMem()
+    }
+    labels.select(col("v").as("node"), col("lbl").as("label"))
+  }
+
   /** Per-node triangle counts over an undirected graph — the local
     * clustering signal (community cores, collocation cliques in a
     * term graph, spam-farm detection in a link graph).

@@ -175,11 +175,10 @@ object TextAnalysis {
     // fan-out: a compact parquet scan may arrive in a handful of
     // partitions, and without this the widest data in the pipeline
     // would run at the scan's parallelism. Shuffling doc rows costs
-    // |docs|; shuffling grams would cost |docs|·|text|.
-    val parts = math.max(
-      df.sparkSession.sparkContext.defaultParallelism,
-      df.rdd.getNumPartitions)
-    df.select(col(idCol), col(textCol)).repartition(parts)
+    // |docs|; shuffling grams would cost |docs|·|text|. Conditional
+    // (Spread.ifNarrow): an already-wide scan keeps its splits and
+    // pays no round-robin Exchange.
+    graft.core.Spread.ifNarrow(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         array_distinct(transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),

@@ -330,7 +330,7 @@ object Cdc {
         .select(col("k"), (col("k") * 10 + 4).as("offset"), col("g"),
           (col("v") * 3).cast(dec).as("v"))
       val finalState = (inserts :+ tombLo :+ tombHi :+ reprice)
-        .foldLeft(IncrementalAggregate.empty(spark))(
+        .foldLeft(IncrementalAggregate.empty(spark, k = 8))(
           IncrementalAggregate.applyBatch)
       IncrementalAggregate.rollup(finalState)
         .select(col("g"), col("cnt"),

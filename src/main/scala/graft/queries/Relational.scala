@@ -75,6 +75,28 @@ object Relational {
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled synchronous label-propagation oracle over the trade
+    * graph — one CTE per round, replaying GraphOps.labelPropagation's
+    * exact rule (most frequent neighbor label, ties to the SMALLEST
+    * label; integer counts, so the rounds are engine-exact). */
+  private[queries] def lpaOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (SELECT v, lbl FROM (
+         |  SELECT n.v, l.lbl,
+         |    row_number() OVER (PARTITION BY n.v
+         |                       ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM nbr n JOIN l${i - 1} l ON n.u = l.v
+         |  GROUP BY n.v, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nbr AS (SELECT src AS v, dst AS u FROM b UNION ALL SELECT dst, src FROM b),
+       |l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr),
+       |$iterCtes
+       |SELECT CAST(v AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+       |FROM l$iters ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "q1_agg" -> QueryDef(
@@ -266,6 +288,25 @@ object Relational {
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
       val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3)
+        .orderBy("node")
+    },
+
+    // Community detection by synchronous label propagation on the same
+    // trade graph — deterministic by construction (GraphOps
+    // .labelPropagation scaladoc: sync rounds, integer counts, ties to
+    // the smallest label), which is what lets a 3-round unrolled SQL
+    // oracle replay it exactly. Output is community sizes — the
+    // curation readout (cluster-aware sampling / dedup scopes).
+    "q_communities" -> QueryDef(
+      "3-round label-propagation communities on the trade graph",
+      Relational.lpaOracle(3)) { (spark, dir) =>
+      val edges = t(spark, dir)("lineitem")
+        .join(t(spark, dir)("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      graft.operators.GraphOps.labelPropagation(edges, "src", "dst", 3)
+        .select(col("node"), col("label").as("community"))
         .orderBy("node")
     },
 

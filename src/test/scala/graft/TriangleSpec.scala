@@ -43,4 +43,27 @@ class TriangleSpec extends SparkSpec {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(counts(g) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("label propagation: two cliques with one bridge settle into two communities") {
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val g = cliqueA ++ cliqueB :+ (3L, 10L)
+    val labels = lpa(g, 4)
+    val aLbls = (0L to 3L).map(labels).toSet
+    val bLbls = (10L to 13L).map(labels).toSet
+    assert(aLbls.size == 1 && bLbls.size == 1,
+      s"each clique must converge to one label: $labels")
+    assert(aLbls != bLbls, s"the bridge must not merge the cliques: $labels")
+  }
+
+  test("label propagation round 1 is exact: min neighbor label everywhere on a path") {
+    // one sync round from self-labels: every node takes its smallest
+    // neighbor's id (all neighbor labels are distinct, tie-break = min)
+    val labels = lpa(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1)
+    assert(labels == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }
