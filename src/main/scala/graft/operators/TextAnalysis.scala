@@ -339,6 +339,40 @@ object TextAnalysis {
           .as("entropy"))
   }
 
+  /** Apply a linear text classifier at corpus scale via the HASHING
+    * TRICK — the fastText-style quality-filter shape: each token maps
+    * to one of `buckets` feature slots by hash, the model is a weight
+    * per slot, and a document's score is the tf-weighted dot product.
+    * The corpus-side work is one tokenize + one keyed aggregate; the
+    * model joins in as a BROADCAST table keyed by bucket (the
+    * production shape — learned weights are a tiny table, never a
+    * per-row lookup structure).
+    *
+    * Weights here derive from a fixed integer formula (a stand-in for
+    * trained milli-weights; the APPLY plumbing is the operator), so
+    * the logit is pure integer arithmetic — engine-exact with no
+    * float dot product to disagree on.
+    *
+    * @return (id, n_tokens, logit_milli)
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val weights = spark.range(buckets).select(
+      col("id").as("bucket"),
+      ((pmod(col("id") * 2654435761L, lit(1000003L))) % 1001 - 500).as("w"))
+    df.graftSpread()
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col("tf"),
+        pmod(hash52(col("term")), lit(buckets.toLong)).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("w")).as("logit_milli"))
+  }
+
   /** Per-source unigram-distribution KL divergence vs the whole
     * corpus, D(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the
     * corpus-drift / mixture-skew diagnostic (which sources' term

@@ -306,6 +306,40 @@ object Streams {
       }
     },
 
+    // Streaming grouped quantiles — the histogram sketch AS MapState
+    // (TwsQuantile scaladoc): per-(key, bin) counters updated
+    // entry-wise, ~50 bins per key forever vs exact streaming
+    // percentiles' per-value growth; readout is the batch
+    // q_quantile_sketch's ceil-rank upper-bound estimator in pure
+    // BIGINT. One AvailableNow batch makes the final Update-mode
+    // emission the plain histogram quantile the oracle replays.
+    "q_stream_quantile" -> QueryDef(
+      "streaming per-type value quantiles (histogram sketch as MapState)",
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT g, bin, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bin
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g, CAST(min(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN (bin + 1) * 10 END) AS p50_ub,
+        |  min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN (bin + 1) * 10 END) AS p95_ub
+        |FROM w GROUP BY g ORDER BY g""".stripMargin) { (spark, dir) =>
+      val obs = Tables.loadStream(spark, dir, "events")
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("cents"))
+      withRocksDb(spark) {
+        runStream(spark,
+          graft.streaming.TwsQuantile.quantileStream(obs, binCents = 1000L).toDF(),
+          OutputMode.Update())
+          .select(col("g"), col("n"), col("p50_ub"), col("p95_ub"))
+          .orderBy("g")
+      }
+    },
+
     // Stream-static dimension enrichment — the Spark-native face of
     // the reference's one structural operation (joining a changelog
     // record to dimension state; Southpaw.java:51-60) when the

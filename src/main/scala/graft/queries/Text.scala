@@ -792,6 +792,30 @@ object Text {
           .orderBy("doc_id")
     },
 
+    // Linear classifier APPLY via the hashing trick — the
+    // fastText-quality-filter shape (TextAnalysis.hashedLinearScore
+    // scaladoc): hash tokens into 64 feature slots, broadcast-join the
+    // weight table, integer tf-weighted dot product. The oracle builds
+    // the same weights from range(64) and the same md5 bucket hash.
+    "q_classifier_score" -> QueryDef(
+      "hashed linear classifier logit per document (quality-filter apply)",
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents) GROUP BY 1, 2),
+        |wt AS (SELECT range AS bucket,
+        |         ((range * 2654435761) % 1000003) % 1001 - 500 AS w
+        |       FROM range(64)),
+        |b AS (SELECT doc_id, tf,
+        |        ('0x' || substr(md5(term), 1, 13))::BIGINT % 64 AS bucket
+        |      FROM tf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * w) AS BIGINT) AS logit_milli
+        |FROM b JOIN wt USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      TextAnalysis.hashedLinearScore(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Inverted-index conjunctive keyword search. The scale shape is
     // the index, not the scan: postings (term → doc) are one exploded
     // projection, the query terms prune the postings FIRST (predicate

@@ -79,6 +79,15 @@ class TextOpsPlanSpec extends SparkSpec {
     assert(got(4L) == (("clean text, nothing to redact", 0L, 0L, 0L)))
   }
 
+  test("hashed linear classifier joins its weight table by BROADCAST") {
+    val plan = Registry.all("q_classifier_score").build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast, not shuffle the corpus-side tf rows:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join for a 64-row model:\n$plan")
+  }
+
   test("grouped quantiles plan exactly one aggregation exchange (map-side partials)") {
     withoutAqe {
       val plan = Registry.all("q_quantiles").build(spark, dir)
