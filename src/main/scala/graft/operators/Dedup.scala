@@ -230,6 +230,68 @@ object Dedup {
     * joins) while the exploded rows here total ~240 MB — exploded +
     * pair-keyed count is the LESS shuffle-heavy form whenever docs
     * recur across candidates. */
+  /** ASYMMETRIC containment pairs: ordered (src, dst) where
+    * |grams(src) ∩ grams(dst)| / |grams(src)| ≥ τ — the quote /
+    * extraction / subset-duplication detector that symmetric Jaccard
+    * misses (a paragraph lifted into a much longer page has high
+    * containment but low Jaccard, so [[ngramJaccardPairs]]'s size
+    * filter would reject it by design).
+    *
+    * Blocking is the one-sided prefix filter: containment ≥ τ means
+    * the pair shares ≥ ⌈τ·n_src⌉ grams, so it must share one of src's
+    * first n_src − ⌈τ·n_src⌉ + 1 grams in the global (df, gram) order
+    * — src's RAREST grams. The candidate join therefore probes src
+    * PREFIX grams against dst FULL gram postings: complete by the
+    * standard prefix argument, and scale-safe because a posting list
+    * is only ever walked for a gram that ranks into some doc's rarest
+    * slice — a stopgram never does. Verification is exact integer
+    * arithmetic on the true intersection (i·den ≥ num·n_src).
+    *
+    * @return (src, dst, n_src, n_shared, containment) — both
+    *         directions of a mutual near-dup appear as two rows
+    */
+  def containmentPairs(
+      gramArrs0: DataFrame, // (id, grams array) — TextAnalysis.gramArrays
+      idCol: String,
+      tauNum: Long,
+      tauDen: Long): DataFrame = {
+    val g = gramArrs0
+      .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
+      .graftCkptMem()
+    val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val plen = (n: Column) =>
+      (n - floor((n * tauNum + (tauDen - 1)) / tauDen) + 1).cast(IntegerType)
+    val docPrefix = g.join(dfs, "gram")
+      .groupBy("id")
+      .agg(collect_list(struct(col("df"), col("gram"))).as("gs"))
+      .select(col("id"), size(col("gs")).cast(LongType).as("n"),
+        slice(sort_array(col("gs")), lit(1), plen(size(col("gs")).cast(LongType)))
+          .getField("gram").as("pfx"))
+      .graftCkptMem()
+    val srcPfx = docPrefix
+      .select(col("id").as("src"), explode(col("pfx")).as("gram"))
+      .select(col("src"), xxhash64(col("gram")).as("gh"))
+    val dstAll = g.select(col("id").as("dst"), xxhash64(col("gram")).as("gh"))
+    val cands = srcPfx.join(dstAll, "gh")
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .graftCkptMem()
+    // exact verify: true intersection over full gram sets, src-normalized
+    val srcIds = cands.select(col("src").as("id")).distinct()
+    val dstIds = cands.select(col("dst").as("id")).distinct()
+    val gs = g.join(srcIds, Seq("id"), "left_semi")
+      .select(col("id").as("src"), col("gram"))
+    val gd = g.join(dstIds, Seq("id"), "left_semi")
+      .select(col("id").as("dst"), col("gram"))
+    val inter = cands.join(gs, "src").join(gd, Seq("dst", "gram"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_shared"))
+    inter.join(docPrefix.select(col("id").as("src"), col("n").as("n_src")), "src")
+      .where(col("n_shared") * tauDen >= col("n_src") * tauNum)
+      .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / col("n_src"), 6)
+          .as("containment"))
+  }
+
   private[operators] def jaccardVerify(
       cands: DataFrame, // (doc_a, doc_b)
       g: DataFrame, // (id, gram)

@@ -792,6 +792,30 @@ object Text {
           .orderBy("doc_id")
     },
 
+    // Asymmetric CONTAINMENT near-dup (Dedup.containmentPairs
+    // scaladoc): quote/extraction detection that symmetric Jaccard
+    // rejects by design. The oracle IS the naive all-ordered-pairs
+    // intersection scan the one-sided prefix blocking avoids —
+    // completeness is value-checked, the q_fuzzy_join pattern.
+    "q_containment" -> QueryDef(
+      "ordered containment pairs (gram subset >= 0.8) — quote detection",
+      s"""WITH $gramsCte,
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |i AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT src, dst, sa.n AS n_src, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / sa.n, 6) AS containment
+         |FROM i JOIN s sa ON src = sa.doc_id
+         |WHERE n_shared * 5 >= sa.n * 4
+         |ORDER BY src, dst""".stripMargin) { (spark, dir) =>
+      graft.operators.Dedup.containmentPairs(
+          TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5),
+          "doc_id", 4, 5)
+        .orderBy("src", "dst")
+    },
+
     // Linear classifier APPLY via the hashing trick — the
     // fastText-quality-filter shape (TextAnalysis.hashedLinearScore
     // scaladoc): hash tokens into 64 feature slots, broadcast-join the

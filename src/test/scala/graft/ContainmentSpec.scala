@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.operators.TextAnalysis
+
+/** Asymmetric containment pairs (`Dedup.containmentPairs`): a short
+  * text lifted into a longer page is detected in the SRC→DST direction
+  * only — the case symmetric Jaccard rejects by design — and the
+  * blocked plan equals the naive all-ordered-pairs scan.
+  */
+class ContainmentSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("a quoted paragraph is contained in its quoting page, not vice versa") {
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val page = ("intro text before the quote. " + para +
+      " and a long discussion afterwards that keeps going with much more " +
+      "material than the quoted paragraph itself ever had")
+    val rows = Seq((1L, para), (2L, page), (3L, "completely unrelated text body"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(
+        TextAnalysis.gramArrays(rows, "doc_id", "text", 5), "doc_id", 4, 5)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
+  test("blocked result equals the naive all-ordered-pairs scan on random data") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(30)(Seq.fill(40)(('a' + rnd.nextInt(4)).toChar).mkString)
+    // plant subsets: every 5th doc is a slice of its predecessor
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 5 == 0 && i > 0) base(i - 1).substring(0, 25) else t
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.grams(rows, "doc_id", "text", 5).localCheckpoint(true)
+    val s = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = g.select(col("doc_id").as("src"), col("gram"))
+      .join(g.select(col("doc_id").as("dst"), col("gram")), "gram")
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("i"))
+      .join(s.select(col("doc_id").as("src"), col("n")), "src")
+      .where(col("i") * 5 >= col("n") * 4)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.containmentPairs(
+        TextAnalysis.gramArrays(rows, "doc_id", "text", 5), "doc_id", 4, 5)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(blocked == naive, s"blocked=$blocked naive=$naive")
+  }
+}
