@@ -159,4 +159,51 @@ object GraphOps {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Fixed-round k-core peeling — the dense-subgraph extractor that
+    * complements triangles (local density) and label propagation
+    * (partitioning): the k-core is the maximal subgraph where every
+    * node keeps ≥ k neighbors INSIDE the subgraph, the standard
+    * spam/boilerplate filter on link graphs and the "well-connected
+    * region" selector for graph-aware corpus sampling.
+    *
+    * Synchronous peeling: each round computes within-subgraph degrees
+    * and drops every node below k AT ONCE (and its incident edges).
+    * Like pageRank/labelPropagation the round count is FIXED, not
+    * convergence-tested — each round is pure integer set algebra, so
+    * an unrolled SQL oracle replays it exactly; at convergence the
+    * result IS the true k-core (peeling is order-insensitive: the
+    * k-core is unique, and synchronous rounds reach it once no node
+    * falls below k). Nodes never re-enter — degrees only shrink as
+    * edges leave, so dropping is monotone and rounds only remove.
+    *
+    * Shape at scale: per round one keyed degree aggregate (map-side
+    * combined) + two LEFT SEMI joins of the edge list against the
+    * surviving-node set, all hash-partitioned on the node key;
+    * lineage truncates per round; nothing reaches the driver.
+    *
+    * Output: (node, core_deg) for every node surviving `rounds`
+    * peels, with its within-subgraph degree after the final peel. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore needs k >= 1 and rounds >= 1")
+    var e = edges
+      .where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+      .graftCkptMem()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+      e = e
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .graftCkptMem()
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
 }

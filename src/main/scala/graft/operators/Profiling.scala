@@ -147,6 +147,140 @@ object Profiling {
        |WHERE rank <= $k ORDER BY col_name, rank""".stripMargin
   }
 
+  /** Equi-width histograms per numeric column — the third catalog
+    * statistic next to [[profile]] (counts/min-max/distinct) and
+    * [[mcv]] (heavy hitters): the value-distribution shape a CBO uses
+    * for range-selectivity estimates.
+    *
+    * Two passes by necessity (bin bounds depend on min/max): pass 1 is
+    * one tiny min/max aggregate whose single row reaches the driver —
+    * 2·|cols| longs, metadata in Layout.zorderLayout's sense — and
+    * pass 2 is ONE scan where every row buckets map-side for all
+    * columns at once (explode to (col, bin) pairs, map-side-combined
+    * count; the shuffle carries ≤ |cols|·bins partials per partition).
+    *
+    * INTEGER bin math so both engines agree bit-for-bit: values floor
+    * to BIGINT (an explicit floor — a bare double→int cast truncates
+    * in Spark but rounds half-even in DuckDB), width is the ceiling
+    * division (max−min+bins) div bins ≥ 1, bucket = (v−min) div
+    * width ∈ [0, bins). Empty bins are absent from the output (sparse
+    * — at 100 TB a dense bins×cols frame is noise rows).
+    *
+    * Output: (col_name, bin, lo, hi, cnt) — [lo, hi] the CLOSED
+    * integer range of the bin — ordered by (col_name, bin). */
+  def histogram(df: DataFrame, cols: Seq[String], bins: Int): DataFrame = {
+    require(cols.nonEmpty && bins >= 1 && bins <= 10000,
+      s"need 1 <= bins <= 10000 and at least one column")
+    val statAggs = cols.flatMap { c =>
+      Seq(min(floor(col(c))).cast(LongType).as(s"mn_$c"),
+        max(floor(col(c))).cast(LongType).as(s"mx_$c"))
+    }
+    val row = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val live = cols.zipWithIndex.filter { case (_, i) => !row.isNullAt(2 * i) }
+    if (live.isEmpty)
+      // empty table (or all-null columns): no bins, not an NPE
+      return df.select(lit("").as("col_name"), lit(0L).as("bin"),
+        lit(0L).as("lo"), lit(0L).as("hi"), lit(0L).as("cnt")).limit(0)
+    val width = live.map { case (c, i) =>
+      val (mn, mx) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+      c -> ((mn, (mx - mn + bins) / bins))
+    }.toMap
+    val entries = live.map { case (c, _) =>
+      val (mn, w) = width(c)
+      struct(lit(c).as("col_name"),
+        when(col(c).isNotNull,
+          expr(s"(cast(floor(`$c`) as bigint) - ${mn}L) div ${w}L"))
+          .as("bin"))
+    }
+    val counted = df
+      .select(explode(array(entries: _*)).as("p"))
+      .where(col("p.bin").isNotNull)
+      .groupBy(col("p.col_name").as("col_name"), col("p.bin").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val loCol = live.foldLeft(lit(null).cast(LongType)) { case (acc, (c, _)) =>
+      val (mn, w) = width(c)
+      when(col("col_name") === c, lit(mn) + col("bin") * lit(w)).otherwise(acc)
+    }
+    val wCol = live.foldLeft(lit(null).cast(LongType)) { case (acc, (c, _)) =>
+      when(col("col_name") === c, lit(width(c)._2)).otherwise(acc)
+    }
+    counted
+      .withColumn("lo", loCol)
+      .withColumn("hi", col("lo") + wCol - 1L)
+      .select(col("col_name"), col("bin"), col("lo"), col("hi"), col("cnt"))
+      .orderBy("col_name", "bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance on an integer grid — the
+    * distribution-drift test that closes the profiling family: did
+    * THIS week's values come from the same distribution as last
+    * week's (or side A's from side B's)? KS needs cumulative
+    * distribution functions, and an exact ECDF over raw values is a
+    * global sort of the corpus funneled through one ordered window —
+    * the single-task cliff. The 100 TB design is q_quantile_sketch's:
+    * values bin to integers first (`floor` — engine-portable), the
+    * grid aggregates map-side to (bin, count_a, count_b) — bounded by
+    * the VALUE RANGE, not the corpus — and the one ordered window runs
+    * over that tiny frame. KS on the grid is exact for the binned
+    * distributions; binning error is ≤ one bin of CDF shift.
+    *
+    * INTEGER-EXACT statistic: D = max |cumA·nB − cumB·nA| over bins,
+    * reported as (d_num, denom = nA·nB) plus the first bin attaining
+    * the max — no float division for engines to disagree on (callers
+    * divide for the classical D ∈ [0,1]).
+    *
+    * Output: one row (d_num, at_bin, n_a, n_b). */
+  def ksDistance(df: DataFrame, valueCol: String, sideCol: String,
+      sideA: String, sideB: String): DataFrame = {
+    val tagged = df
+      .where(col(sideCol).isin(sideA, sideB) && col(valueCol).isNotNull)
+      .select(floor(col(valueCol)).cast(LongType).as("bin"),
+        when(col(sideCol) === sideA, 1L).otherwise(0L).as("ia"))
+    val grid = tagged.groupBy("bin")
+      .agg(sum(col("ia")).as("a"), sum(lit(1L) - col("ia")).as("b"))
+    // ordered window over the GRID (|bins| rows, corpus-independent —
+    // the binning above is what makes this single partition safe)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = grid.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val cum = grid
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        abs(col("ca") * col("nb") - col("cb") * col("na")).as("d"),
+        col("na"), col("nb"))
+    val dmax = cum.agg(max(col("d")).as("d_num"))
+    cum.crossJoin(broadcast(dmax))
+      .where(col("d") === col("d_num"))
+      .groupBy(col("d_num"), col("na"), col("nb"))
+      .agg(min(col("bin")).as("at_bin"))
+      .select(col("d_num"), col("at_bin"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+  }
+
+  /** [[histogram]] as DuckDB SQL over `table` — the identical floor /
+    * ceiling-width / integer-div bin math, one arm per column. */
+  def histDuckDbSql(table: String, cols: Seq[String], bins: Int): String = {
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col_name, (v - mn) // w AS bin,
+         |  mn + ((v - mn) // w) * w AS lo,
+         |  mn + ((v - mn) // w) * w + w - 1 AS hi,
+         |  count(*) AS cnt
+         |FROM (SELECT CAST(floor($c) AS BIGINT) AS v FROM $table
+         |      WHERE $c IS NOT NULL),
+         |     (SELECT CAST(floor(min($c)) AS BIGINT) AS mn,
+         |        (CAST(floor(max($c)) AS BIGINT)
+         |         - CAST(floor(min($c)) AS BIGINT) + $bins) // $bins AS w
+         |      FROM $table)
+         |GROUP BY 1, 2, 3, 4""".stripMargin
+    }
+    s"""SELECT col_name, CAST(bin AS BIGINT) AS bin, CAST(lo AS BIGINT) AS lo,
+       |  CAST(hi AS BIGINT) AS hi, CAST(cnt AS BIGINT) AS cnt FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |) ORDER BY col_name, bin""".stripMargin
+  }
+
   /** The same profile as DuckDB SQL over `table` — one UNION ALL arm
     * per metric, replaying the identical integer arithmetic. */
   def duckDbSql(table: String, specs: Seq[ColSpec], k: Int = 512): String = {

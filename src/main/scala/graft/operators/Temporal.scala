@@ -102,6 +102,42 @@ object Temporal {
         when(col("__next").isNull, 1L).otherwise(0L).as("is_current"))
   }
 
+  /** Time-in-state (dwell) aggregation: the analytic READOUT of the
+    * [[scd2]] interval model — how long does each `attrCol` state hold,
+    * summed over every validity interval, with the still-open interval
+    * closed at `horizon` (the observation end; an open interval has no
+    * duration without one). The session-time / state-occupancy metric
+    * a warehouse derives from its version table.
+    *
+    * Same shape and contract as [[scd2]]: ONE shuffle on `keyCol`, the
+    * run-break filter (lag) discards no-op rows before the lead pass,
+    * both windows plan in the same exchange; `timeCol` must be unique
+    * per key (pre-aggregate ties). The final per-state rollup is a
+    * map-side-combined aggregate over the already-collapsed interval
+    * rows — |states| results, corpus never re-shuffles.
+    *
+    * Output: (state, total_dwell, n_intervals) — duration in
+    * `timeCol`'s own unit. */
+  def dwell(
+      changelog: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      timeCol: String,
+      horizon: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    changelog
+      .select(col(keyCol), col(timeCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__next", lead(col(timeCol), 1).over(w))
+      .select(col(attrCol).as("state"),
+        (coalesce(col("__next"), lit(horizon)).cast("long") -
+          col(timeCol).cast("long")).as("__dur"))
+      .groupBy(col("state"))
+      .agg(sum(col("__dur")).as("total_dwell"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** Self range-join count: for every row, how many rows with the same
     * `keys` fall in the half-open time window (t, t + window]. A naive
     * formulation is an inequality join, which Spark plans as a

@@ -304,6 +304,62 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Bigram-LM mean negative log-likelihood per document — [[lmScore]]
+    * with CONTEXT: a unigram LM scores word-frequency typicality only,
+    * while the bigram model also penalizes improbable word ORDER
+    * (shuffled/templated/spun text scores high here but normal there —
+    * the pair is the standard two-signal quality gate).
+    *
+    * Model: add-1 smoothed MLE, p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V),
+    * with c(w1) the count of bigrams STARTING with w1 (the numerator's
+    * own event space — token counts would mismatch at document edges)
+    * and V the bigram-participating vocabulary size. Smoothing keeps
+    * every probability finite; unseen pairs simply never occur in the
+    * training corpus == scored corpus setting.
+    *
+    * Scale shape: one tokenize pass materializes the per-doc bigram tf
+    * table; model counts (pair, context, vocab) all aggregate those tf
+    * rows, never the corpus. The model table is one row per DISTINCT
+    * corpus bigram — Zipf-bounded but far larger than the unigram
+    * table, so unlike [[lmScore]] the score join is NOT forced to
+    * broadcast: it shuffles keyed on the bigram (AQE will still
+    * broadcast a small model). Determinism is lmScore's recipe: ln
+    * rounds to 6 decimals, per-doc accumulation is exact DECIMAL
+    * weighted by integer tf, final divide one IEEE op.
+    *
+    * @return (id, n_bigrams, nll) for docs with ≥ 2 tokens
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val bg = df
+      .graftSpread()
+      .select(col(idCol), explode(bigrams(tokens(col(textCol)))).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .graftCkptMem()
+    val cbg = bg.groupBy("bg").agg(sum(col("tf")).as("cbg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .graftCkptMem()
+    val ctx = cbg.groupBy("w1").agg(sum(col("cbg")).as("cw1"))
+    val vocab = cbg.select(col("w1").as("t"))
+      .union(cbg.select(split(col("bg"), " ").getItem(1).as("t")))
+      .distinct()
+      .agg(count(lit(1)).as("v"))
+    val logp = cbg
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        round(log((col("cbg") + 1L).cast(DoubleType) /
+          (col("cw1") + col("v")).cast(DoubleType)), 6).cast(dec).as("logp"))
+    bg.join(logp, "bg")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("logp") * col("tf")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-col("__s").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType), 6).as("nll"))
+  }
+
   /** Per-document character-distribution Shannon entropy — the
     * classic low-information filter (keyboard mash, base64 blobs and
     * one-char spam score near 0; natural prose lands in a narrow

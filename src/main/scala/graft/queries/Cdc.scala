@@ -558,6 +558,60 @@ object Cdc {
         .orderBy("event_id")
     },
 
+    // Time-in-state readout of the SCD2 interval model: how long each
+    // activity state holds, per-state totals over EVENT TIME (ts is
+    // epoch-ns), the open interval closed at the Feb-1 observation
+    // horizon (Temporal.dwell scaladoc: one keyed shuffle, run-break
+    // filter before the lead pass, |states|-row map-side-combined
+    // rollup — the corpus never re-shuffles).
+    "q_dwell" -> QueryDef(
+      "time-in-state dwell totals per event_type over event time",
+      """WITH c AS (SELECT user_id, epoch_ns(ts) AS t, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |chg AS (SELECT user_id, t, event_type FROM c
+        |        WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT event_type,
+        |    coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t),
+        |             1706745600000000000) - t AS dur
+        |  FROM chg)
+        |SELECT event_type AS state, CAST(sum(dur) AS BIGINT) AS total_dwell,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM iv GROUP BY 1 ORDER BY state""".stripMargin) { (spark, dir) =>
+      Temporal.dwell(t(spark, dir)("events"),
+          keyCol = "user_id", attrCol = "event_type", timeCol = "ts",
+          horizon = 1706745600000000000L) // 2024-02-01T00:00Z epoch-ns
+        .orderBy("state")
+    },
+
+    // Two-sample KS drift between the view and purchase value
+    // distributions — the distribution-equality test as a first-class
+    // operator (Profiling.ksDistance scaladoc: values bin to an
+    // integer grid FIRST, so the one ordered window runs over
+    // |bins| rows instead of a corpus-wide sort; the statistic is the
+    // integer pair (max |cumA·nB − cumB·nA|, nA·nB) — no float CDF
+    // division for engines to disagree on).
+    "q_ks_drift" -> QueryDef(
+      "integer-exact binned KS distance: view vs purchase value distributions",
+      """WITH e AS (SELECT CAST(floor(value) AS BIGINT) AS bin,
+        |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+        |       FROM events
+        |       WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |g AS (SELECT bin, sum(ia) AS a, sum(1 - ia) AS b FROM e GROUP BY 1),
+        |t AS (SELECT sum(a) AS na, sum(b) AS nb FROM g),
+        |c AS (SELECT bin, sum(a) OVER (ORDER BY bin) AS ca,
+        |             sum(b) OVER (ORDER BY bin) AS cb FROM g),
+        |s AS (SELECT bin, abs(ca * nb - cb * na) AS d FROM c, t)
+        |SELECT CAST((SELECT max(d) FROM s) AS BIGINT) AS d_num,
+        |  CAST((SELECT min(bin) FROM s
+        |        WHERE d = (SELECT max(d) FROM s)) AS BIGINT) AS at_bin,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM t""".stripMargin) { (spark, dir) =>
+      graft.operators.Profiling.ksDistance(t(spark, dir)("events"),
+        valueCol = "value", sideCol = "event_type",
+        sideA = "view", sideB = "purchase")
+    },
+
     // State TIME TRAVEL through the oracle gate: two committed full
     // generations of a compacted user-state table, then asOf(gen 1)
     // must reproduce the pre-update compaction EXACTLY while

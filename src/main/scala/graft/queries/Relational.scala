@@ -97,6 +97,29 @@ object Relational {
        |FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled fixed-round k-core peel — one (degree-filter, edge
+    * restrict) CTE pair per round, replaying GraphOps.kCore's
+    * synchronous integer set algebra exactly. */
+  private[queries] def kcoreOracle(k: Int, rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT n FROM (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY n) WHERE d >= $k),
+         |e$i AS (SELECT a, b FROM e${i - 1}
+         |        WHERE a IN (SELECT n FROM k$i)
+         |          AND b IN (SELECT n FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM b WHERE src <> dst),
+       |$iterCtes
+       |SELECT CAST(n AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY n ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "q1_agg" -> QueryDef(
@@ -272,6 +295,64 @@ object Relational {
           Relational.mcvCols, 5)
     },
 
+    // Equi-width histograms (ANALYZE's third statistic, after
+    // q_profile's counts/min-max/KMV and q_profile_mcv's heavy
+    // hitters): the range-selectivity shape a CBO reads. Integer bin
+    // math — explicit floor, ceiling width, integer div — so both
+    // engines land every row in the same bin (Profiling.histogram
+    // scaladoc: pass 1 is a 2-longs-per-column min/max aggregate,
+    // pass 2 buckets all columns in ONE map-side-combined scan).
+    "q_profile_hist" -> QueryDef(
+      "8-bin equi-width histograms over orders numerics",
+      graft.operators.Profiling.histDuckDbSql("orders",
+        Seq("o_totalprice", "o_custkey"), 8)) { (spark, dir) =>
+      graft.operators.Profiling.histogram(
+        graft.core.Spread.ifNarrow(t(spark, dir)("orders")),
+        Seq("o_totalprice", "o_custkey"), 8)
+    },
+
+    // Declarative data-quality gate (the Deequ/dbt-test shape): five
+    // named constraints over orders evaluated together — the three
+    // row-local checks share ONE conditional-sum scan (adding a check
+    // adds a column, not a pass), uniqueness is a two-level keyed
+    // aggregate, and referential integrity is a LEFT SEMI count
+    // against the customer key set (Checks scaladoc). Exact integer
+    // (passed, total) per check — the 100 TB ingest gate wants counts,
+    // not booleans.
+    "q_dq_checks" -> QueryDef(
+      "data-quality constraint suite over orders (5 named checks)",
+      """SELECT check_name, CAST(passed AS BIGINT) AS passed,
+        |  CAST(total AS BIGINT) AS total FROM (
+        |  SELECT 'not_null:o_custkey' AS check_name,
+        |    count(o_custkey) AS passed, count(*) AS total FROM orders
+        |  UNION ALL
+        |  SELECT 'pred:positive_price',
+        |    count(*) FILTER (WHERE o_totalprice > 0), count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'pred:known_status',
+        |    count(*) FILTER (WHERE o_orderstatus IN ('O', 'F', 'P')),
+        |    count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    coalesce(sum(CASE WHEN n = 1 THEN n END), 0),
+        |    coalesce(sum(n), 0)
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'fk:o_custkey',
+        |    count(*) FILTER (WHERE o_custkey IN
+        |      (SELECT c_custkey FROM customer)),
+        |    count(*) FROM orders)
+        |ORDER BY check_name""".stripMargin) { (spark, dir) =>
+      import graft.operators.Checks._
+      run(t(spark, dir)("orders"), Seq(
+        NotNull("o_custkey"),
+        Predicate("pred:positive_price", col("o_totalprice") > 0),
+        Predicate("pred:known_status",
+          col("o_orderstatus").isin("O", "F", "P")),
+        Unique("o_orderkey"),
+        ForeignKey("o_custkey", t(spark, dir)("customer"), "c_custkey")))
+    },
+
     // Integer-exact PageRank over the (symmetrized) supplier–customer
     // trade graph — rank propagation as repeated co-partitioned joins
     // (GraphOps.pageRank scaladoc: ppt-scaled longs, divide-before-sum,
@@ -307,6 +388,25 @@ object Relational {
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
       graft.operators.GraphOps.labelPropagation(edges, "src", "dst", 3)
         .select(col("node"), col("label").as("community"))
+        .orderBy("node")
+    },
+
+    // k-core of the trade graph — fixed-round synchronous peeling
+    // toward the maximal everyone-keeps-k-neighbors subgraph
+    // (GraphOps.kCore scaladoc: the dense-region selector for
+    // graph-aware sampling; pure integer set algebra per round, so
+    // the unrolled oracle replays it exactly). k=25 bites at this
+    // graph's customer degrees (~40 distinct suppliers per customer)
+    // so the peel actually removes nodes and cascades.
+    "q_kcore" -> QueryDef(
+      "25-core of the supplier<->customer trade graph (3 peel rounds)",
+      Relational.kcoreOracle(25, 3)) { (spark, dir) =>
+      val edges = t(spark, dir)("lineitem")
+        .join(t(spark, dir)("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      graft.operators.GraphOps.kCore(edges, "src", "dst", k = 25, rounds = 3)
         .orderBy("node")
     },
 

@@ -541,5 +541,60 @@ object Streams {
           col("r_val.event_id").as("purchase_id"),
           unix_micros(col("r_ts")).as("purchase_us"))
         .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
+    },
+
+    // FULL OUTER completes the interval-join family: both directions
+    // of the eviction-made-visible contract at once — unmatched views
+    // null-emit at the left cutoff (same as q_stream_join_outer) AND
+    // unmatched purchases null-emit at the right cutoff (a right row
+    // can stop waiting once the watermark passes the latest left event
+    // time that could still match it, r_ts − lower; with lower = 0 the
+    // strict-ms boundary is p.us ≤ (wm − 1) ms). State is the same as
+    // the inner join — the null paths add none.
+    "q_stream_join_full" -> QueryDef(
+      "stream-stream FULL OUTER interval join: both sides null-emit at their cutoffs",
+      """WITH v AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(us // 1000) FROM v),
+        |                    (SELECT max(us // 1000) FROM p)) - 1800000 AS w_ms),
+        |m AS (SELECT v.user_id, v.event_id AS view_id, v.us AS view_us,
+        |             p.event_id AS purchase_id, p.us AS purchase_us
+        |      FROM v JOIN p ON v.user_id = p.user_id
+        |       AND p.us >= v.us AND p.us <= v.us + 1800000000),
+        |u AS (SELECT v.user_id, v.event_id AS view_id, v.us AS view_us,
+        |             CAST(NULL AS BIGINT) AS purchase_id,
+        |             CAST(NULL AS BIGINT) AS purchase_us
+        |      FROM v, wm
+        |      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |              AND p.us >= v.us AND p.us <= v.us + 1800000000)
+        |        AND v.us <= (w_ms - 1800001) * 1000),
+        |ur AS (SELECT p.user_id, CAST(NULL AS BIGINT) AS view_id,
+        |              CAST(NULL AS BIGINT) AS view_us,
+        |              p.event_id AS purchase_id, p.us AS purchase_us
+        |       FROM p, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |               AND p.us >= v.us AND p.us <= v.us + 1800000000)
+        |         AND p.us <= (w_ms - 1) * 1000)
+        |SELECT user_id, view_id, view_us, purchase_id, purchase_us
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM u
+        |      UNION ALL SELECT * FROM ur)
+        |ORDER BY view_id NULLS LAST, purchase_id NULLS FIRST""".stripMargin) {
+      (spark, dir) =>
+      def side(kind: String) = eventStream(spark, dir)
+        .where(col("event_type") === kind)
+        .select(col("user_id"), col("tstamp"), col("event_id"))
+      val joined = EventTime.intervalJoin(
+        side("view"), side("purchase"), "user_id", "tstamp", "tstamp",
+        lowerBound = "0 seconds", upperBound = "30 minutes",
+        watermarkDelay = "30 minutes", joinType = "full_outer")
+      runStream(spark, joined, OutputMode.Append())
+        .select(col("user_id"), col("l_val.event_id").as("view_id"),
+          unix_micros(col("l_ts")).as("view_us"),
+          col("r_val.event_id").as("purchase_id"),
+          unix_micros(col("r_ts")).as("purchase_us"))
+        .orderBy(col("view_id").asc_nulls_last,
+          col("purchase_id").asc_nulls_first)
     })
 }

@@ -411,6 +411,37 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM quality score — q_lm_score with word-ORDER context
+    // (TextAnalysis.bigramLmScore scaladoc: add-1 smoothed
+    // p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V), context counts from the
+    // bigram table's own event space, score join keyed on the bigram
+    // instead of force-broadcast — the model table is one row per
+    // distinct corpus bigram).
+    "q_bigram_lm" -> QueryDef(
+      "bigram-LM mean negative log-likelihood per document (word-order quality)",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |           FROM documents),
+        |tt AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 2),
+        |b AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg
+        |      FROM tt, unnest(range(1, n)) AS u(i)),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2),
+        |cbg AS (SELECT bg, split_part(bg, ' ', 1) AS w1, sum(tf) AS cbg
+        |        FROM tf GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cbg) AS cw1 FROM cbg GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM (
+        |        SELECT w1 AS t FROM cbg
+        |        UNION SELECT split_part(bg, ' ', 2) FROM cbg)),
+        |lp AS (SELECT bg,
+        |         round(ln(CAST(cbg + 1 AS DOUBLE) / CAST(cw1 + v AS DOUBLE)), 6)::DECIMAL(30,6) AS logp
+        |       FROM cbg JOIN ctx USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(logp * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS nll
+        |FROM tf JOIN lp USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      TextAnalysis.bigramLmScore(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Per-source median-gated quality filter: score every doc with the
     // unigram-LM nll (q_lm_score's operator), take each source's exact
     // median, keep docs at-or-below it (better-than-median quality) —

@@ -124,7 +124,9 @@ object EventTime {
         col("r_ts") >= expr(s"l_ts + INTERVAL $lowerBound") &&
         col("r_ts") <= expr(s"l_ts + INTERVAL $upperBound"),
       joinType)
-      .select(col("__k").as(keyCol), col("l_ts"), col("l_val"),
-        col("r_ts"), col("r_val"))
+      // full_outer emits right-only rows whose left side is all-null —
+      // the key must come from whichever side is present
+      .select(coalesce(col("__k"), col("__rk")).as(keyCol),
+        col("l_ts"), col("l_val"), col("r_ts"), col("r_val"))
   }
 }

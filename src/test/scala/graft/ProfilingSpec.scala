@@ -67,4 +67,32 @@ class ProfilingSpec extends SparkSpec {
     val scans = "LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size
     assert(scans == 1, s"expected one scan, plan:\n$plan")
   }
+
+  test("histogram: exact integer bins, ceiling width, nulls and empty bins absent") {
+    import spark.implicits._
+    // a: 0..9 over 4 bins → width (9-0+4) div 4 = 3: bins [0,2][3,5]
+    // [6,8][9,11]; b: constant 7 with one null → width 1, one bin
+    val df = ((0 to 9).map(i => (Some(i.toLong), Some(7L))) :+
+      ((Some(0L): Option[Long], None: Option[Long]))).toDF("a", "b")
+    val got = Profiling.histogram(df, Seq("a", "b"), 4)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 0L, 2L, 4L),  // 0,1,2 plus the extra (0, null) row
+      ("a", 1L, 3L, 5L, 3L),
+      ("a", 2L, 6L, 8L, 3L),
+      ("a", 3L, 9L, 11L, 1L),
+      ("b", 0L, 7L, 7L, 10L)))
+  }
+
+  test("histogram: doubles floor before binning; empty input yields no rows, not an NPE") {
+    import spark.implicits._
+    // 2.9 floors to 2, not rounds to 3 — the cross-engine trap the
+    // explicit floor exists for
+    val df = Seq(0.1, 2.9).toDF("x")
+    val got = Profiling.histogram(df, Seq("x"), 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // min 0, max 2, width (2-0+2) div 2 = 2: bins [0,1] and [2,3]
+    assert(got == Set(("x", 0L, 0L, 1L, 1L), ("x", 1L, 2L, 3L, 1L)))
+    assert(Profiling.histogram(df.limit(0), Seq("x"), 2).count() == 0L)
+  }
 }

@@ -81,4 +81,19 @@ class Scd2Spec extends SparkSpec {
       }
     } finally v.unpersist()
   }
+
+  test("dwell: run durations sum per state, open interval closes at the horizon") {
+    import spark.implicits._
+    // key 1: a@0..10, b@10..25, a@25..horizon(100) — 'a' holds 10+75,
+    // 'b' holds 15; key 2: b@5..horizon — 95. No-op repeat (a@7) must
+    // not split a run.
+    val log = Seq(
+      (1L, 0L, "a"), (1L, 7L, "a"), (1L, 10L, "b"), (1L, 25L, "a"),
+      (2L, 5L, "b"))
+      .toDF("k", "t", "s")
+    val got = Temporal.dwell(log, "k", "s", "t", horizon = 100L)
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, n) => s -> ((d, n)) }.toMap
+    assert(got == Map("a" -> ((85L, 2L)), "b" -> ((110L, 2L))))
+  }
 }
