@@ -160,6 +160,52 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Multi-source BFS hop distance, fixed rounds — reachability WITH
+    * distance, where connected components (reachability only) and
+    * PageRank (global weight) don't answer "how far from the trusted
+    * seed set?": the link-distance corpus filter (domains ≤ k hops
+    * from a curated whitelist) and the blast-radius query on an
+    * entity graph.
+    *
+    * Synchronous relaxation over the symmetrized edge list: round t+1
+    * distances are min(dist_t, 1 + min over in-neighbors' dist_t) —
+    * pure integer min-plus algebra, so the rounds are engine-exact
+    * under any partition layout and an unrolled SQL oracle replays
+    * them bit-for-bit. After k rounds distances ≤ k are final (BFS
+    * frontier argument: a length-d shortest path relaxes once per
+    * round); unreached nodes are absent from the output.
+    *
+    * Shape at scale: per round ONE join (edges ⋈ dists, both
+    * hash-partitioned on the node key, consecutive rounds reuse the
+    * exchange layout) + one map-side-combined min aggregate; state is
+    * one long per reached node; lineage truncates per round; nothing
+    * reaches the driver. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "shortestPaths needs rounds >= 1")
+    val und = edges
+      .where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+    val e = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .graftCkptMem()
+    var dist = sources
+      .select(col(sourceCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("d"))
+      .graftCkptMem()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("node").as("u"), col("d")), "u")
+        .select(col("v").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .graftCkptMem()
+    }
+    dist.select(col("node"), col("d").as("dist"))
+  }
+
   /** Fixed-round k-core peeling — the dense-subgraph extractor that
     * complements triangles (local density) and label propagation
     * (partitioning): the k-core is the maximal subgraph where every

@@ -259,6 +259,131 @@ object Profiling {
         col("na").as("n_a"), col("nb").as("n_b"))
   }
 
+  /** Pearson correlation matrix over numeric columns in ONE
+    * aggregation pass — the column-dependence statistic next to
+    * [[histogram]] in a catalog (a CBO uses it to de-bias conjunctive
+    * selectivity; a feature pipeline uses it to drop redundant
+    * columns). A naive `SELECT corr(a, b)` loop is one corpus scan per
+    * pair; here every pair's six sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are conditional aggregates in the SAME plan, so
+    * the table scans once and the shuffle carries one partial row per
+    * partition.
+    *
+    * ENGINE-EXACT by the repo's standard recipe: inputs cast to
+    * DECIMAL(18,2), products/sums accumulate as exact DECIMAL (no
+    * float summation order), and only the final r-formula runs in
+    * doubles — a fixed scalar expression tree on bit-identical
+    * inputs, so both engines produce the same IEEE result, rounded
+    * to 6 decimals. Pairwise-complete null handling: each pair's
+    * stats count only rows where BOTH columns are non-null.
+    *
+    * Output: (col_a, col_b, n, corr) for each i<j pair, corr null
+    * when either side has zero variance. */
+  def corr(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corr needs at least two columns")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = when(both, col(a).cast(dec))
+      val y = when(both, col(b).cast(dec))
+      Seq(
+        count(when(both, lit(1))).as(s"n_$p"),
+        sum(x).as(s"sx_$p"), sum(y).as(s"sy_$p"),
+        sum(x * y).as(s"sxy_$p"),
+        sum(x * x).as(s"sxx_$p"), sum(y * y).as(s"syy_$p"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), p) =>
+      val nD = col(s"n_$p").cast(DoubleType)
+      val (sx, sy) = (col(s"sx_$p").cast(DoubleType), col(s"sy_$p").cast(DoubleType))
+      val (sxy, sxx, syy) = (col(s"sxy_$p").cast(DoubleType),
+        col(s"sxx_$p").cast(DoubleType), col(s"syy_$p").cast(DoubleType))
+      val denx = nD * sxx - sx * sx
+      val deny = nD * syy - sy * sy
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"n_$p").cast(LongType).as("n"),
+        when(denx > 0d && deny > 0d,
+          round((nD * sxy - sx * sy) / sqrt(denx * deny), 6)).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
+        col("e.n").as("n"), col("e.corr").as("corr"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** [[corr]] as DuckDB SQL — one arm per pair, replaying the exact
+    * DECIMAL sufficient statistics and the identical double-precision
+    * r-formula (same parenthesization, same guard, same rounding). */
+  def corrDuckDbSql(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val arms = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(count(*) AS BIGINT) AS n,
+         |  CASE WHEN CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE)
+         |            - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) > 0
+         |        AND CAST(count(*) AS DOUBLE) * CAST(sum(y*y) AS DOUBLE)
+         |            - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) > 0
+         |  THEN round((CAST(count(*) AS DOUBLE) * CAST(sum(x*y) AS DOUBLE)
+         |              - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+         |    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE)
+         |            - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+         |         * (CAST(count(*) AS DOUBLE) * CAST(sum(y*y) AS DOUBLE)
+         |            - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6)
+         |  END AS corr
+         |FROM (SELECT CAST($a AS DECIMAL(18,2)) AS x,
+         |             CAST($b AS DECIMAL(18,2)) AS y
+         |      FROM $table WHERE $a IS NOT NULL AND $b IS NOT NULL)""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |) ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Mutual information between two categorical columns — the
+    * dependence statistic [[corr]] can't see (corr is linear/numeric;
+    * MI catches ANY association): the feature-selection and
+    * schema-discovery primitive ("does source predict lang?").
+    *
+    * MI = Σ_ab (c_ab/n)·ln(n·c_ab/(c_a·c_b)) over the joint
+    * distribution. ONE corpus pass builds the joint count table
+    * (map-side combined, |A|·|B| bounded — the categorical contract,
+    * same as [[mcv]]); marginals and the total derive from that tiny
+    * frame, never rescanning the corpus. Determinism is lmScore's
+    * recipe: each cell's ln rounds to 6 decimals, accumulation is
+    * exact DECIMAL weighted by the integer cell count, the final
+    * divide is one IEEE op.
+    *
+    * Output: one row (n, n_cells, mi) — mi in nats, 0 when the
+    * columns are independent. Null rows on either side are excluded
+    * (null counts are [[profile]]'s job). */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val joint = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast(StringType).as("a"),
+        col(colB).cast(StringType).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy()
+    joint
+      .withColumn("ca", sum(col("c")).over(wa))
+      .withColumn("cb", sum(col("c")).over(wb))
+      .withColumn("n", sum(col("c")).over(wn))
+      .select(col("n"), col("c"),
+        round(log((col("n") * col("c")).cast(DoubleType) /
+          (col("ca") * col("cb")).cast(DoubleType)), 6).cast(dec).as("l"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("l") * col("c")).as("__s"))
+      .select(col("n"), col("n_cells"),
+        round(col("__s").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("mi"))
+  }
+
   /** [[histogram]] as DuckDB SQL over `table` — the identical floor /
     * ceiling-width / integer-div bin math, one arm per column. */
   def histDuckDbSql(table: String, cols: Seq[String], bins: Int): String = {

@@ -138,6 +138,86 @@ object Temporal {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Interval union per key ("islands and gaps"): merge overlapping or
+    * touching [start, end) intervals and report per-key coverage — the
+    * activity-time / uptime / sensor-coverage readout, and the dual of
+    * [[dwell]] (dwell sums BETWEEN state changes; this sums the union
+    * of explicitly-given intervals, where overlaps must not double
+    * count).
+    *
+    * Classic windowed formulation, one shuffle on `keyCol`: order each
+    * key's intervals by (start, end), an island BREAK is a start
+    * strictly beyond the running max of all previous ends, the island
+    * id is the running sum of breaks, and each (key, island) group
+    * reduces to its span. All integer arithmetic on the time values —
+    * engine-exact under any partitioning because the two windows read
+    * a pinned (start, end) order. Per-key row counts bound the sort;
+    * the island rollup is map-side combinable.
+    *
+    * Output: (key, n_islands, covered) — covered in the time unit of
+    * the inputs, end exclusive. */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val breaks = df
+      .select(col(keyCol), col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .withColumn("__brk",
+        when(col("__s") > coalesce(prevMax, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    breaks
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(min(col("__s")).as("__lo"), max(col("__e")).as("__hi"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__hi") - col("__lo")).as("covered"))
+  }
+
+  /** First-order Markov transition model over per-key ordered event
+    * sequences — the behavioral-analytics complement of the funnel
+    * (funnels count a FIXED path; this estimates the full
+    * state-transition matrix: where do users actually go next?).
+    *
+    * ONE shuffle on `keyCol` for the lag pass (per-key sort, order
+    * pinned by (`orderCol`, `tiebreakCol`) so equal timestamps can't
+    * flip pairs between engines); transition pairs then reduce
+    * map-side to the |states|² matrix. The row-normalizing total joins
+    * back as a BROADCAST (the matrix is states-bounded, corpus
+    * independent). Probability = round(cnt/total, 6) — one IEEE divide
+    * on exact integers, both engines agree.
+    *
+    * Output: (from_state, to_state, cnt, p). */
+  def transitions(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tiebreakCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tiebreakCol))
+    val pairs = df
+      .select(col(keyCol), col(orderCol), col(tiebreakCol),
+        col(stateCol).as("to_state"))
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .where(col("from_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_state")
+      .agg(sum(col("cnt")).as("__tot"))
+    pairs.join(broadcast(totals), "from_state")
+      .select(col("from_state"), col("to_state"), col("cnt"),
+        round(col("cnt").cast("double") / col("__tot").cast("double"), 6)
+          .as("p"))
+  }
+
   /** Self range-join count: for every row, how many rows with the same
     * `keys` fall in the half-open time window (t, t + window]. A naive
     * formulation is an inequality join, which Spark plans as a

@@ -870,5 +870,57 @@ object Cdc {
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
           .orderBy("hour_bucket", "event_type")
+    },
+
+    // Interval union ("islands and gaps", Temporal.mergeIntervals
+    // scaladoc): each event opens a 30-minute activity interval; the
+    // per-user union is their real active time, overlaps counted once
+    // — the uptime/coverage readout the tumbling windows above can't
+    // give (a window counts events; this measures covered TIME). One
+    // keyed shuffle, integer nano arithmetic end-to-end.
+    "q_interval_merge" -> QueryDef(
+      "per-user merged 30-min activity intervals: island count + covered time",
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s,
+        |              epoch_ns(ts) + 1800000000000 AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+        |         ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       -1) THEN 1 ELSE 0 END AS brk FROM iv),
+        |i AS (SELECT user_id, s, e,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+        |g AS (SELECT user_id, isl, min(s) AS lo, max(e) AS hi
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(hi - lo) AS BIGINT) AS covered
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val iv = t(spark, dir)("events")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + 1800000000000L).as("e"))
+      Temporal.mergeIntervals(iv, "user_id", "s", "e")
+        .orderBy("user_id")
+    },
+
+    // First-order Markov transition matrix over each user's event
+    // sequence (Temporal.transitions scaladoc): where the funnel
+    // counts one fixed path, this estimates the full next-state
+    // distribution. (ts, event_id) pins the order so equal timestamps
+    // can't flip pairs between engines; p = one IEEE divide on exact
+    // integer counts.
+    "q_transitions" -> QueryDef(
+      "event-type Markov transition matrix (counts + row-normalized p)",
+      """WITH s AS (SELECT user_id, event_type AS to_state,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS from_state FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS cnt FROM s
+        |      WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(cnt) AS t FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, CAST(cnt AS BIGINT) AS cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
+        |FROM c JOIN tot ON c.from_state = tot.from_state
+        |ORDER BY c.from_state, to_state""".stripMargin) { (spark, dir) =>
+      Temporal.transitions(t(spark, dir)("events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_state", "to_state")
     })
 }

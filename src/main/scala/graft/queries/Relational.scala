@@ -120,6 +120,29 @@ object Relational {
        |GROUP BY n ORDER BY node""".stripMargin
   }
 
+  /** Unrolled multi-source BFS oracle — one min-plus relaxation CTE
+    * per round, replaying GraphOps.shortestPaths' synchronous integer
+    * rule (dist' = min(dist, 1 + in-neighbor dist)) exactly. */
+  private[queries] def bfsOracle(rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT node, min(d) AS d FROM (
+         |  SELECT node, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.v AS node, p.d + 1 AS d
+         |  FROM e JOIN d${i - 1} p ON e.u = p.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM g WHERE src <> dst),
+       |e AS (SELECT a AS u, b AS v FROM u0 UNION ALL SELECT b, a FROM u0),
+       |d0 AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node, 0 AS d
+       |       FROM supplier WHERE s_nationkey = 0),
+       |$iterCtes
+       |SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "q1_agg" -> QueryDef(
@@ -407,6 +430,41 @@ object Relational {
         .select(col("l_suppkey").cast(LongType).as("src"),
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
       graft.operators.GraphOps.kCore(edges, "src", "dst", k = 25, rounds = 3)
+        .orderBy("node")
+    },
+
+    // Pearson correlation matrix in ONE pass (Profiling.corr scaladoc:
+    // all pairs' sufficient statistics are conditional aggregates in
+    // the same plan — one scan, one partial row per partition; exact
+    // DECIMAL sums, the r-formula is a fixed double expression tree
+    // both engines evaluate identically).
+    "q_corr" -> QueryDef(
+      "single-pass Pearson correlation matrix over lineitem numerics",
+      graft.operators.Profiling.corrDuckDbSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount"))) { (spark, dir) =>
+      graft.operators.Profiling.corr(t(spark, dir)("lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // Multi-source BFS hop distances from the nation-0 supplier seed
+    // set over the trade graph (GraphOps.shortestPaths scaladoc:
+    // synchronous min-plus relaxation, one co-partitioned join + min
+    // aggregate per round, integer-exact so the unrolled oracle
+    // replays it bit-for-bit). The "how far from the trusted seeds"
+    // filter shape.
+    "q_bfs" -> QueryDef(
+      "BFS hop distance from nation-0 suppliers over the trade graph (3 rounds)",
+      Relational.bfsOracle(3)) { (spark, dir) =>
+      val edges = t(spark, dir)("lineitem")
+        .join(t(spark, dir)("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      val seeds = t(spark, dir)("supplier")
+        .where(col("s_nationkey") === 0)
+        .select(col("s_suppkey"))
+      graft.operators.GraphOps
+        .shortestPaths(edges, "src", "dst", seeds, "s_suppkey", rounds = 3)
         .orderBy("node")
     },
 

@@ -823,6 +823,31 @@ object Text {
           .orderBy("doc_id")
     },
 
+    // Mutual information between source and lang — the categorical
+    // dependence statistic (Profiling.mutualInfo scaladoc: corr is
+    // numeric/linear, MI catches any association; the
+    // does-source-predict-lang mixture diagnostic). One corpus pass
+    // builds the |sources|·|langs| joint table; everything after runs
+    // on that tiny frame. lmScore's rounded-ln + exact-DECIMAL
+    // determinism recipe.
+    "q_mutual_info" -> QueryDef(
+      "mutual information (nats) between document source and lang",
+      """WITH joint AS (SELECT CAST(source AS VARCHAR) AS a,
+        |    CAST(lang AS VARCHAR) AS b, count(*) AS c
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT a, b, c,
+        |  sum(c) OVER (PARTITION BY a) AS ca,
+        |  sum(c) OVER (PARTITION BY b) AS cb,
+        |  sum(c) OVER () AS n FROM joint)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(CAST(sum(CAST(round(ln(CAST(n * c AS DOUBLE) /
+        |      CAST(ca * cb AS DOUBLE)), 6) AS DECIMAL(30,6)) * c) AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) AS mi
+        |FROM m GROUP BY n""".stripMargin) { (spark, dir) =>
+      graft.operators.Profiling.mutualInfo(docs(spark, dir), "source", "lang")
+    },
+
     // Asymmetric CONTAINMENT near-dup (Dedup.containmentPairs
     // scaladoc): quote/extraction detection that symmetric Jaccard
     // rejects by design. The oracle IS the naive all-ordered-pairs

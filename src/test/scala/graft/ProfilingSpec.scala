@@ -95,4 +95,38 @@ class ProfilingSpec extends SparkSpec {
     assert(got == Set(("x", 0L, 0L, 1L, 1L), ("x", 1L, 2L, 3L, 1L)))
     assert(Profiling.histogram(df.limit(0), Seq("x"), 2).count() == 0L)
   }
+
+  test("corr: exact ±1 on linear columns, null on zero variance, pairwise-complete n") {
+    import spark.implicits._
+    // b = 2a (r=1), c = -a (r=-1), d constant (zero variance → null),
+    // and one row where b is null — the (a,b) pair must count 3 rows
+    // while (a,c) counts all 4.
+    val df = Seq(
+      (1.0, Some(2.0), -1.0, 5.0), (2.0, Some(4.0), -2.0, 5.0),
+      (3.0, Some(6.0), -3.0, 5.0), (4.0, None, -4.0, 5.0))
+      .toDF("a", "b", "c", "d")
+    val got = Profiling.corr(df, Seq("a", "b", "c", "d"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map { case (x, y, n, r) => (x, y) -> ((n, r)) }.toMap
+    assert(got(("a", "b")) == ((3L, Some(1.0))))
+    assert(got(("a", "c")) == ((4L, Some(-1.0))))
+    assert(got(("a", "d")) == ((4L, None)))
+    assert(got(("b", "c")) == ((3L, Some(-1.0))))
+    assert(got.size == 6)
+  }
+
+  test("mutualInfo: 0 nats for independent columns, ln k for a bijection") {
+    import spark.implicits._
+    // Independent 2x2 uniform: MI = 0 exactly.
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val mi0 = Profiling.mutualInfo(ind, "a", "b")
+      .as[(Long, Long, Double)].collect().head
+    assert(mi0 == ((4L, 4L, 0.0)))
+    // Bijection over 2 uniform values: MI = ln 2 (rounded recipe:
+    // round(ln 2, 6) accumulates exactly).
+    val bij = Seq(("x", "u"), ("y", "v"), ("x", "u"), ("y", "v")).toDF("a", "b")
+    val mi1 = Profiling.mutualInfo(bij, "a", "b")
+      .as[(Long, Long, Double)].collect().head
+    assert(mi1 == ((4L, 2L, 0.693147))) // round(ln 2, 6)
+  }
 }

@@ -96,4 +96,39 @@ class Scd2Spec extends SparkSpec {
       .map { case (s, d, n) => s -> ((d, n)) }.toMap
     assert(got == Map("a" -> ((85L, 2L)), "b" -> ((110L, 2L))))
   }
+
+  test("mergeIntervals: overlaps and touches merge, gaps split islands, no double count") {
+    import spark.implicits._
+    // key 1: [0,10) ∪ [5,15) overlap → [0,15); [15,20) TOUCHES (end
+    // exclusive: 15 > 15 is false) → still one island [0,20); [30,35)
+    // is a gap → second island. Covered 20 + 5 = 25.
+    // key 2: nested [0,100) ⊃ [10,20) → one island, covered 100 (the
+    // cummax-over-PREVIOUS-rows guard: a later interval ending before
+    // the running max must not close the island).
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L), (1L, 30L, 35L),
+      (2L, 0L, 100L), (2L, 10L, 20L))
+      .toDF("k", "s", "e")
+    val got = Temporal.mergeIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    assert(got == Map(1L -> ((2L, 25L)), 2L -> ((1L, 100L))))
+  }
+
+  test("transitions: lag pairs per key, row-normalized p, tiebreak pins equal timestamps") {
+    import spark.implicits._
+    // key 1: a->b->a->b; key 2: b->b. Cross-key pairs must not exist.
+    // Two rows at t=5 for key 1 order by the id tiebreak (3 before 4).
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (1L, 5L, 3L, "b"), (1L, 5L, 4L, "a"),
+      (1L, 9L, 5L, "b"), (2L, 0L, 6L, "b"), (2L, 1L, 7L, "b"))
+      .toDF("k", "t", "id", "s")
+    val got = Temporal.transitions(ev, "k", "t", "id", "s")
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, to, c, p) => (f, to) -> ((c, p)) }.toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 0.5))))
+  }
 }
