@@ -5,9 +5,10 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsCompaction, TwsKmv, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
+import graft.streaming.{EventTime, StreamingDedup, TwsAnomaly, TwsCompaction, TwsKmv, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -459,6 +460,40 @@ object Streams {
           .select(col("key").as("user_id"), col("attr").as("event_type"),
             col("valid_from"), col("valid_to"))
           .orderBy("user_id", "valid_from")
+      }
+    },
+
+    // Streaming z-score anomaly flags on transformWithState
+    // (TwsAnomaly scaladoc): running mean/variance as THREE longs of
+    // keyed state, integer cross-multiplied test — no division, no
+    // sqrt — so the batch window replay agrees row-for-row. Values
+    // pre-scale to cents via the DECIMAL(18,2) cast both engines
+    // share. One AvailableNow batch == the full prior-rows window.
+    "q_stream_anomaly" -> QueryDef(
+      "streaming 3-sigma anomaly flags per user (running stats as keyed state)",
+      """WITH v AS (SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, x,
+        |    count(*) OVER win AS n, sum(x) OVER win AS s,
+        |    sum(x * x) OVER win AS q
+        |  FROM v WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, CAST(event_id AS BIGINT) AS "offset", x,
+        |  CAST(n AS BIGINT) AS n_prior
+        |FROM w
+        |WHERE n >= 5 AND CAST(n * x - s AS HUGEINT) * (n * x - s)
+        |  > 9 * CAST(n * q - s * s AS HUGEINT)
+        |ORDER BY user_id, "offset"""".stripMargin) { (spark, dir) =>
+      val obs = Tables.loadStream(spark, dir, "events")
+        .select(col("user_id").as("key"), col("event_id").as("offset"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("x"))
+      withRocksDb(spark) {
+        runStream(spark, TwsAnomaly.anomalyStream(obs, k = 3, minN = 5).toDF(),
+          OutputMode.Append())
+          .select(col("key").as("user_id"), col("offset"), col("x"),
+            col("n_prior"))
+          .orderBy("user_id", "offset")
       }
     },
 

@@ -1609,6 +1609,99 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Boilerplate removal by segment frequency — the OTHER half of the
+    // C4 recipe next to q_line_dedup: line_dedup KEEPS the first
+    // occurrence of a repeated segment; boilerplate removal drops a
+    // high-frequency segment EVERYWHERE (a nav bar or license footer
+    // appearing in many documents of one source is noise in all of
+    // them, including the first). Segmentation is q_line_dedup's
+    // 10-token windows; the rule is ≥ 2 DISTINCT docs within the SAME
+    // source. The frequency table reduces map-side to distinct
+    // (source, digest) rows; the verdict joins back keyed on that pair
+    // (AQE broadcasts it when the boilerplate set is small);
+    // reconstruction is per-document local.
+    "q_boilerplate" -> QueryDef(
+      "drop segments repeated across >= 2 docs of a source, rebuild documents",
+      """WITH t AS (SELECT doc_id, source,
+        |             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |           FROM documents),
+        |tt AS (SELECT doc_id, source, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |segs AS (
+        |  SELECT doc_id, source, CAST(s AS BIGINT) AS seg_id,
+        |    list_aggregate(w[s * 10 + 1 : least((s + 1) * 10, n)],
+        |      'string_agg', ' ') AS seg
+        |  FROM tt, unnest(range(0, (n + 9) // 10)) AS u(s)),
+        |f AS (SELECT source, md5(seg) AS k, count(DISTINCT doc_id) AS nd
+        |      FROM segs GROUP BY 1, 2),
+        |m AS (SELECT s.doc_id, s.seg_id, s.seg, (f.nd >= 2) AS bp
+        |      FROM segs s JOIN f ON s.source = f.source AND md5(s.seg) = f.k)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_id)
+        |    FILTER (WHERE NOT bp), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE NOT bp) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE bp) AS BIGINT) AS n_dropped
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val segs = docs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("__t"))
+        .where(size(col("__t")) > 0)
+        .select(col("doc_id"), col("source"), col("__t"),
+          explode(sequence(lit(0L),
+            expr("cast((size(__t) + 9) div 10 as bigint) - 1"))).as("seg_id"))
+        .select(col("doc_id"), col("source"), col("seg_id"),
+          array_join(slice(col("__t"),
+            (col("seg_id") * 10 + 1).cast(IntegerType), lit(10)), " ").as("seg"))
+        .withColumn("__k", md5(col("seg")))
+      val boiler = segs.groupBy("source", "__k")
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+        .where(col("__nd") >= 2)
+        .select(col("source"), col("__k"), lit(true).as("__bp"))
+      segs.join(boiler, Seq("source", "__k"), "left_outer")
+        .withColumn("__kept", col("__bp").isNull)
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            sort_array(collect_list(when(col("__kept"),
+              struct(col("seg_id"), col("seg"))))),
+            x => x("seg")), " ").as("clean_text"),
+          sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("__kept"), 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("doc_id")
+    },
+
+    // Per-document n-gram NOVELTY — the inverse signal of the dedup
+    // family: near-dup queries find what's REPEATED; novelty scores
+    // how much of a document is seen nowhere else (df = 1 over the
+    // corpus), the diversity-weighting input for corpus mixing.
+    // Reuses the map-side-distinct gram machinery (TextAnalysis.grams
+    // scaladoc: per-row array_distinct before the explode — no gram
+    // shuffle for dedup); the df table reduces map-side and joins
+    // keyed on the gram.
+    "q_ngram_novelty" -> QueryDef(
+      "fraction of each doc's distinct 5-grams unique to it corpus-wide",
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, g, 5) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text)-3, 2))) AS g
+        |        FROM documents)),
+        |d AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique,
+        |  round(CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM g JOIN d USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val g = TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5)
+      val dfreq = g.groupBy("gram").agg(count(lit(1)).as("__df"))
+      g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          round(col("n_unique").cast(DoubleType) /
+            col("n_grams").cast(DoubleType), 6).as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // Quality-greedy corpus selection under a per-source token budget —
     // the curation step that turns "rank everything by quality" into an
     // actual training mix: within each source, take documents in
