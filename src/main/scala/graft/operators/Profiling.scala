@@ -314,6 +314,55 @@ object Profiling {
       .orderBy("col_a", "col_b")
   }
 
+  /** Join-size estimation from count-min sketches — the AMS/CMS
+    * classic a cost-based optimizer runs BEFORE committing to a join
+    * order: |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as the minimum
+    * over depths of the sketch dot product Σ_b cmsA[d][b]·cmsB[d][b]
+    * (always ≥ exact — hash collisions only add). Deterministic
+    * md5-derived buckets make the estimate (collisions included)
+    * exactly reproducible by a SQL oracle — the q_cms_count pattern.
+    *
+    * Scale shape: per side, one map-side-combined frequency reduce
+    * (distinct join keys, not the corpus) feeds a FIXED depth×width
+    * sketch aggregate; the dot product joins two sketch tables of
+    * ≤ 4·width rows — corpus-independent. The exact answer (reported
+    * beside the estimate, the deliberate exact-vs-sketch pair the KMV
+    * family established) joins the two REDUCED frequency tables, never
+    * executing the data join it predicts.
+    *
+    * Output: one row (exact_card, cms_estimate). */
+  def joinCardinality(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, width: Int = 1024): DataFrame = {
+    def freq(df: DataFrame, k: String) = df
+      .where(col(k).isNotNull)
+      .groupBy(col(k).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("f"))
+    def cms(fr: DataFrame) = fr
+      .select(explode(sequence(lit(0), lit(3))).as("d"), col("key"), col("f"))
+      .select(col("d"),
+        TextAnalysis.hashBucket(
+          concat(col("d").cast(StringType), lit(":"), col("key")), width)
+          .as("bucket"),
+        col("f"))
+      .groupBy("d", "bucket").agg(sum(col("f")).as("c"))
+    val fa = freq(a, aKey)
+    val fb = freq(b, bKey)
+    val exact = fa.join(fb.select(col("key"), col("f").as("g")), "key")
+      .agg(coalesce(sum(col("f") * col("g")), lit(0L)).as("exact_card"))
+    val dots = cms(fa)
+      .join(cms(fb).select(col("d"), col("bucket"), col("c").as("c2")),
+        Seq("d", "bucket"))
+      .groupBy("d").agg(sum(col("c") * col("c2")).as("s"))
+    // a depth whose sketches share NO occupied bucket has dot product
+    // 0 — it must reach the min as 0, not vanish from the groupBy
+    // (otherwise two disjoint key sets would "estimate" > 0)
+    val est = a.sparkSession.range(4)
+      .select(col("id").cast("int").as("d"))
+      .join(dots, Seq("d"), "left_outer")
+      .agg(min(coalesce(col("s"), lit(0L))).as("cms_estimate"))
+    exact.crossJoin(est)
+  }
+
   /** [[corr]] as DuckDB SQL — one arm per pair, replaying the exact
     * DECIMAL sufficient statistics and the identical double-precision
     * r-formula (same parenthesization, same guard, same rounding). */

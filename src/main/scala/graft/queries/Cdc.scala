@@ -872,6 +872,32 @@ object Cdc {
           .orderBy("hour_bucket", "event_type")
     },
 
+    // Trailing moving average per key — the smoothing/readout window
+    // every metric dashboard runs. One keyed shuffle; the per-key sort
+    // is bounded by that key's event count; the frame is ROWS-based
+    // (4 trailing events) so early rows average over what exists.
+    // Exact DECIMAL sum over the frame, one IEEE divide, round 6 —
+    // engine-exact under (ts, event_id) order pinning.
+    "q_moving_avg" -> QueryDef(
+      "trailing 4-event moving average of value per user",
+      """SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE), 6) AS ma4
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(spark, dir)("events")
+        .select(col("user_id"), col("event_id").cast(LongType).as("event_id"),
+          round(sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType) /
+            count(lit(1)).over(w).cast(DoubleType), 6).as("ma4"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Interval union ("islands and gaps", Temporal.mergeIntervals
     // scaladoc): each event opens a 30-minute activity interval; the
     // per-user union is their real active time, overlaps counted once

@@ -192,6 +192,89 @@ object Relational {
         .orderBy("gid", "src", "lng")
     },
 
+    // CUBE: all 2² grouping-set marginals in one pass (the OLAP
+    // companion of q_rollup's hierarchy; Spark expands grouping sets
+    // in a single aggregate — each input row contributes to every
+    // set map-side, no per-set rescan). grouping_id disambiguates a
+    // real NULL group from a subtotal row.
+    "q_cube" -> QueryDef(
+      "CUBE aggregation over orders by (status, priority)",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("total"),
+          (grouping(col("o_orderstatus")).cast(LongType) * 2 +
+            grouping(col("o_orderpriority")).cast(LongType)).as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("total"))
+        .orderBy("gid", "status", "priority")
+    },
+
+    // k-anonymity audit — the privacy gate a training-data pipeline
+    // runs before release: every quasi-identifier equivalence class
+    // with fewer than k members re-identifies its rows. ONE map-side
+    // combined aggregate over the QI tuple (the class table is
+    // |distinct tuples|, corpus-independent); the HAVING filter
+    // returns only violations. Banding the continuous column
+    // (integer floor-division, engine-exact) is the standard
+    // generalization step that makes k-anonymity on a numeric QI
+    // meaningful at all.
+    "q_kanon" -> QueryDef(
+      "k-anonymity violations (k=5) on (nation, segment, balance band)",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast(LongType).as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .where(col("class_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    },
+
+    // CMS join-size estimation (Profiling.joinCardinality scaladoc):
+    // predict |orders ⋈ customer| from two fixed 4×1024 sketches
+    // without running the join — the CBO's join-ordering input. The
+    // exact answer rides beside the estimate from the reduced
+    // frequency tables (est ≥ exact always; collisions reproduce
+    // exactly under the shared md5 bucket hash).
+    "q_join_card" -> QueryDef(
+      "join cardinality: CMS dot-product estimate vs exact, no join executed",
+      """WITH fa AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS f
+        |            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |fb AS (SELECT CAST(c_custkey AS VARCHAR) AS key, count(*) AS f
+        |       FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |ex AS (SELECT coalesce(sum(fa.f * fb.f), 0) AS exact_card
+        |       FROM fa JOIN fb USING (key)),
+        |ca AS (SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || key), 1, 15))::BIGINT
+        |         % 1024 AS bucket, sum(f) AS c
+        |       FROM fa, unnest(range(0, 4)) AS r(d) GROUP BY 1, 2),
+        |cb AS (SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || key), 1, 15))::BIGINT
+        |         % 1024 AS bucket, sum(f) AS c
+        |       FROM fb, unnest(range(0, 4)) AS r(d) GROUP BY 1, 2),
+        |dot AS (SELECT ca.d, sum(ca.c * cb.c) AS s
+        |        FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+        |        GROUP BY ca.d),
+        |est AS (SELECT min(coalesce(dot.s, 0)) AS cms_estimate
+        |        FROM unnest(range(0, 4)) AS r(d) LEFT JOIN dot ON dot.d = r.d)
+        |SELECT CAST(exact_card AS BIGINT) AS exact_card,
+        |  CAST((SELECT cms_estimate FROM est) AS BIGINT) AS cms_estimate
+        |FROM ex""".stripMargin) { (spark, dir) =>
+      graft.operators.Profiling.joinCardinality(
+        t(spark, dir)("orders"), "o_custkey",
+        t(spark, dir)("customer"), "c_custkey", width = 1024)
+    },
+
     // Exact grouped quantiles: Spark's `percentile` and DuckDB's
     // `quantile_cont` share the same definition (sort, index p·(n−1),
     // linear interpolation); round(6) absorbs last-ulp interpolation

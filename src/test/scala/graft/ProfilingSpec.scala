@@ -115,6 +115,24 @@ class ProfilingSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("joinCardinality: exact = sum of frequency products; wide sketch is collision-free") {
+    import spark.implicits._
+    // A has key 1 ×2, key 2 ×1, key 3 ×1 (3 never joins); B has
+    // 1 ×3, 2 ×2. Exact = 2·3 + 1·2 = 8. With 3 keys in a 65536-wide
+    // sketch no buckets collide, so the estimate must equal exact.
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+    val got = Profiling.joinCardinality(a, "k", b, "k", width = 65536)
+      .as[(Long, Long)].collect().head
+    assert(got == ((8L, 8L)))
+    // disjoint keys: exact 0; the estimate may exceed it (collisions
+    // only ADD) but never goes below
+    val c = Seq(99L).toDF("k")
+    val (ex0, est0) = Profiling.joinCardinality(a, "k", c, "k", width = 4)
+      .as[(Long, Long)].collect().head
+    assert(ex0 == 0L && est0 >= 0L)
+  }
+
   test("mutualInfo: 0 nats for independent columns, ln k for a bijection") {
     import spark.implicits._
     // Independent 2x2 uniform: MI = 0 exactly.
