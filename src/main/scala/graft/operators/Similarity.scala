@@ -481,4 +481,67 @@ object Similarity {
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
     rankTopK(joined, k)
   }
+
+  /** Product-quantization top-k — the memory-bound ANN scale path LSH
+    * and IVF don't cover: the CORPUS compresses to `m` small codes per
+    * vector (here 8 codes over a 16-word codebook = 8 bytes vs 512 for
+    * the raw doubles), and search never touches raw corpus vectors
+    * again — asymmetric distance computation (ADC) sums per-subspace
+    * distances the PROBE precomputes against the codebook
+    * (Jégou et al., TPAMI'11). At 100 TB this is the difference
+    * between an index that fits executor memory and one that doesn't.
+    *
+    * Deterministic, oracle-replayable construction in the IVF oracle's
+    * convention: the codebook is the sub-vectors of the FIRST `nCodes`
+    * corpus vectors by id (no training pass — [[kmeansRefine]] proves
+    * that machinery separately and would drop in as the codebook
+    * source). Encoding = per-subspace argmin of round-6 L2² with
+    * first-index ties; ADC accumulates the rounded per-subspace
+    * distances as exact DECIMAL (lmScore's recipe — order-free), so
+    * both engines rank identical values.
+    *
+    * Shape at scale: encoding is PURE MAP-SIDE (codebook inlined as
+    * literal expressions — k×dim driver scalars, the bounded-driver
+    * contract); probes broadcast with their distance tables; the
+    * ranking is the partial [[TopKByScore]] reduce. The corpus
+    * shuffles only the ≤ k·|probes| partial top-k rows — raw vectors
+    * never leave their scan tasks.
+    *
+    * @return (qid, rank, nid, adist) — rank by (adist asc, nid asc) */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, dim: Int, m: Int,
+      nCodes: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val cb: Array[Seq[Double]] = corpus.orderBy("nid").limit(nCodes)
+      .select(col("vec")).collect().map(_.getSeq[Double](0))
+    require(cb.length == nCodes, s"corpus has fewer than $nCodes vectors")
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def cwLit(s: Int, c: Int): Column =
+      array(cb(c).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    def darr(s: Int): Column = array((0 until nCodes).map(c =>
+      round(l2sq(slice(col("vec"), s * sub + 1, sub), cwLit(s, c)), 6)): _*)
+    val encoded = (0 until m).foldLeft(
+      corpus.select(col("nid"), col("vec"))) { (df, s) =>
+        df.withColumn(s"__c$s", array_position(darr(s), array_min(darr(s))))
+      }.drop("vec")
+    val tables = (0 until m).foldLeft(
+      probes.select(col("qid"), col("vec"))) { (df, s) =>
+        df.withColumn(s"__dt$s", darr(s))
+      }.drop("vec")
+    val dec = DecimalType(30, 6)
+    val adist = (0 until m).map(s =>
+      element_at(col(s"__dt$s"), col(s"__c$s").cast(IntegerType)).cast(dec))
+      .reduce(_ + _)
+    val cand = encoded.crossJoin(broadcast(tables))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adist", adist.cast(DoubleType))
+    cand.groupBy("qid")
+      .agg(TopKByScore.topK(
+        struct((-col("adist")).as("score"), col("nid").as("id")), k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("qid"), (col("__pos") + 1).cast(LongType).as("rank"),
+        col("__e.id").as("nid"), (-col("__e.score")).as("adist"))
+  }
 }

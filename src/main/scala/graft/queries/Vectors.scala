@@ -248,6 +248,22 @@ object Vectors {
       Similarity.pcaProject(corpus, dim = 64, iters = 3).orderBy("vec_id")
     },
 
+    // Product-quantization ANN (Similarity.pqTopK scaladoc): the
+    // corpus compresses to 8 one-byte codes per vector and search
+    // runs entirely on probe-precomputed distance tables — the
+    // memory-bound scale path beside LSH (q_ann_lsh) and IVF
+    // (q_ann_ivf). The oracle rebuilds codebook, encoding and ADC
+    // wholly in SQL from the data (first-16 codebook convention).
+    "q_ann_pq" -> QueryDef(
+      "product-quantization approximate top-10 (8 subspaces × 16 codes, ADC)",
+      pqOracleSql(dim = 64, m = 8, nCodes = 16, k = 10)) { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("vec"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+      Similarity.pqTopK(probes, corpus, dim = 64, m = 8, nCodes = 16, k = 10)
+        .orderBy("qid", "rank")
+    },
+
     // Symmetric int8 quantization — the vector-storage transform.
     // Scale rounds to 6 decimals before quantizing so both engines
     // multiply by the identical factor; checksums are exact integers.
@@ -308,6 +324,42 @@ object Vectors {
        |SELECT d.vec_id, round(sum(d.v[e.i] * (e.val / $S.0)), 6) AS pc1
        |FROM d, v$iters e
        |GROUP BY d.vec_id ORDER BY d.vec_id""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for [[Similarity.pqTopK]]: codebook =
+    * sub-vector slices of the first `nCodes` corpus vectors by id,
+    * encoding = per-subspace argmin of round-6 L2² with lowest-code
+    * ties (row_number, mirroring array_position's first-min), ADC =
+    * DECIMAL-exact sum of the rounded per-subspace distances — the
+    * whole index replayed in SQL from the data alone. */
+  private def pqOracleSql(dim: Int, m: Int, nCodes: Int, k: Int): String = {
+    val sub = dim / m
+    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) AS c, v
+       |        FROM (SELECT vec_id, v FROM d ORDER BY vec_id LIMIT $nCodes)),
+       |cw AS (SELECT s, c, v[s*$sub+1 : s*$sub+$sub] AS w
+       |       FROM cbv, unnest(range(0, $m)) AS u(s)),
+       |sv AS (SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
+       |       FROM d, unnest(range(0, $m)) AS u(s)),
+       |enc AS (SELECT vec_id, s, c AS code FROM (
+       |  SELECT sv.vec_id, sv.s, cw.c,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.s
+       |      ORDER BY round(list_sum(list_transform(range(1, ${sub + 1}),
+       |        i -> (sv.sv[i] - cw.w[i]) * (sv.sv[i] - cw.w[i]))), 6), cw.c) AS rn
+       |  FROM sv JOIN cw ON sv.s = cw.s) WHERE rn = 1),
+       |dt AS (SELECT p.vec_id AS qid, cw.s, cw.c,
+       |    round(list_sum(list_transform(range(1, ${sub + 1}),
+       |      i -> (p.v[cw.s*$sub+i] - cw.w[i]) * (p.v[cw.s*$sub+i] - cw.w[i]))), 6) AS dd
+       |  FROM d p, cw WHERE p.vec_id < 8),
+       |adc AS (SELECT dt.qid, e.vec_id AS nid,
+       |    CAST(sum(CAST(dd AS DECIMAL(30,6))) AS DOUBLE) AS adist
+       |  FROM enc e JOIN dt ON e.s = dt.s AND e.code = dt.c
+       |  WHERE dt.qid <> e.vec_id GROUP BY 1, 2),
+       |r AS (SELECT qid, nid, adist,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY adist, nid) AS BIGINT) AS rank FROM adc)
+       |SELECT qid, rank, nid, adist FROM r WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
   }
 
   private def kmeansOracleSql: String =

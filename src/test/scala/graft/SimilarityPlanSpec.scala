@@ -169,4 +169,37 @@ class SimilarityPlanSpec extends SparkSpec {
     // band-match with probability ~1.
     assert(recall >= 0.4, s"banded recall $recall (${banded.size}/${exact.size})")
   }
+
+  test("PQ: codebook vectors self-encode at distance 0; corpus never broadcasts") {
+    val probes = corpus.where(col("nid") < 8)
+      .select(col("nid").as("qid"), col("vec"))
+    val pq = Similarity.pqTopK(probes, corpus, dim = 64, m = 8,
+      nCodes = 16, k = 10)
+    val rows = pq.collect()
+    // every probe reports exactly k ranked rows, ranks contiguous
+    assert(rows.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to 10L)
+    })
+    // a probe with id < 16 IS a codebook vector: every subspace
+    // quantizes its own sub-vector at L2² = 0, so its own codes give
+    // adist 0 — and any corpus vector sharing those codes (at least
+    // the probe's own row is excluded, but distance-0 rows rank first)
+    // must head the list with adist ≥ 0 ascending
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.sameElements(byRank.sorted), "adist ascending by rank")
+      assert(byRank.head >= 0.0)
+    }
+    // scale shape: exactly one broadcast, and it is the probe side
+    // (its projection carries the __dt distance tables, which exist
+    // only on probes) — the raw corpus never broadcasts
+    withoutAqe {
+      val plan = concretePlan(Similarity.pqTopK(probes, corpus,
+        dim = 64, m = 8, nCodes = 16, k = 10))
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.size == 1)
+      assert(bcasts.head.child.toString.contains("__dt0"),
+        "the broadcast side must be the probe distance tables")
+    }
+  }
 }
