@@ -63,6 +63,58 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppt"))
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * restricted to a SEED set — relevance flows outward from trusted
+    * nodes instead of spreading uniformly, which is the whitelist
+    * corpus filter ("rank every domain by its link-proximity to the
+    * curated set") and the related-entity query on a knowledge graph.
+    * Same integer-exact arithmetic, same per-iteration shape (one
+    * co-partitioned join + aggregate, lineage truncated, |seeds| the
+    * only driver scalar), same simplified dangling model as pageRank;
+    * non-seed nodes receive mass ONLY through links, so unreachable
+    * nodes converge to rank 0 — the property the filter relies on. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      massPpt: Long = 1000000000000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .graftCkptMem()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .graftCkptMem()
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .join(nodes, "node", "left_semi")
+      .graftCkptMem()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ns = seedSet.count()
+    require(ns > 0, "personalizedPageRank needs >= 1 seed present in the graph")
+    val base = ((15L * massPpt) / 100L) / ns
+    val seeded = seedSet.withColumn("__seed", lit(1L))
+    var ranks = nodes
+      .join(seeded, Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(massPpt / ns)).otherwise(lit(0L))
+          .as("r"))
+    for (_ <- 1 to iters) {
+      val inbound = e
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(seeded, Seq("node"), "left_outer")
+        .join(inbound, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+        .graftCkptMem()
+    }
+    ranks.select(col("node"), col("r").as("rank_ppt"))
+  }
+
   /** Synchronous label propagation for community detection — the
     * lightweight complement to PageRank (global centrality) and
     * connected components (reachability): labels flow to the locally

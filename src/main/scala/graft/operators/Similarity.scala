@@ -482,6 +482,27 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most similar corpus vectors with a DIFFERENT label —
+    * the pairs that actually move an embedding model (easy negatives
+    * are already far; near-misses define the decision boundary).
+    * Same execution contract as [[bruteForceTopK]]: anchors broadcast,
+    * the corpus streams partitioned and reduces to ≤ k partial rows
+    * per (partition, anchor) via [[TopKByScore]] — the label filter
+    * rides the scan, no extra pass.
+    *
+    * @param probes (qid, vec, label)  @param corpus (nid, vec, label)
+    * @return (qid, rank, nid, cos) — nearest wrong-label neighbors */
+  def hardNegatives(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus
+      .select(col("nid"), col("vec").as("__nv"), col("label").as("__nl"))
+      .crossJoin(broadcast(probes
+        .select(col("qid"), col("vec").as("__qv"), col("label").as("__ql"))))
+      .where(col("qid") =!= col("nid") && col("__nl") =!= col("__ql"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
+    rankTopK(joined, k)
+  }
+
   /** Product-quantization top-k — the memory-bound ANN scale path LSH
     * and IVF don't cover: the CORPUS compresses to `m` small codes per
     * vector (here 8 codes over a 16-word codebook = 8 bytes vs 512 for

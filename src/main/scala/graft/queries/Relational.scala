@@ -120,6 +120,43 @@ object Relational {
        |GROUP BY n ORDER BY node""".stripMargin
   }
 
+  /** Unrolled personalized-PageRank oracle — pagerankOracle with the
+    * teleport mass restricted to the nation-0 supplier seed set
+    * (GraphOps.personalizedPageRank's exact integer rule: seeds get
+    * base + damped inbound, non-seeds only damped inbound). */
+  private[queries] def pprOracle(iters: Int): String = {
+    val R = 1000000000000L
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST(CASE WHEN sd.node IS NOT NULL
+         |         THEN (SELECT ((15 * $R) // 100) // ns FROM scount)
+         |         ELSE 0 END +
+         |       (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // d.deg) AS m
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |           JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |seeds AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node
+       |          FROM supplier WHERE s_nationkey = 0
+       |            AND s_suppkey IN (SELECT node FROM nodes)),
+       |scount AS (SELECT count(*) AS ns FROM seeds),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT n.node,
+       |         CAST(CASE WHEN sd.node IS NOT NULL
+       |                THEN (SELECT $R // ns FROM scount) ELSE 0 END AS BIGINT) AS r
+       |       FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node),
+       |$iterCtes
+       |SELECT CAST(node AS BIGINT) AS node, r AS rank_ppt
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Unrolled multi-source BFS oracle — one min-plus relaxation CTE
     * per round, replaying GraphOps.shortestPaths' synchronous integer
     * rule (dist' = min(dist, 1 + in-neighbor dist)) exactly. */
@@ -475,6 +512,29 @@ object Relational {
           (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
       val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.GraphOps.pageRank(e, "src", "dst", iters = 3)
+        .orderBy("node")
+    },
+
+    // Personalized PageRank from the nation-0 supplier seed set
+    // (GraphOps.personalizedPageRank scaladoc): teleport mass pinned
+    // to trusted seeds, so rank measures link-proximity to the
+    // whitelist — the curated-seed corpus filter, vs q_pagerank's
+    // global centrality and q_bfs's hop counts. Integer-exact, same
+    // unrolled-oracle technique.
+    "q_ppr" -> QueryDef(
+      "3-iteration personalized PageRank seeded at nation-0 suppliers",
+      Relational.pprOracle(3)) { (spark, dir) =>
+      val b = t(spark, dir)("lineitem")
+        .join(t(spark, dir)("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast(LongType).as("src"),
+          (col("o_custkey") + 1000000L).cast(LongType).as("dst"))
+      val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(spark, dir)("supplier")
+        .where(col("s_nationkey") === 0)
+        .select(col("s_suppkey"))
+      graft.operators.GraphOps
+        .personalizedPageRank(e, "src", "dst", seeds, "s_suppkey", iters = 3)
         .orderBy("node")
     },
 

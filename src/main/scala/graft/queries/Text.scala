@@ -823,6 +823,42 @@ object Text {
           .orderBy("doc_id")
     },
 
+    // Percentile-rank normalization of a quality score — the step
+    // that turns raw scores into a mixable [0,1] scale before
+    // threshold selection (q_budget_sketch's score-threshold needs
+    // comparable scales across sources). The 100 TB shape is
+    // q_quantile_sketch's: the CDF computes over the integer VALUE
+    // GRID (distinct score values, range-bounded — the one ordered
+    // window runs there, never over the corpus), then broadcasts back
+    // onto the scan. pct = P(score ≤ v), one IEEE divide on exact
+    // integer counts.
+    "q_rank_normalize" -> QueryDef(
+      "percentile-rank normalization of doc length via the value-grid CDF",
+      """WITH g AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        |cdf AS (SELECT v, sum(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(c) OVER () AS n FROM g)
+        |SELECT d.doc_id, d.n_chars,
+        |  round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pct
+        |FROM documents d JOIN cdf ON d.n_chars = cdf.v
+        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy()
+      // ordered window over the value GRID only (|distinct n_chars|
+      // rows) — the corpus never sorts
+      val cdf = docs(spark, dir).groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wn))
+      docs(spark, dir)
+        .join(broadcast(cdf), col("n_chars") === col("v"))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("cum").cast(DoubleType) / col("n").cast(DoubleType), 6)
+            .as("pct"))
+        .orderBy("doc_id")
+    },
+
     // Mutual information between source and lang — the categorical
     // dependence statistic (Profiling.mutualInfo scaladoc: corr is
     // numeric/linear, MI catches any association; the

@@ -248,6 +248,30 @@ object Vectors {
       Similarity.pcaProject(corpus, dim = 64, iters = 3).orderBy("vec_id")
     },
 
+    // Hard-negative mining (Similarity.hardNegatives scaladoc): for
+    // each anchor, the nearest corpus vectors with a DIFFERENT label —
+    // the contrastive-training pairs that define the decision
+    // boundary. Brute-force contract (probe broadcast + partial
+    // top-k); the label filter rides the scan.
+    "q_hard_negatives" -> QueryDef(
+      "top-3 nearest wrong-label neighbors per anchor (contrastive mining)",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |p AS (SELECT * FROM d WHERE vec_id < 8),
+        |s AS (SELECT p.vec_id AS qid, d.vec_id AS nid,
+        |        round(list_cosine_similarity(p.v, d.v), 6) AS cos
+        |      FROM p JOIN d ON p.vec_id <> d.vec_id AND p.label <> d.label),
+        |r AS (SELECT qid, nid, cos,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT qid, rank, nid, cos FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("vec"), col("label"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vec"), col("label"))
+      Similarity.hardNegatives(probes, corpus, 3).orderBy("qid", "rank")
+    },
+
     // Product-quantization ANN (Similarity.pqTopK scaladoc): the
     // corpus compresses to 8 one-byte codes per vector and search
     // runs entirely on probe-precomputed distance tables — the
