@@ -211,6 +211,69 @@ object Profiling {
       .orderBy("col_name", "bin")
   }
 
+  /** Equi-DEPTH histogram boundaries — the quantile companion of the
+    * equi-width [[histogram]]: k−1 split values putting (as near as
+    * the data allows) n/k rows in each bucket, which is what a range
+    * partitioner or a CBO's equi-height histogram actually wants
+    * (equi-width wastes buckets on empty ranges under skew).
+    *
+    * The 100 TB shape is q_quantile_sketch's: values floor to an
+    * integer grid, ALL columns bucket in ONE map-side-combined scan
+    * (explode to (col, v) pairs), and the ordered CDF window runs over
+    * the per-column VALUE GRID — bounded by the value range, never the
+    * corpus. Boundary b = the smallest grid value whose cumulative
+    * count reaches rank ⌈b·n/k⌉ — pure integer arithmetic, engine
+    * exact, ties impossible (ranks are fixed integers, cum is
+    * monotone).
+    *
+    * Output: (col_name, b, boundary, n) for b in 1..k−1, ordered. */
+  def equiDepthBoundaries(df: DataFrame, cols: Seq[String],
+      k: Int): DataFrame = {
+    require(cols.nonEmpty && k >= 2 && k <= 10000,
+      "need >= 1 column and 2 <= k <= 10000")
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          floor(col(c)).cast(LongType).as("v"))): _*)).as("p"))
+      .where(col("p.v").isNotNull)
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
+    pairs.groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wn))
+      .select(col("col_name"), col("v"), col("cum"), col("n"),
+        explode(sequence(lit(1L), lit((k - 1).toLong))).as("b"))
+      .where(col("cum") >= expr(s"(b * n + ${k - 1}) div ${k}L"))
+      .groupBy("col_name", "b", "n")
+      .agg(min(col("v")).as("boundary"))
+      .select(col("col_name"), col("b"), col("boundary"), col("n"))
+      .orderBy("col_name", "b")
+  }
+
+  /** [[equiDepthBoundaries]] as DuckDB SQL — identical grid CDF and
+    * integer rank rule, one arm per column. */
+  def equiDepthDuckDbSql(table: String, cols: Seq[String], k: Int): String = {
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col_name, b, min(v) AS boundary, n FROM (
+         |  SELECT g.v, g.cum, g.n, u.b FROM (
+         |    SELECT v, sum(c) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |      sum(c) OVER () AS n
+         |    FROM (SELECT CAST(floor($c) AS BIGINT) AS v, count(*) AS c
+         |          FROM $table WHERE $c IS NOT NULL GROUP BY 1)) g,
+         |    unnest(range(1, $k)) AS u(b)
+         |  WHERE g.cum >= (u.b * g.n + ${k - 1}) // $k)
+         |GROUP BY b, n""".stripMargin
+    }
+    s"""SELECT col_name, CAST(b AS BIGINT) AS b,
+       |  CAST(boundary AS BIGINT) AS boundary, CAST(n AS BIGINT) AS n FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |) ORDER BY col_name, b""".stripMargin
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance on an integer grid — the
     * distribution-drift test that closes the profiling family: did
     * THIS week's values come from the same distribution as last

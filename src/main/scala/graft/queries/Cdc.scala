@@ -872,6 +872,39 @@ object Cdc {
           .orderBy("hour_bucket", "event_type")
     },
 
+    // Inter-arrival gap statistics per key — the burstiness/heartbeat
+    // profile (bot detection, SLA monitoring, session-gap tuning for
+    // q_stream_session's 30-min choice). One keyed lag pass (order
+    // pinned by (ts, event_id)), then a map-side-combined rollup of
+    // integer nano gaps; mean = INTEGER floor-division (a round(…,6)
+    // double is meaningless at 1e13-ns magnitudes — doubles carry no
+    // 6-decimal precision there, and the engines disagreed on the
+    // unrepresentable digits; measured in round 11).
+    "q_interarrival" -> QueryDef(
+      "per-user inter-event gap stats (min/max/floor-mean ns) from a lag pass",
+      """WITH g AS (SELECT user_id,
+        |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap,
+        |  CAST(max(gap) AS BIGINT) AS max_gap,
+        |  CAST(sum(gap) // count(gap) AS BIGINT) AS mean_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(spark, dir)("events")
+        .select(col("user_id"),
+          (col("ts") - lag(col("ts"), 1).over(w)).as("gap"))
+        .where(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(col("gap")).as("n_gaps"),
+          min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"),
+          expr("sum(gap) div count(gap)").as("mean_gap"))
+        .orderBy("user_id")
+    },
+
     // Trailing moving average per key — the smoothing/readout window
     // every metric dashboard runs. One keyed shuffle; the per-key sort
     // is bounded by that key's event count; the frame is ROWS-based

@@ -576,6 +576,20 @@ object Relational {
         .orderBy("node")
     },
 
+    // Equi-DEPTH boundaries (Profiling.equiDepthBoundaries scaladoc):
+    // the quantile splits a range partitioner / CBO equi-height
+    // histogram wants, where q_profile_hist's equi-width wastes
+    // buckets under skew. All columns bucket in ONE scan; the ordered
+    // CDF runs over the per-column value grid, never the corpus.
+    "q_profile_eqdepth" -> QueryDef(
+      "equi-depth (quartile) boundaries over orders numerics via the grid CDF",
+      graft.operators.Profiling.equiDepthDuckDbSql("orders",
+        Seq("o_totalprice", "o_custkey"), 4)) { (spark, dir) =>
+      graft.operators.Profiling.equiDepthBoundaries(
+        graft.core.Spread.ifNarrow(t(spark, dir)("orders")),
+        Seq("o_totalprice", "o_custkey"), 4)
+    },
+
     // Pearson correlation matrix in ONE pass (Profiling.corr scaladoc:
     // all pairs' sufficient statistics are conditional aggregates in
     // the same plan — one scan, one partial row per partition; exact

@@ -115,6 +115,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("equiDepthBoundaries: exact quartiles on uniform data, skew collapses boundaries") {
+    import spark.implicits._
+    val uni = (1L to 8L).toDF("x")
+    val got = Profiling.equiDepthBoundaries(uni, Seq("x"), 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // ranks ceil(b·8/4) = 2, 4, 6 → boundaries 2, 4, 6
+    assert(got == Set(("x", 1L, 2L, 8L), ("x", 2L, 4L, 8L), ("x", 3L, 6L, 8L)))
+    // heavy skew: 6×5 and 2×9 — every quartile rank lands inside the
+    // hot value, so all three boundaries collapse onto it
+    val skew = (Seq.fill(6)(5L) ++ Seq.fill(2)(9L)).toDF("x")
+    val got2 = Profiling.equiDepthBoundaries(skew, Seq("x"), 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got2 == Set(("x", 1L, 5L, 8L), ("x", 2L, 5L, 8L), ("x", 3L, 5L, 8L)))
+  }
+
   test("joinCardinality: exact = sum of frequency products; wide sketch is collision-free") {
     import spark.implicits._
     // A has key 1 ×2, key 2 ×1, key 3 ×1 (3 never joins); B has
