@@ -25,13 +25,23 @@ object Temporal {
     * right row at-or-before the left row's `timeCol` for the same
     * `keys` (null if no such row). Right rows must be unique per
     * (keys, timeCol) — pre-aggregate if not. Ties at the exact same
-    * timestamp resolve right-before-left (ASOF `>=` semantics). */
+    * timestamp resolve right-before-left (ASOF `>=` semantics).
+    *
+    * `direction = "forward"` flips the search: the EARLIEST right row
+    * at-or-after the left time (ASOF `<=`) — "next quote after the
+    * order", "next deploy after the alert". Same union-merge shape
+    * with the window frame reversed (first-following instead of
+    * last-preceding); at an exact timestamp tie the right row still
+    * matches (at-or-after). */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       timeCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     // The matched right row travels as ONE struct: a per-payload-column
     // `last(..., ignoreNulls)` would skip a genuinely-NULL payload value
@@ -54,12 +64,20 @@ object Temporal {
     val allCols = leftCols :+ "__payload" :+ "__side"
     val u = lSide.select(allCols.map(col): _*)
       .unionByName(rSide.select(allCols.map(col): _*))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = u
-      .withColumn("__c", last(col("__payload"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val carried = (if (direction == "backward") {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(timeCol), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("__c", last(col("__payload"), ignoreNulls = true).over(w))
+    } else {
+      // forward: at an equal timestamp the left row (side 1) sorts
+      // BEFORE the right row (side 0 under desc), so the right row is
+      // inside the current-row→following frame — at-or-after matches
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(timeCol), col("__side").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      u.withColumn("__c", first(col("__payload"), ignoreNulls = true).over(w))
+    }).where(col("__side") === 1)
     payloadCols.foldLeft(carried) { (df, c) =>
         df.withColumn(c, col("__c").getField(c))
       }

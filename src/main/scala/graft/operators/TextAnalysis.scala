@@ -360,6 +360,66 @@ object TextAnalysis {
           col("n_bigrams").cast(DoubleType), 6).as("nll"))
   }
 
+  /** Collocation ranking by log-likelihood ratio (Dunning's G²) — the
+    * statistically-grounded companion of PMI (q_cooccur): PMI rewards
+    * rarity (two hapaxes that co-occur once max it out), while G²
+    * scores the full 2×2 contingency of the bigram event space —
+    * presence AND absence cells — so it ranks collocations by
+    * evidence, the standard fix for low-count noise.
+    *
+    * G² = 2·Σ_ij O_ij·ln(O_ij·N / (row_i·col_j)) over the four cells
+    * (a = c(w1w2), b = c(w1·)−a, c = c(·w2)−a, d = N−a−b−c), zero
+    * cells contributing zero. Determinism is lmScore's recipe: each
+    * cell's ln rounds to 6 decimals, the four contributions accumulate
+    * as exact DECIMAL weighted by the integer cell count, ×2 at the
+    * end — no float summation order. ln arguments multiply in DOUBLE
+    * (O·N can exceed 2⁶³ at corpus scale; the double product is one
+    * deterministic IEEE op both engines share).
+    *
+    * Scale shape: one tokenize pass to the corpus bigram table
+    * (Zipf-bounded); marginals aggregate THAT table; the final rank
+    * is orderBy+limit — Spark's TakeOrderedAndProject, a per-partition
+    * top-k merge, never a global sort materialization.
+    *
+    * @return top `k` (bg, n_ab, g2) by (g2 desc, bg) with
+    *         n_ab ≥ minCount */
+  def collocationsLlr(df: DataFrame, textCol: String, minCount: Int,
+      k: Int): DataFrame = {
+    val dec = DecimalType(30, 6)
+    val bgc = df
+      .graftSpread()
+      .select(explode(bigrams(tokens(col(textCol)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("a"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .graftCkptMem()
+    val rowM = bgc.groupBy("w1").agg(sum(col("a")).as("ra"))
+    val colM = bgc.groupBy("w2").agg(sum(col("a")).as("cb"))
+    val tot = bgc.agg(sum(col("a")).as("nn"))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val joined = bgc.where(col("a") >= minCount)
+      .join(rowM, "w1").join(colM, "w2").crossJoin(broadcast(tot))
+      .withColumn("b", col("ra") - col("a"))
+      .withColumn("c", col("cb") - col("a"))
+      .withColumn("dd", col("nn") - col("ra") - col("cb") + col("a"))
+    def term(o: String, rn: org.apache.spark.sql.Column,
+        cn: org.apache.spark.sql.Column) =
+      when(col(o) > 0,
+        round(log(d(col(o)) * d(col("nn")) / (d(rn) * d(cn))), 6)
+          .cast(dec) * col(o))
+        .otherwise(lit(0).cast(dec))
+    joined
+      .withColumn("__g",
+        term("a", col("ra"), col("cb")) +
+          term("b", col("ra"), col("nn") - col("cb")) +
+          term("c", col("nn") - col("ra"), col("cb")) +
+          term("dd", col("nn") - col("ra"), col("nn") - col("cb")))
+      .select(col("bg"), col("a").as("n_ab"),
+        (col("__g") * 2).cast(DoubleType).as("g2"))
+      .orderBy(col("g2").desc, col("bg"))
+      .limit(k)
+  }
+
   /** Per-document character-distribution Shannon entropy — the
     * classic low-information filter (keyboard mash, base64 blobs and
     * one-char spam score near 0; natural prose lands in a narrow

@@ -698,6 +698,37 @@ object Cdc {
         .orderBy("event_id")
     },
 
+    // Forward as-of: the NEXT click at-or-after each view — the other
+    // temporal direction ("next deploy after the alert"), same
+    // union-merge shape with the window frame reversed
+    // (Temporal.asofJoin scaladoc, direction = "forward"). DuckDB's
+    // native ASOF with `<=` is the independent implementation the
+    // semantics must match.
+    "q_asof_fwd" -> QueryDef(
+      "forward as-of join: next click value at or after each view, per user",
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts, max(value) AS cv FROM events
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id,
+        |  CAST(epoch_ns(v.ts) // 1000 AS BIGINT) AS ts_us,
+        |  coalesce(c.cv, -1.0) AS next_click_value
+        |FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.ts <= c.ts
+        |ORDER BY v.event_id""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("cv"))
+      Temporal.asofJoin(views, clicks, Seq("user_id"), "ts", Seq("cv"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          coalesce(col("cv"), lit(-1.0)).as("next_click_value"))
+        .orderBy("event_id")
+    },
+
     // Range join — events per user in the 5 minutes after each event.
     // The naive inequality join degrades to broadcast-nested-loop in
     // Spark; Temporal.rangeCount buckets time so it's a keyed

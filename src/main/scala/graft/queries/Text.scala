@@ -823,6 +823,48 @@ object Text {
           .orderBy("doc_id")
     },
 
+    // Collocations by Dunning's G² log-likelihood ratio
+    // (TextAnalysis.collocationsLlr scaladoc): the evidence-weighted
+    // companion of q_cooccur's PMI — PMI rewards rarity, G² scores
+    // the full 2×2 contingency including the absence cells. Rounded-ln
+    // + exact-DECIMAL accumulation; final rank is orderBy+limit
+    // (TakeOrderedAndProject — per-partition top-k merge, no global
+    // sort materialization).
+    "q_collocations" -> QueryDef(
+      "top-20 adjacent-bigram collocations by Dunning G2 (min count 5)",
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tt AS (SELECT toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |bt AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg
+        |       FROM tt, unnest(range(1, n)) AS u(i)),
+        |bgc AS (SELECT bg, count(*) AS a FROM bt GROUP BY 1),
+        |sp AS (SELECT bg, a, split_part(bg, ' ', 1) AS w1,
+        |         split_part(bg, ' ', 2) AS w2 FROM bgc),
+        |r AS (SELECT w1, sum(a) AS ra FROM sp GROUP BY 1),
+        |cm AS (SELECT w2, sum(a) AS cb FROM sp GROUP BY 1),
+        |nt AS (SELECT sum(a) AS nn FROM sp),
+        |j AS (SELECT sp.bg, sp.a AS ca, r.ra, cm.cb, nt.nn,
+        |        r.ra - sp.a AS b, cm.cb - sp.a AS c,
+        |        nt.nn - r.ra - cm.cb + sp.a AS dd
+        |      FROM sp JOIN r USING (w1) JOIN cm USING (w2), nt
+        |      WHERE sp.a >= 5),
+        |g AS (SELECT bg, ca,
+        |  CAST((
+        |    CASE WHEN ca > 0 THEN CAST(round(ln(CAST(ca AS DOUBLE)*CAST(nn AS DOUBLE)
+        |      /(CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE))),6) AS DECIMAL(30,6)) * ca ELSE 0 END +
+        |    CASE WHEN b > 0 THEN CAST(round(ln(CAST(b AS DOUBLE)*CAST(nn AS DOUBLE)
+        |      /(CAST(ra AS DOUBLE)*CAST(nn-cb AS DOUBLE))),6) AS DECIMAL(30,6)) * b ELSE 0 END +
+        |    CASE WHEN c > 0 THEN CAST(round(ln(CAST(c AS DOUBLE)*CAST(nn AS DOUBLE)
+        |      /(CAST(nn-ra AS DOUBLE)*CAST(cb AS DOUBLE))),6) AS DECIMAL(30,6)) * c ELSE 0 END +
+        |    CASE WHEN dd > 0 THEN CAST(round(ln(CAST(dd AS DOUBLE)*CAST(nn AS DOUBLE)
+        |      /(CAST(nn-ra AS DOUBLE)*CAST(nn-cb AS DOUBLE))),6) AS DECIMAL(30,6)) * dd ELSE 0 END
+        |  ) * 2 AS DOUBLE) AS g2 FROM j)
+        |SELECT bg, CAST(ca AS BIGINT) AS n_ab, g2 FROM g
+        |ORDER BY g2 DESC, bg LIMIT 20""".stripMargin) { (spark, dir) =>
+      TextAnalysis.collocationsLlr(docs(spark, dir), "text",
+        minCount = 5, k = 20)
+    },
+
     // Percentile-rank normalization of a quality score — the step
     // that turns raw scores into a mixable [0,1] scale before
     // threshold selection (q_budget_sketch's score-threshold needs

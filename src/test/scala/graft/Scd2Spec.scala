@@ -97,6 +97,22 @@ class Scd2Spec extends SparkSpec {
     assert(got == Map("a" -> ((85L, 2L)), "b" -> ((110L, 2L))))
   }
 
+  test("asofJoin forward: earliest right at-or-after, exact-ts tie matches, trailing left is null") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "l5"), (1L, 10L, "l10"), (1L, 20L, "l20"),
+      (2L, 1L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0)).toDF("k", "t", "cv")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("cv"),
+        direction = "forward")
+      .as[(Long, Long, String, Option[Double])].collect()
+      .map { case (_, t, tag, cv) => (tag, cv) }.toMap
+    assert(got == Map(
+      "l5" -> Some(100.0),   // next right after 5 is t=10
+      "l10" -> Some(100.0),  // exact tie: at-or-after matches
+      "l20" -> None,         // nothing after 20
+      "x" -> None))          // key 2 has no right rows
+  }
+
   test("mergeIntervals: overlaps and touches merge, gaps split islands, no double count") {
     import spark.implicits._
     // key 1: [0,10) ∪ [5,15) overlap → [0,15); [15,20) TOUCHES (end
