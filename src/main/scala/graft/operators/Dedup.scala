@@ -129,6 +129,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Entity-resolution fuzzy pairs by Jaro-Winkler similarity ≥ τ
+    * over the DISTINCT values of a short-string column (names, product
+    * titles, vocabulary terms — never whole documents; see
+    * [[graft.functions.JaroWinklerExpr]]).
+    *
+    * Blocking is the first character: Winkler's prefix boost means a
+    * pair disagreeing on char 1 already forfeits the boost and rarely
+    * clears a high τ, so first-char blocking is the standard
+    * candidate-generation choice for JW — a deliberate recall contract
+    * (pairs differing at position 1 are not candidates), identically
+    * applied by the oracle. Scale shape: the distinct catalog is tiny
+    * relative to the corpus (it IS the entity vocabulary); the
+    * self-join is a keyed equi-join on the block char whose per-block
+    * cost is quadratic in block size — when a block grows hot, extend
+    * the key with a length band (same contract, finer blocks). The
+    * score is the codegen'd [[graft.functions.JaroWinklerExpr]], and
+    * the τ filter compares RAW doubles: bit-parity with DuckDB's
+    * implementation is fixture-pinned (JaroWinklerSpec), so the
+    * survivor set is identical, not approximately so.
+    *
+    * @return (s_a, s_b, jw) with s_a < s_b, jw rounded to 6 decimals
+    */
+  def jaroWinklerPairs(rows: DataFrame, strCol: String,
+      tau: Double): DataFrame = {
+    val v = rows
+      .select(col(strCol).as("s")).where(col("s").isNotNull).distinct()
+      .withColumn("blk", substring(col("s"), 1, 1))
+      .graftCkptMem() // catalog is small and probed twice
+    val a = v.select(col("blk"), col("s").as("s_a"))
+    val b = v.select(col("blk"), col("s").as("s_b"))
+    a.join(b, "blk")
+      .where(col("s_a") < col("s_b"))
+      .withColumn("jw",
+        graft.functions.JaroWinklerExpr.jaroWinkler(col("s_a"), col("s_b")))
+      .where(col("jw") >= tau)
+      .select(col("s_a"), col("s_b"), round(col("jw"), 6).as("jw"))
+  }
+
   /** Exact-Jaccard near-duplicate pairs over distinct n-grams with
     * PREFIX FILTERING (ppjoin-style), which is guaranteed complete:
     * rank every doc's grams by a global (document-frequency, gram)
@@ -254,11 +292,34 @@ object Dedup {
       gramArrs0: DataFrame, // (id, grams array) — TextAnalysis.gramArrays
       idCol: String,
       tauNum: Long,
-      tauDen: Long): DataFrame = {
+      tauDen: Long,
+      denseUniverseMax: Long = ContainmentDenseUniverseMax): DataFrame = {
     val g = gramArrs0
       .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
       .graftCkptMem()
     val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .graftCkptMem()
+    // ADAPTIVE representation, decided by ONE driver scalar (the
+    // dictionary size — layout metadata, not data). Prefix filtering
+    // is the scale path for real corpora, whose gram universe grows
+    // with the data and keeps every doc's rarest grams genuinely rare.
+    // But on a DENSE universe (a bounded vocabulary: this synthetic
+    // corpus has ~2k distinct 5-grams at sf0.1) the prefix argument
+    // collapses — nearly every ordered pair shares a "rare" gram, the
+    // candidate set approaches all-pairs, and the exploded verify
+    // join builds |cands|·|grams(src)| rows (measured 3.8B rows /
+    // 735 s at sf0.1). Dense sets over a small dictionary are bitmaps:
+    // 64·⌈U/64⌉ bits per doc, intersection = popcount(AND) in codegen
+    // (BitmapAndCountExpr), and the whole bitmap table is small enough
+    // to BROADCAST — the verify becomes a map-side nested-loop scan
+    // with zero shuffle (measured 735 s → ~8 s on the same input).
+    // The quadratic pair scan is inherent here: with U ≪ |docs| the
+    // candidate space IS dense, and the further scale lever (noted,
+    // not needed at this SF) is grouping identical bitmaps first so
+    // the loop runs over distinct SETS, fanning doc ids back out after.
+    val universe = dfs.count()
+    if (universe <= denseUniverseMax)
+      return containmentDense(g, dfs, universe, tauNum, tauDen)
     val plen = (n: Column) =>
       (n - floor((n * tauNum + (tauDen - 1)) / tauDen) + 1).cast(IntegerType)
     val docPrefix = g.join(dfs, "gram")
@@ -286,6 +347,43 @@ object Dedup {
     val inter = cands.join(gs, "src").join(gd, Seq("dst", "gram"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n_shared"))
     inter.join(docPrefix.select(col("id").as("src"), col("n").as("n_src")), "src")
+      .where(col("n_shared") * tauDen >= col("n_src") * tauNum)
+      .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / col("n_src"), 6)
+          .as("containment"))
+  }
+
+  /** Dictionary sizes up to this use the bitmap containment path
+    * (≤ 512 longs = 4 KB per doc bitmap). */
+  val ContainmentDenseUniverseMax: Long = 1L << 15
+
+  /** Dense-universe containment: gram → dense id over the sorted
+    * dictionary, each doc's gram set as a fixed-width bitset, ordered
+    * pairs verified by popcount(AND) against the BROADCAST bitmap
+    * table (see the decision comment in [[containmentPairs]]). */
+  private def containmentDense(g: DataFrame, dfs: DataFrame,
+      universe: Long, tauNum: Long, tauDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.BitmapExpr
+    val nWords = ((universe + 63) / 64).toInt
+    // single-partition window is fine HERE: it orders the ≤32k-row
+    // dictionary, never the data
+    val dict = dfs.select(col("gram"))
+      .withColumn("gid",
+        (row_number().over(Window.orderBy("gram")) - 1).cast(IntegerType))
+    val docsBm = g.join(broadcast(dict), "gram")
+      .groupBy("id")
+      .agg(collect_list(col("gid")).as("gids"))
+      .select(col("id"), size(col("gids")).cast(LongType).as("n"),
+        BitmapExpr.bitmapBuild(col("gids"), nWords).as("bm"))
+      .graftCkptMem()
+    val a = docsBm.select(col("id").as("src"), col("n").as("n_src"),
+      col("bm").as("bma"))
+    val b = docsBm.select(col("id").as("dst"), col("bm").as("bmb"))
+    a.crossJoin(broadcast(b))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("n_src"),
+        BitmapExpr.bitmapAndCount(col("bma"), col("bmb")).as("n_shared"))
       .where(col("n_shared") * tauDen >= col("n_src") * tauNum)
       .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
         round(col("n_shared").cast(DoubleType) / col("n_src"), 6)

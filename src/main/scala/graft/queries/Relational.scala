@@ -404,6 +404,30 @@ object Relational {
         .orderBy("id_a", "id_b")
     },
 
+    // Entity-resolution by Jaro-Winkler ≥ 0.9 over the distinct
+    // product-catalog strings (Dedup.jaroWinklerPairs scaladoc:
+    // first-char blocking is the standard JW candidate contract — a
+    // pair losing the prefix boost rarely clears a high τ). The score
+    // is the native codegen JaroWinklerExpr; its bit-parity with
+    // DuckDB's independent jaro_winkler_similarity is pinned by a 6k
+    // fuzz fixture (JaroWinklerSpec), so the RAW-double τ filter
+    // selects the identical pair set on both engines.
+    "q_jw_match" -> QueryDef(
+      "Jaro-Winkler >= 0.9 fuzzy pairs over distinct part name+type strings",
+      """WITH n AS (SELECT DISTINCT p_name || ' ' || p_type AS s FROM part)
+        |SELECT a.s AS s_a, b.s AS s_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        |FROM n a JOIN n b
+        |  ON substr(a.s, 1, 1) = substr(b.s, 1, 1) AND a.s < b.s
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
+        |ORDER BY s_a, s_b""".stripMargin) { (spark, dir) =>
+      graft.operators.Dedup.jaroWinklerPairs(
+          t(spark, dir)("part")
+            .select(concat_ws(" ", col("p_name"), col("p_type")).as("s")),
+          "s", 0.9)
+        .orderBy("s_a", "s_b")
+    },
+
     // ANALYZE-style table profile: every statistic — row/null counts,
     // min/max, KMV distinct estimates — from ONE aggregation pass
     // (Profiling scaladoc: the shuffle carries one partial row plus

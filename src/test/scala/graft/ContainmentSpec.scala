@@ -50,4 +50,24 @@ class ContainmentSpec extends SparkSpec {
       .select("src", "dst").as[(Long, Long)].collect().toSet
     assert(blocked == naive, s"blocked=$blocked naive=$naive")
   }
+
+  test("dense bitmap path equals the prefix-filter path (full rows)") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(40)(
+      Seq.fill(60)(('a' + rnd.nextInt(5)).toChar).mkString)
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 4 == 1) base(i - 1).substring(0, 30) else t
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val arrs = TextAnalysis.gramArrays(rows, "doc_id", "text", 4)
+    def run(denseMax: Long) =
+      Dedup.containmentPairs(arrs, "doc_id", 3, 4, denseUniverseMax = denseMax)
+        .select("src", "dst", "n_src", "n_shared", "containment")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val dense = run(Long.MaxValue) // force bitmap path
+    val prefix = run(0L)           // force prefix path
+    assert(dense.nonEmpty)
+    assert(dense == prefix, s"dense=$dense prefix=$prefix")
+  }
 }
