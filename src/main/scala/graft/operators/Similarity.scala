@@ -565,4 +565,105 @@ object Similarity {
       .select(col("qid"), (col("__pos") + 1).cast(LongType).as("rank"),
         col("__e.id").as("nid"), (-col("__e.score")).as("adist"))
   }
+
+  /** nDCG@k discount constants 1/log₂(r+1), r = 1..k, pinned as
+    * 6-decimal BigDecimals COMPUTED ONCE HERE and emitted as literals
+    * into both the Spark plan and the generated oracle SQL — the
+    * cross-engine recipe that removes libm log parity from the
+    * equation entirely (no runtime log on either engine). */
+  def ndcgDiscounts(k: Int): Seq[BigDecimal] =
+    (1 to k).map(r => BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+
+  /** Retrieval-quality evaluation of a ranked result list against
+    * label ground truth: per probe, nDCG@k and MRR@k with binary
+    * relevance (neighbor shares the probe's label).
+    *
+    * The eval is a JOIN over the ranked rows — |probes|·k rows, so its
+    * cost is the ranking's, not the corpus's. DCG sums the literal
+    * discount decimals exactly (no float-order dependence); the ideal
+    * DCG is the literal cumulative sum at min(k, n_rel), where n_rel
+    * counts the probe's relevant corpus items from the label marginals
+    * (one tiny aggregate, broadcast back).
+    *
+    * @param ranked (qid, rank, nid, ...) — e.g. [[bruteForceTopK]]
+    * @param labels (id, label)
+    * @return (qid, n_rel, ndcg, mrr) — ndcg/mrr 6-decimal doubles
+    */
+  def retrievalEval(ranked: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val disc = ndcgDiscounts(k)
+    val cum = disc.scanLeft(BigDecimal(0))(_ + _).tail
+    def decLit(d: BigDecimal) = s"CAST('$d' AS DECIMAL(30,6))"
+    val discCase = (1 to k)
+      .map(r => s"WHEN $r THEN ${decLit(disc(r - 1))}")
+      .mkString("CASE rank ", " ", s" ELSE ${decLit(BigDecimal(0))} END")
+    val idcgCase = (1 to k)
+      .map(j => s"WHEN $j THEN ${decLit(cum(j - 1))}")
+      .mkString("CASE least(n_rel, " + k + ") ",
+        " ", s" ELSE ${decLit(BigDecimal(0))} END")
+    val qLab = labels.select(col("id").as("qid"), col("label").as("__qlab"))
+    val labCounts = labels.groupBy(col("label").as("__qlab"))
+      .agg(count(lit(1)).as("__nlab"))
+    val nRel = qLab.join(broadcast(labCounts), "__qlab")
+      .select(col("qid"), (col("__nlab") - 1).as("n_rel"))
+    val nLab = labels.select(col("id").as("nid"), col("label").as("__nlab2"))
+    val scored = ranked
+      .join(broadcast(qLab), "qid")
+      .join(broadcast(nLab), "nid")
+      .withColumn("__rel", when(col("__qlab") === col("__nlab2"), 1L)
+        .otherwise(0L))
+      .groupBy("qid")
+      .agg(
+        sum(when(col("__rel") === 1, expr(discCase))
+          .otherwise(expr(s"${decLit(BigDecimal(0))}"))).as("__dcg"),
+        min(when(col("__rel") === 1, col("rank"))).as("__fr"))
+    scored.join(broadcast(nRel), "qid")
+      .select(col("qid"), col("n_rel").cast(LongType).as("n_rel"),
+        when(expr(idcgCase) === expr(decLit(BigDecimal(0))), lit(0.0))
+          .otherwise(round(
+            col("__dcg").cast(DoubleType) /
+              expr(idcgCase).cast(DoubleType), 6)).as("ndcg"),
+        coalesce(round(lit(1.0) / col("__fr"), 6), lit(0.0)).as("mrr"))
+  }
+
+  /** The DuckDB oracle for [[retrievalEval]] over [[bruteForceTopK]]
+    * ranks — generated from the SAME discount constants. */
+  def retrievalEvalSql(probeFilter: String, k: Int): String = {
+    val disc = ndcgDiscounts(k)
+    val cum = disc.scanLeft(BigDecimal(0))(_ + _).tail
+    def decLit(d: BigDecimal) = s"CAST('$d' AS DECIMAL(30,6))"
+    val discCase = (1 to k)
+      .map(r => s"WHEN $r THEN ${decLit(disc(r - 1))}")
+      .mkString("CASE rank ", " ", s" ELSE ${decLit(BigDecimal(0))} END")
+    val idcgCase = (1 to k)
+      .map(j => s"WHEN $j THEN ${decLit(cum(j - 1))}")
+      .mkString(s"CASE least(n_rel, $k) ",
+        " ", s" ELSE ${decLit(BigDecimal(0))} END")
+    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |p AS (SELECT * FROM d WHERE $probeFilter),
+       |s AS (SELECT p.vec_id AS qid, d.vec_id AS nid, p.label AS qlab,
+       |        d.label AS nlab,
+       |        round(list_cosine_similarity(p.v, d.v), 6) AS cos
+       |      FROM p JOIN d ON p.vec_id <> d.vec_id),
+       |r AS (SELECT qid, nid, qlab, nlab, cos,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |          AS BIGINT) AS rank
+       |      FROM s),
+       |t AS (SELECT * FROM r WHERE rank <= $k),
+       |nr AS (SELECT p.vec_id AS qid,
+       |         (SELECT count(*) FROM d WHERE d.label = p.label) - 1 AS n_rel
+       |       FROM p),
+       |agg AS (SELECT qid,
+       |    sum(CASE WHEN qlab = nlab THEN $discCase
+       |        ELSE ${decLit(BigDecimal(0))} END) AS dcg,
+       |    min(CASE WHEN qlab = nlab THEN rank END) AS fr
+       |  FROM t GROUP BY qid)
+       |SELECT agg.qid, CAST(nr.n_rel AS BIGINT) AS n_rel,
+       |  CASE WHEN $idcgCase = ${decLit(BigDecimal(0))} THEN CAST(0.0 AS DOUBLE)
+       |    ELSE round(CAST(dcg AS DOUBLE) / CAST($idcgCase AS DOUBLE), 6)
+       |  END AS ndcg,
+       |  coalesce(round(CAST(1.0 AS DOUBLE) / fr, 6), CAST(0.0 AS DOUBLE)) AS mrr
+       |FROM agg JOIN nr ON agg.qid = nr.qid
+       |ORDER BY agg.qid""".stripMargin
+  }
 }

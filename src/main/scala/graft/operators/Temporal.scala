@@ -268,4 +268,100 @@ object Temporal {
       .join(counts, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col(resultCol), lit(0L)).as(resultCol))
   }
+
+  /** Per-key OLS trend: slope and intercept of the least-squares line
+    * of `valueCol` (milli-quantized) over `timeCol` (caller supplies
+    * integer SECONDS — small enough that every moment sum below stays
+    * exact; µs would square to 1e24 and demand wider arithmetic).
+    *
+    * Closed form from five exact sums — n, Σt, Σv, Σtv, Σt² — with
+    * time re-based to the key's own min(t) so magnitudes stay small
+    * and the intercept means "value at the key's first observation".
+    * All sums and cross-products are DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) — exact in both; the two double divisions at the end
+    * are shared bit-for-bit. One shuffle total: the re-base min
+    * computes inside the same keyed aggregate via min(t), and the
+    * moments use the shift identities (Σ(t−m) = Σt − n·m, etc.) so a
+    * second pass over the data never happens.
+    *
+    * @return (key, n, slope, intercept) — slope in milli-value/second
+    *         (rounded 9), intercept in milli-value (rounded 6); keys
+    *         with a degenerate time spread (all observations in one
+    *         second) are dropped
+    */
+  def trend(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val agg = df
+      .select(col(keyCol), col(timeCol).as("__t"),
+        expr(s"CAST(round($valueCol * 1000) AS BIGINT)").as("__vm"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        min(col("__t")).cast(dec).as("m"),
+        sum(col("__t").cast(dec)).as("st"),
+        sum(col("__vm").cast(dec)).as("sv"),
+        sum(col("__t").cast(dec) * col("__vm")).as("stv"),
+        sum(col("__t").cast(dec) * col("__t")).as("stt"))
+      // shift t by the key's min via the moment identities — exact
+      .select(col(keyCol), col("n"), col("sv"),
+        (col("st") - col("n") * col("m")).as("rt"),
+        (col("stv") - col("m") * col("sv")).as("rtv"),
+        (col("stt") - lit(2).cast(dec) * col("m") * col("st") +
+          col("n") * col("m") * col("m")).as("rtt"))
+    val den = col("n") * col("rtt") - col("rt") * col("rt")
+    val num = col("n") * col("rtv") - col("rt") * col("sv")
+    agg.where(den =!= lit(0).cast(dec))
+      .select(col(keyCol), col("n").cast("long").as("n"),
+        round(num.cast("double") / den.cast("double"), 9).as("slope"),
+        round((col("sv").cast("double") -
+          round(num.cast("double") / den.cast("double"), 9) *
+            col("rt").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"))
+  }
+
+  /** Time-weighted average (TWAP) of `valueCol` per key: each
+    * observation holds until the key's NEXT observation, so it weighs
+    * by that gap; the final observation has no successor and drops
+    * (classic last-interval-open TWAP). One shuffle on the key, one
+    * ordered window — tie-broken by `tieCol` so equal timestamps order
+    * identically on any engine.
+    *
+    * Exactness recipe: the value quantizes to integer millis
+    * (round(v·1000)), the gap is an integer time delta, and the
+    * weighted sum accumulates as DECIMAL — no float summation order
+    * anywhere; the single double division happens once per key at the
+    * end and both engines share it bit-for-bit.
+    *
+    * @return (key, twap, total_dur, n_intervals), keys with zero total
+    *         duration dropped (no time to weight over)
+    */
+  def twap(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+    df.select(col(keyCol), col(timeCol), col(tieCol),
+        expr(s"CAST(round($valueCol * 1000) AS BIGINT)").as("__vm"))
+      .withColumn("__next", lead(col(timeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(col(keyCol),
+        (col("__next") - col(timeCol)).as("__dur"), col("__vm"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__vm").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("__dur")).as("__num"),
+        sum(col("__dur")).as("total_dur"),
+        count(lit(1)).as("n_intervals"))
+      .where(col("total_dur") > 0)
+      .select(col(keyCol),
+        round(col("__num").cast("double") / col("total_dur") / 1000.0, 6)
+          .as("twap"),
+        col("total_dur"), col("n_intervals"))
+  }
 }

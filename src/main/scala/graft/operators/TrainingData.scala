@@ -255,6 +255,43 @@ object TrainingData {
     * for resumable/verifiable output, and per-file row caps so no
     * reducer emits a monster file.
     */
+  /** Weighted sampling WITHOUT replacement, k per stratum, by the
+    * Efraimidis–Spirakis A-ES key: rank items by u^(1/w) descending —
+    * equivalently ln(u)/w — where u is the item's deterministic
+    * hash-uniform in (0,1). Inclusion probability is ∝ weight, the
+    * sample is reproducible on any engine/run (no RNG state), and the
+    * per-stratum top-k is a map-side-combinable aggregate shape (the
+    * rank window here is fine because k rows per stratum survive; at
+    * extreme strata skew swap in TopKByScore like rankTopK).
+    *
+    * Cross-engine float recipe: u = (hash52+1)/(2⁵²+1) is an exact
+    * double both engines share; ln(u) rounds to 6 decimals before the
+    * /w division, and the final key rounds to 12 — the same
+    * rounded-ln discipline as lmScore.
+    *
+    * @return (stratum, rnk, id, ky) — k rows per stratum by
+    *         (key desc, id)
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val u = (TextAnalysis.hash52(col(idCol)) + 1).cast(DoubleType) /
+      lit(4503599627370497.0) // 2^52 + 1
+    val ky = round(
+      round(log(u), 6).cast(DoubleType) /
+        greatest(col(weightCol), lit(1L)).cast(DoubleType), 12)
+    df.select(col(strataCol).as("stratum"), col(idCol),
+        col(weightCol), ky.as("__ky"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+          .orderBy(col("__ky").desc, col(idCol))).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("stratum"), col("rnk"), col(idCol), col("__ky").as("ky"))
+  }
+
   def writeShards(
       docs: DataFrame,
       keyCol: String,

@@ -729,6 +729,71 @@ object Cdc {
         .orderBy("event_id")
     },
 
+    // Time-weighted average of the event value per user
+    // (Temporal.twap scaladoc): each observation weighs by its gap to
+    // the user's next event; integer-milli value × integer-µs gap
+    // accumulates in DECIMAL, one double division at the end — the
+    // no-float-summation-order recipe.
+    "q_twap" -> QueryDef(
+      "time-weighted average event value per user (last interval open)",
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |iv AS (SELECT user_id, vm,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+        |  FROM e),
+        |agg AS (SELECT user_id, sum(vm * dur) AS num,
+        |    sum(dur) AS total_dur, count(*) AS n_intervals
+        |  FROM iv WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT user_id,
+        |  round(CAST(num AS DOUBLE) / total_dur / 1000.0, 6) AS twap,
+        |  CAST(total_dur AS BIGINT) AS total_dur,
+        |  CAST(n_intervals AS BIGINT) AS n_intervals
+        |FROM agg WHERE total_dur > 0 ORDER BY user_id""".stripMargin) {
+      (spark, dir) =>
+      Temporal.twap(
+          t(spark, dir)("events")
+            .select(col("user_id"), col("event_id"),
+              expr("ts div 1000").as("t"), col("value")),
+          keyCol = "user_id", timeCol = "t", tieCol = "event_id",
+          valueCol = "value")
+        .orderBy("user_id")
+    },
+
+    // Per-user OLS value trend (Temporal.trend scaladoc): slope +
+    // intercept from five exact DECIMAL/HUGEINT moment sums in ONE
+    // keyed aggregate — time re-based per key via the shift
+    // identities, no second pass, the two double divisions shared
+    // bit-for-bit at the end.
+    "q_trend" -> QueryDef(
+      "per-user OLS trend of event value over time (exact moment sums)",
+      """WITH e AS (SELECT user_id,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS t,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+        |a AS (SELECT user_id, count(*) AS n, min(t) AS m, sum(t) AS st,
+        |    sum(vm) AS sv, sum(t * vm) AS stv, sum(t * t) AS stt
+        |  FROM e GROUP BY 1),
+        |s AS (SELECT user_id, n, sv,
+        |    st - n * m AS rt, stv - m * sv AS rtv,
+        |    stt - 2 * m * st + CAST(n AS HUGEINT) * m * m AS rtt FROM a)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * rtv - rt * sv AS DOUBLE)
+        |    / CAST(n * rtt - rt * rt AS DOUBLE), 9) AS slope,
+        |  round((CAST(sv AS DOUBLE)
+        |      - round(CAST(n * rtv - rt * sv AS DOUBLE)
+        |          / CAST(n * rtt - rt * rt AS DOUBLE), 9)
+        |        * CAST(rt AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM s WHERE n * rtt - rt * rt <> 0
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      Temporal.trend(
+          t(spark, dir)("events")
+            .select(col("user_id"),
+              expr("ts div 1000000000").as("t"), col("value")),
+          keyCol = "user_id", timeCol = "t", valueCol = "value")
+        .orderBy("user_id")
+    },
+
     // Range join — events per user in the 5 minutes after each event.
     // The naive inequality join degrades to broadcast-nested-loop in
     // Spark; Temporal.rangeCount buckets time so it's a keyed

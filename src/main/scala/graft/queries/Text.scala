@@ -575,6 +575,35 @@ object Text {
         .orderBy("source", "lang", "doc_id")
     },
 
+    // Weighted sampling WITHOUT replacement — the ∝-size companion of
+    // q_stratified's uniform sample (TrainingData.weightedSample
+    // scaladoc: Efraimidis–Spirakis keys ln(u)/w from hash-uniform u,
+    // so longer documents are proportionally likelier, the sample is
+    // RNG-free, and the rounded-ln recipe keeps the ranking
+    // cross-engine exact).
+    "q_weighted_sample" -> QueryDef(
+      "A-ES weighted sample: 5 docs per lang with probability ~ n_chars",
+      """WITH d AS (SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1 AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, w,
+        |    round(CAST(round(ln(CAST(h AS DOUBLE) / 4503599627370497.0), 6)
+        |      AS DOUBLE) / w, 12) AS ky
+        |  FROM d),
+        |r AS (SELECT lang, doc_id, ky,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY ky DESC, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM k)
+        |SELECT lang AS stratum, rnk, doc_id, ky FROM r WHERE rnk <= 5
+        |ORDER BY stratum, rnk""".stripMargin) { (spark, dir) =>
+      TrainingData.weightedSample(
+          docs(spark, dir)
+            .select(col("doc_id"), col("lang"),
+              greatest(col("n_chars"), lit(1L)).as("w")),
+          idCol = "doc_id", strataCol = "lang", weightCol = "w", k = 5)
+        .orderBy("stratum", "rnk")
+    },
+
     // Grouped z-score outlier filter: two-pass shape (tiny per-group
     // stats aggregate, broadcast back, pure-projection filter — the
     // corpus never shuffles). Mean/variance come from EXACT integer

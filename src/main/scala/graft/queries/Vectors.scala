@@ -164,6 +164,25 @@ object Vectors {
         .orderBy("qid")
     },
 
+    // Retrieval-quality eval: nDCG@10 + MRR@10 per probe with
+    // label-relevance ground truth (Similarity.retrievalEval scaladoc:
+    // the discount constants 1/log2(r+1) are computed ONCE in Scala
+    // and emitted as decimal literals into BOTH plans — no runtime log
+    // on either engine, so libm parity never enters). The eval joins
+    // only the |probes|·k ranked rows; corpus cost is the ranking's.
+    "q_ndcg" -> QueryDef(
+      "nDCG@10 and MRR@10 of brute-force cosine ranks vs label relevance",
+      Similarity.retrievalEvalSql("vec_id < 32", 10)) { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("vec"))
+      val corpus = e.select(col("vec_id").as("nid"), col("vec"))
+      val ranked = Similarity.bruteForceTopK(probes, corpus, 10)
+      Similarity.retrievalEval(ranked,
+          e.select(col("vec_id").as("id"), col("label")), 10)
+        .orderBy("qid")
+    },
+
     // Spherical k-means refinement (2 Lloyd iterations over the IVF
     // seeds). The oracle replays both iterations in SQL: seed = first
     // 16 vectors, argmax-cosine assignment (rounded, lowest-cid ties),
