@@ -694,6 +694,33 @@ object Relational {
         .orderBy("zval", "event_id")
     },
 
+    // Hilbert curve layout key — ZOrder's better-locality sibling
+    // (functions.Hilbert scaladoc: consecutive curve positions are
+    // always grid neighbors, so curve-sorted files get tighter
+    // bounding boxes than Morton). The iterative rotate/reflect runs
+    // as the compiled HilbertExpr inside whole-stage codegen; the
+    // oracle unrolls the identical arithmetic as one DuckDB CTE per
+    // bit (Hilbert.duckDbCtes).
+    "q_hilbert" -> QueryDef(
+      "Hilbert curve key over (o_custkey, o_orderkey), curve-sorted", {
+        val (ctes, last) = graft.functions.Hilbert.duckDbCtes(
+          "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, " +
+            "CAST(o_custkey AS BIGINT) AS o_custkey, " +
+            "CAST(o_custkey AS BIGINT) AS x, " +
+            "CAST(o_orderkey AS BIGINT) AS y FROM orders",
+          Seq("o_orderkey", "o_custkey"), 31)
+        s"""WITH $ctes
+           |SELECT o_orderkey, o_custkey, d AS hval FROM $last
+           |ORDER BY hval, o_orderkey""".stripMargin
+      }) { (spark, dir) =>
+      t(spark, dir)("orders")
+        .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+          col("o_custkey").cast(LongType).as("o_custkey"),
+          graft.functions.Hilbert.hilbert(
+            col("o_custkey"), col("o_orderkey"), 31).as("hval"))
+        .orderBy("hval", "o_orderkey")
+    },
+
     "q_topk" -> QueryDef(
       "top-3 orders by total price per market segment (rank window)",
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
