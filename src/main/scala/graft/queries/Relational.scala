@@ -279,6 +279,29 @@ object Relational {
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     },
 
+    // l-diversity — k-anonymity's stronger sibling: a class can be
+    // large (k-anonymous) yet still leak if everyone in it SHARES the
+    // sensitive value, so the audit requires >= l distinct sensitive
+    // values per quasi-identifier class. Same one-aggregate shape as
+    // q_kanon with a distinct-count beside the size.
+    "q_ldiversity" -> QueryDef(
+      "l-diversity violations (l=3): segment diversity per (nation, balance band)",
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_mktsegment) < 3
+        |ORDER BY c_nationkey, bal_band""".stripMargin) { (spark, dir) =>
+      t(spark, dir)("customer")
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast(LongType).as("bal_band"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive"))
+        .where(col("n_sensitive") < 3)
+        .orderBy("c_nationkey", "bal_band")
+    },
+
     // CMS join-size estimation (Profiling.joinCardinality scaladoc):
     // predict |orders ⋈ customer| from two fixed 4×1024 sketches
     // without running the join — the CBO's join-ordering input. The

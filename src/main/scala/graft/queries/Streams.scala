@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsAnomaly, TwsCompaction, TwsKmv, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
+import graft.streaming.{EventTime, StreamingDedup, TwsAnomaly, TwsCompaction, TwsFunnel, TwsKmv, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -494,6 +494,44 @@ object Streams {
           .select(col("key").as("user_id"), col("offset"), col("x"),
             col("n_prior"))
           .orderBy("user_id", "offset")
+      }
+    },
+
+    // Streaming conversion funnel (TwsFunnel scaladoc): per-user
+    // view→click→purchase state machine with STRICT time progression,
+    // so the outcome is a pure function of the event multiset and the
+    // oracle replays it as nested min-over-filter joins. One
+    // constant-size state struct per user; one progress row per
+    // touched user per batch (single-batch run → the final row).
+    "q_stream_funnel" -> QueryDef(
+      "streaming funnel: per-user view->click->purchase stage machine",
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > c_us GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p_us IS NOT NULL THEN 3
+        |    WHEN c_us IS NOT NULL THEN 2
+        |    WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  v_us, c_us, p_us
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val events = Tables.loadStream(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_id"), col("event_type"))
+      withRocksDb(spark) {
+        runStream(spark, TwsFunnel.funnelStream(events).toDF(),
+          OutputMode.Append())
+          .select(col("user_id"), col("stage"), col("v_us"), col("c_us"),
+            col("p_us"))
+          .orderBy("user_id")
       }
     },
 
