@@ -744,6 +744,35 @@ object Relational {
         .orderBy("hval", "o_orderkey")
     },
 
+    // Pareto frontier (skyline): the points no other point dominates
+    // on BOTH dimensions. Scale shape: reduce to one row per distinct
+    // x FIRST (map-side-combinable max), then a single running-max
+    // window over the |distinct x| reduced rows — the corpus never
+    // sorts, and the O(n²) dominance join textbooks write never runs.
+    "q_skyline" -> QueryDef(
+      "pareto frontier of parts: (maximize size, maximize price)",
+      """WITH pts AS (SELECT p_size AS x,
+        |    max(CAST(round(p_retailprice * 100) AS BIGINT)) AS best_cents
+        |  FROM part GROUP BY 1),
+        |w AS (SELECT x, best_cents,
+        |    max(best_cents) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM pts)
+        |SELECT CAST(x AS BIGINT) AS x, best_cents FROM w
+        |WHERE prev IS NULL OR best_cents > prev ORDER BY x""".stripMargin) {
+      (spark, dir) =>
+      val pts = t(spark, dir)("part")
+        .groupBy(col("p_size").cast(LongType).as("x"))
+        .agg(max(expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+          .as("best_cents"))
+      pts.withColumn("prev", max(col("best_cents")).over(
+          Window.orderBy(col("x").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("prev").isNull || col("best_cents") > col("prev"))
+        .select(col("x"), col("best_cents"))
+        .orderBy("x")
+    },
+
     "q_topk" -> QueryDef(
       "top-3 orders by total price per market segment (rank window)",
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
