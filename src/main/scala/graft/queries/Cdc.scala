@@ -761,6 +761,41 @@ object Cdc {
         .orderBy("user_id")
     },
 
+    // Last-touch revenue attribution: every purchase credits the
+    // user's most recent PRECEDING click's campaign (the JSON k prop)
+    // — the marketing-analytics composition of the backward as-of
+    // join (Temporal.asofJoin) with an exact-cents rollup.
+    // Purchases with no prior click land in campaign -1. DuckDB's
+    // native ASOF is again the independent implementation.
+    "q_attribution" -> QueryDef(
+      "last-touch attribution: purchase revenue per preceding-click campaign",
+      """WITH c AS (SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+        |    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT p.cents, coalesce(c.k, -1) AS campaign
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.t >= c.t)
+        |SELECT campaign, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM a GROUP BY 1 ORDER BY campaign""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts div 1000").as("t"))
+        .agg(max(get_json_object(col("props"), "$.k").cast(LongType)).as("k"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("t"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"), "t", Seq("k"))
+        .select(coalesce(col("k"), lit(-1L)).as("campaign"), col("cents"))
+        .groupBy("campaign")
+        .agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_purchases"))
+        .orderBy("campaign")
+    },
+
     // Per-user OLS value trend (Temporal.trend scaladoc): slope +
     // intercept from five exact DECIMAL/HUGEINT moment sums in ONE
     // keyed aggregate — time re-based per key via the shift
