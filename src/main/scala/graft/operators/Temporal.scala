@@ -364,4 +364,115 @@ object Temporal {
           .as("twap"),
         col("total_dur"), col("n_intervals"))
   }
+
+  /** Per-key autocorrelation function at lags 1..`maxLag` — the
+    * time-series profiling companion of [[trend]]: is the per-key
+    * signal persistent (r₁ ≈ 1), mean-reverting (r₁ < 0), or white
+    * noise?
+    *
+    * Exactness recipe (same family as trend): values quantize to
+    * integer cents, the mean never materializes as a float — every
+    * centered product multiplies through by n, i.e. rₖ's numerator is
+    * Σₜ (n·cₜ − S)(n·cₜ₊ₖ − S) expanded to pure integer moment sums
+    * (n²·Σ cₜcₜ₊ₖ − n·S·(Pₖ + Qₖ) + (n−k)·S², where Pₖ/Qₖ are the
+    * all-but-last-k / all-but-first-k partial sums — both fall out of
+    * the SAME lead() window as the cross-product, so the sequence
+    * shuffles once and aggregates once). All moments are
+    * DECIMAL(38,0) (DuckDB: HUGEINT); the one double divide per lag
+    * happens at the end, shared bit-for-bit with the oracle.
+    *
+    * Sequence order is (`timeCol`, `tieCol`) — the tiebreak keeps the
+    * lag-k neighbor identical on any engine when timestamps collide.
+    *
+    * @return (key, n, acf_1 .. acf_maxLag) — keys with n ≤ maxLag or
+    *         zero variance are dropped; a lag whose numerator is
+    *         empty never survives the n filter.
+    */
+  def acf(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+    val lagged = (1 to maxLag).foldLeft(
+      df.select(col(keyCol), col(timeCol), col(tieCol),
+        expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("__c"))) {
+      (d, k) => d.withColumn(s"__l$k", lead(col("__c"), k).over(w))
+    }
+    val c = col("__c").cast(dec)
+    val moments =
+      Seq(count(lit(1)).cast(dec).as("n"), sum(c).as("s"),
+        sum(c * c).as("s2")) ++
+      (1 to maxLag).flatMap { k =>
+        val lk = col(s"__l$k")
+        Seq(
+          sum(when(lk.isNotNull, c * lk.cast(dec))).as(s"sc$k"),
+          // Pₖ = Σ of the first n−k values (rows that HAVE a lag-k
+          // successor); Qₖ = Σ of the last n−k values (the successors
+          // themselves) — both from the same window pass.
+          sum(when(lk.isNotNull, c)).as(s"p$k"),
+          sum(lk.cast(dec)).as(s"q$k"))
+      }
+    val agg = lagged.groupBy(col(keyCol)).agg(moments.head, moments.tail: _*)
+    val n = col("n"); val s = col("s")
+    val denom = n * n * col("s2") - n * s * s
+    val outCols = Seq(col(keyCol), n.cast("long").as("n")) ++
+      (1 to maxLag).map { k =>
+        val num = n * n * col(s"sc$k") -
+          n * s * (col(s"p$k") + col(s"q$k")) +
+          (n - lit(k).cast(dec)) * s * s
+        round(num.cast("double") / denom.cast("double"), 9).as(s"acf_$k")
+      }
+    agg.where(n > lit(maxLag).cast(dec) && denom =!= lit(0).cast(dec))
+      .select(outCols: _*)
+  }
+
+  /** CUSUM changepoint scan per key: the cumulative sum of deviations
+    * from the key's own mean, whose peak |CUSUM| marks the most likely
+    * single change point (Page 1954 / the standard offline CUSUM
+    * statistic). Mean-free integer math: deviations scale through by n
+    * (devₜ = n·cₜ − S, an integer), so the running sum, its peak, and
+    * the argmax are exact on both engines — no float accumulates
+    * anywhere.
+    *
+    * Two keyed stages that share one hash partitioning: the (n, S)
+    * aggregate joins back onto the sequence (co-partitioned — no
+    * second shuffle of the big side beyond the window sort), then the
+    * running sum + peak-argmax reduce per key. The change point
+    * reports as the FIRST `tieCol` achieving the peak.
+    *
+    * @return (key, n, cp — tieCol at the peak, stat = max |cusum|;
+    *          stat/n² is the mean-scaled deviation if callers want to
+    *          normalize); single-row keys drop (no interior point to
+    *          split at).
+    */
+  def cusum(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val seq0 = df.select(col(keyCol), col(timeCol), col(tieCol),
+      expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("__c"))
+    val stats = seq0.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s"))
+      .where(col("n") > 1)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq0.join(stats, Seq(keyCol))
+      .withColumn("__cum", sum(col("n") * col("__c") - col("s")).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"),
+        // argmax with first-tie preference: order by (-|cum|, tie)
+        min(struct((-abs(col("__cum"))).as("a"), col(tieCol).as("t")))
+          .as("__m"))
+      .select(col(keyCol), col("n"),
+        col("__m.t").as("cp"), (-col("__m.a")).as("stat"))
+  }
 }

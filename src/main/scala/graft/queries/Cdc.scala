@@ -829,6 +829,117 @@ object Cdc {
         .orderBy("user_id")
     },
 
+    // Per-user autocorrelation at lags 1..3 (Temporal.acf scaladoc):
+    // persistence profiling of the event-value series. Mean-free
+    // integer moments — every centered product multiplies through by
+    // n, so numerator and denominator are exact HUGEINT/DECIMAL sums
+    // and the only float is the final shared divide. Pₖ/Qₖ partial
+    // sums fall out of the same lead() window as the cross-products:
+    // one shuffle, one window sort, one aggregate.
+    "q_acf" -> QueryDef(
+      "per-user autocorrelation of event value at lags 1..3 (exact moments)",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id, c,
+        |    lead(c, 1) OVER w AS l1, lead(c, 2) OVER w AS l2,
+        |    lead(c, 3) OVER w AS l3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+        |a AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS s, CAST(sum(c * c) AS HUGEINT) AS s2,
+        |    sum(CASE WHEN l1 IS NOT NULL THEN c * l1 END) AS sc1,
+        |    sum(CASE WHEN l1 IS NOT NULL THEN c END) AS p1, sum(l1) AS q1,
+        |    sum(CASE WHEN l2 IS NOT NULL THEN c * l2 END) AS sc2,
+        |    sum(CASE WHEN l2 IS NOT NULL THEN c END) AS p2, sum(l2) AS q2,
+        |    sum(CASE WHEN l3 IS NOT NULL THEN c * l3 END) AS sc3,
+        |    sum(CASE WHEN l3 IS NOT NULL THEN c END) AS p3, sum(l3) AS q3
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n*n*sc1 - n*s*(p1+q1) + (n-1)*s*s AS DOUBLE)
+        |    / CAST(n*n*s2 - n*s*s AS DOUBLE), 9) AS acf_1,
+        |  round(CAST(n*n*sc2 - n*s*(p2+q2) + (n-2)*s*s AS DOUBLE)
+        |    / CAST(n*n*s2 - n*s*s AS DOUBLE), 9) AS acf_2,
+        |  round(CAST(n*n*sc3 - n*s*(p3+q3) + (n-3)*s*s AS DOUBLE)
+        |    / CAST(n*n*s2 - n*s*s AS DOUBLE), 9) AS acf_3
+        |FROM a WHERE n > 3 AND n*n*s2 - n*s*s <> 0
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      Temporal.acf(t(spark, dir)("events"),
+          keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+          valueCol = "value", maxLag = 3)
+        .orderBy("user_id")
+    },
+
+    // CUSUM changepoint scan (Temporal.cusum scaladoc): the peak of
+    // the mean-free cumulative deviation marks each user's most
+    // likely regime change. dev_t = n·c_t − S is integer, so the
+    // running sum, its peak, and the first-tie argmax are exact on
+    // both engines.
+    "q_cusum" -> QueryDef(
+      "per-user CUSUM changepoint: peak |cumulative deviation| event",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |a AS (SELECT user_id, count(*) AS n, sum(c) AS s
+        |      FROM e GROUP BY 1 HAVING count(*) > 1),
+        |cs AS (SELECT e.user_id, e.event_id, a.n,
+        |    sum(a.n * e.c - a.s) OVER (PARTITION BY e.user_id
+        |      ORDER BY e.tn, e.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM e JOIN a USING (user_id)),
+        |m AS (SELECT user_id, max(abs(cum)) AS stat, max(n) AS n
+        |      FROM cs GROUP BY 1)
+        |SELECT m.user_id, CAST(m.n AS BIGINT) AS n,
+        |  CAST(min(cs.event_id) AS BIGINT) AS cp,
+        |  CAST(m.stat AS BIGINT) AS stat
+        |FROM m JOIN cs ON cs.user_id = m.user_id AND abs(cs.cum) = m.stat
+        |GROUP BY m.user_id, m.n, m.stat
+        |ORDER BY 1""".stripMargin) { (spark, dir) =>
+      Temporal.cusum(t(spark, dir)("events"),
+          keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+          valueCol = "value")
+        .orderBy("user_id")
+    },
+
+    // Regular-grid resampling with forward fill: every user sampled
+    // at 48 hourly ticks from the corpus's first whole hour, each
+    // tick carrying the user's latest at-or-before event (value +
+    // event id; null before the user's first event). The grid
+    // derives from a one-row min aggregate INSIDE the plan (no
+    // driver scalar), the user list is a distinct projection, and
+    // the fill is the union-merge as-of join — output rows =
+    // |users| × 48, proportional to the entity count, never to the
+    // event count. DuckDB's generate_series + native ASOF LEFT JOIN
+    // is the independent implementation.
+    "q_resample" -> QueryDef(
+      "hourly resample with forward fill: 48 ticks per user",
+      """WITH h AS (SELECT (epoch_ns(min(ts)) // 3600000000000)
+        |      * 3600000000000 AS h0 FROM events),
+        |g AS (SELECT s AS slot, h0 + s * 3600000000000 AS tn
+        |      FROM h, unnest(range(0, 48)) AS r(s)),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |l AS (SELECT user_id, slot, tn FROM u CROSS JOIN g),
+        |e AS (SELECT user_id, epoch_ns(ts) AS tn,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events)
+        |SELECT l.user_id, CAST(l.slot AS BIGINT) AS slot,
+        |  e.cents, e.event_id AS last_event_id
+        |FROM l ASOF LEFT JOIN e
+        |  ON l.user_id = e.user_id AND l.tn >= e.tn
+        |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      val ev = t(spark, dir)("events")
+      val hourNs = 3600L * 1000000000L
+      val grid = ev.agg(expr(s"(min(ts) div $hourNs) * $hourNs").as("h0"))
+        .select(explode(sequence(lit(0L), lit(47L))).as("slot"), col("h0"))
+        .select(col("slot"), (col("h0") + col("slot") * hourNs).as("tn"))
+      val left = ev.select(col("user_id")).distinct().crossJoin(grid)
+      val right = ev.select(col("user_id"), col("ts").as("tn"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_id").as("last_event_id"))
+      Temporal.asofJoin(left, right, Seq("user_id"), "tn",
+          Seq("cents", "last_event_id"))
+        .select(col("user_id"), col("slot"), col("cents"),
+          col("last_event_id"))
+        .orderBy("user_id", "slot")
+    },
+
     // Range join — events per user in the 5 minutes after each event.
     // The naive inequality join degrades to broadcast-nested-loop in
     // Spark; Temporal.rangeCount buckets time so it's a keyed
