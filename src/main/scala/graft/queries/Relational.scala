@@ -302,6 +302,118 @@ object Relational {
         .orderBy("c_nationkey", "bal_band")
     },
 
+    // t-closeness — the third rung of the privacy-audit ladder
+    // (k-anonymity → l-diversity → t-closeness): a class can be large
+    // AND diverse yet still leak if its sensitive-value DISTRIBUTION
+    // deviates from the global one. For an ORDERED sensitive
+    // attribute the distance is the Earth Mover's Distance, which
+    // collapses to the mean |cumulative difference| over the ordered
+    // categories — and staying exact is just cross-multiplying:
+    // d_i = n_i·N − g_i·Nc is an integer, its running sum is the
+    // unnormalized EMD step, and the divide by Nc·N·(m−1) happens
+    // once per class at the end. The class/band grid is
+    // |segments|×|bands| — corpus-independent — so everything after
+    // the first aggregate is broadcast-sized; all wide products are
+    // DECIMAL(38,0)/HUGEINT (a 100-TB N² exceeds a long).
+    "q_tcloseness" -> QueryDef(
+      "t-closeness audit (t=0.02): EMD of balance-band distribution per segment",
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band FROM customer),
+        |cls AS (SELECT seg, band, count(*) AS n FROM c GROUP BY 1, 2),
+        |sg AS (SELECT seg, sum(n) AS nc FROM cls GROUP BY 1),
+        |bd AS (SELECT band, sum(n) AS g, sum(sum(n)) OVER () AS ntot,
+        |       count(*) OVER () AS m
+        |       FROM cls GROUP BY 1),
+        |grid AS (SELECT sg.seg, sg.nc, bd.band, bd.g, bd.ntot, bd.m,
+        |    coalesce(cls.n, 0) AS n
+        |  FROM sg CROSS JOIN bd
+        |  LEFT JOIN cls ON cls.seg = sg.seg AND cls.band = bd.band),
+        |cum AS (SELECT seg, nc, ntot, m,
+        |    sum(CAST(n AS HUGEINT) * ntot - CAST(g AS HUGEINT) * nc)
+        |      OVER (PARTITION BY seg ORDER BY band
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+        |  FROM grid),
+        |r AS (SELECT seg, nc, ntot, m, sum(abs(cu)) AS num
+        |      FROM cum GROUP BY 1, 2, 3, 4)
+        |SELECT seg, CAST(nc AS BIGINT) AS class_size,
+        |  round(CAST(num AS DOUBLE)
+        |    / CAST(CAST(nc AS HUGEINT) * ntot * (m - 1) AS DOUBLE), 9) AS emd,
+        |  CAST(CASE WHEN num * 50 > CAST(nc AS HUGEINT) * ntot * (m - 1)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS violation
+        |FROM r WHERE m > 1 ORDER BY seg""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(38, 0)
+      val cls = t(spark, dir)("customer")
+        .select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 2000).cast(LongType).as("band"))
+        .groupBy("seg", "band").agg(count(lit(1)).as("n"))
+      val segs = cls.groupBy("seg").agg(sum(col("n")).as("nc"))
+      val bands = cls.groupBy("band").agg(sum(col("n")).as("g"))
+      val tot = bands.agg(sum(col("g")).as("ntot"),
+        count(lit(1)).as("m"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val den = col("nc").cast(dec) * col("ntot") *
+        (col("m") - 1).cast(dec)
+      segs.crossJoin(bands).crossJoin(tot)
+        .join(cls, Seq("seg", "band"), "left")
+        .withColumn("n0", coalesce(col("n"), lit(0L)))
+        .withColumn("cu", sum(col("n0").cast(dec) * col("ntot") -
+          col("g").cast(dec) * col("nc")).over(w))
+        .groupBy(col("seg"), col("nc"), col("ntot"), col("m"))
+        .agg(sum(abs(col("cu"))).as("num"))
+        .where(col("m") > 1)
+        .select(col("seg"), col("nc").cast(LongType).as("class_size"),
+          round(col("num").cast(DoubleType) / den.cast(DoubleType), 9)
+            .as("emd"),
+          when(col("num") * 50 > den, 1L).otherwise(0L).as("violation"))
+        .orderBy("seg")
+    },
+
+    // Benford first-digit audit — the classic fabricated-numbers
+    // screen for a numeric column: organically-grown magnitudes put
+    // digit d first with probability log10(1+1/d). The nine expected
+    // frequencies are computed ONCE in Scala and emitted as ppm
+    // literals into BOTH plans (the q_ndcg discount-constant trick),
+    // so neither engine takes a runtime log and the deviation column
+    // is pure integer arithmetic. One map-side-combined aggregate
+    // over 9 groups; the digit grid is a 9-row range so absent
+    // digits still report.
+    "q_benford" -> {
+      val ppm = (1 to 9).map(d => math.round(math.log10(1 + 1.0 / d) * 1e6))
+      QueryDef(
+        "Benford's-law first-digit audit of customer balances (ppm deviation)",
+        s"""WITH v AS (SELECT CAST(floor(c_acctbal) AS BIGINT) AS b
+          |      FROM customer WHERE c_acctbal >= 1),
+          |o AS (SELECT CAST(substr(CAST(b AS VARCHAR), 1, 1) AS BIGINT)
+          |        AS digit, count(*) AS obs FROM v GROUP BY 1),
+          |n AS (SELECT sum(obs) AS ntot FROM o),
+          |d AS (SELECT s AS digit, list_extract([${ppm.mkString(", ")}],
+          |        CAST(s AS INT)) AS benford_ppm
+          |      FROM unnest(range(1, 10)) AS r(s))
+          |SELECT d.digit, CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+          |  CAST(d.benford_ppm AS BIGINT) AS benford_ppm,
+          |  CAST(coalesce(o.obs, 0) * 1000000 // n.ntot
+          |    - d.benford_ppm AS BIGINT) AS dev_ppm
+          |FROM d LEFT JOIN o USING (digit) CROSS JOIN n
+          |ORDER BY digit""".stripMargin) { (spark, dir) =>
+        val obs = t(spark, dir)("customer")
+          .where(col("c_acctbal") >= 1)
+          .select(substring(floor(col("c_acctbal")).cast(LongType)
+            .cast(StringType), 1, 1).cast(LongType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("obs"))
+        val tot = obs.agg(sum(col("obs")).as("ntot"))
+        spark.range(1, 10).select(col("id").as("digit"))
+          .join(obs, Seq("digit"), "left")
+          .withColumn("obs", coalesce(col("obs"), lit(0L)))
+          .crossJoin(tot)
+          .withColumn("benford_ppm",
+            expr(s"element_at(array(${ppm.mkString("L, ")}L), CAST(digit AS INT))"))
+          .select(col("digit"), col("obs"), col("benford_ppm"),
+            expr("obs * 1000000 div ntot - benford_ppm").as("dev_ppm"))
+          .orderBy("digit")
+      }
+    },
+
     // CMS join-size estimation (Profiling.joinCardinality scaladoc):
     // predict |orders ⋈ customer| from two fixed 4×1024 sketches
     // without running the join — the CBO's join-ordering input. The

@@ -1174,6 +1174,78 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Golden-record survivorship — the MERGE step after entity
+    // resolution: each duplicate cluster collapses to one record with
+    // per-field survivorship rules (canonical id = min member id,
+    // best text = longest with min-id tiebreak, lang = cluster mode
+    // with lexicographic tiebreak, source count for lineage). Both
+    // argmaxes are single-aggregate min(struct(-key, tiebreak))
+    // reductions — no window over the corpus — and everything
+    // downstream of connectedComponents is |cluster members| rows
+    // (the rare case by construction), joined to documents on the
+    // broadcast-sized membership list.
+    "q_golden_record" -> QueryDef(
+      "golden records: per-cluster survivorship merge after near-dup ER",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+         |walk AS (
+         |  SELECT DISTINCT u AS node, u AS reach FROM edges
+         |  UNION
+         |  SELECT e.v AS node, w.reach FROM edges e JOIN walk w ON w.node = e.u),
+         |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+         |m AS (SELECT c.component, d.doc_id, d.n_chars, d.source, d.lang
+         |      FROM comp c JOIN documents d ON d.doc_id = c.node),
+         |agg AS (SELECT component, count(*) AS n_members,
+         |        min(doc_id) AS canonical_id,
+         |        count(DISTINCT source) AS n_sources
+         |        FROM m GROUP BY 1 HAVING count(*) >= 2),
+         |best AS (SELECT component, doc_id AS best_doc_id,
+         |        n_chars AS best_len FROM (
+         |    SELECT component, doc_id, n_chars, row_number() OVER (
+         |      PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM m) WHERE rn = 1),
+         |lc AS (SELECT component, lang, count(*) AS c FROM m GROUP BY 1, 2),
+         |ml AS (SELECT component, lang AS mode_lang FROM (
+         |    SELECT component, lang, row_number() OVER (
+         |      PARTITION BY component ORDER BY c DESC, lang) AS rn
+         |    FROM lc) WHERE rn = 1)
+         |SELECT CAST(agg.component AS BIGINT) AS cluster,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(canonical_id AS BIGINT) AS canonical_id,
+         |  CAST(best_doc_id AS BIGINT) AS best_doc_id,
+         |  CAST(best_len AS BIGINT) AS best_len,
+         |  CAST(n_sources AS BIGINT) AS n_sources, mode_lang
+         |FROM agg JOIN best USING (component) JOIN ml USING (component)
+         |ORDER BY cluster""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val pairs = Dedup.minhashPairs(
+        TextAnalysis.gramArrays(d, "doc_id", "text", 5), "doc_id", 3, 5)
+      val members = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component"))
+      val m = d.join(broadcast(members), Seq("doc_id"))
+        .select(col("component"), col("doc_id"), col("n_chars"),
+          col("source"), col("lang"))
+      val agg = m.groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("canonical_id"),
+          countDistinct(col("source")).as("n_sources"),
+          min(struct((-col("n_chars")).as("nl"), col("doc_id").as("id")))
+            .as("__b"))
+        .where(col("n_members") >= 2)
+      val ml = m.groupBy("component", "lang")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("component")
+        .agg(min(struct((-col("c")).as("nc"), col("lang").as("l")))
+          .as("__m"))
+      agg.join(ml, Seq("component"))
+        .select(col("component").as("cluster"), col("n_members"),
+          col("canonical_id"), col("__b.id").as("best_doc_id"),
+          (-col("__b.nl")).as("best_len"), col("n_sources"),
+          col("__m.l").as("mode_lang"))
+        .orderBy("cluster")
+    },
+
     "q_dedup_simhash" -> QueryDef(
       "32-bit SimHash per document",
       s"""WITH $gramsCte,

@@ -183,6 +183,92 @@ object Vectors {
         .orderBy("qid")
     },
 
+    // Reciprocal-rank fusion — the standard hybrid-search combiner
+    // (Cormack & Clarke SIGIR'09): BM25's lexical top-20 and the
+    // embedding cosine top-20 fuse by rank alone, score =
+    // Σ 1/(60 + rank). Integer-exact on both engines: each ranker's
+    // contribution is 1000000 div (60 + rank) — no float RRF sums —
+    // and docs present in only one list take 0 from the other. Both
+    // rankers are the already-verified machinery (TextAnalysis.bm25,
+    // Similarity.bruteForceTopK); the fusion itself is a full-outer
+    // join of two ≤20-row frames, driver-scale by construction. The
+    // window rank over the 20-row bm25 slice is post-limit — a
+    // single-partition sort of 20 rows, not a corpus sort.
+    "q_rrf" -> {
+      val qterms = Seq("dup", "merge", "scan")
+      val tfSel = qterms.map(t =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t")
+        .mkString(",\n        |    ")
+      val dfSel = qterms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(",\n        |    ")
+      val idfSel = qterms.map(t =>
+        s"round(ln((CAST(n_docs - df_$t AS DOUBLE) + 0.5) / " +
+          s"(CAST(df_$t AS DOUBLE) + 0.5) + 1.0), 6) AS idf_$t")
+        .mkString(",\n        |    ")
+      val contrib = qterms.map(t =>
+        s"CAST(round(idf_$t * (CAST(tf_$t AS DOUBLE) * 2.25) / " +
+          s"(CAST(tf_$t AS DOUBLE) + 1.25 * (0.25 + 0.75 * " +
+          s"(CAST(dl AS DOUBLE) / avgdl))), 6) AS DECIMAL(30,6))")
+        .mkString("\n        |    + ")
+      QueryDef(
+        "hybrid search: reciprocal-rank fusion of BM25 and cosine top-20",
+        s"""WITH t AS (SELECT doc_id,
+          |         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          |       FROM documents),
+          |tt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+          |    $tfSel
+          |  FROM t),
+          |s AS (SELECT count(*) AS n_docs, sum(dl) AS tot,
+          |    $dfSel
+          |  FROM tt),
+          |s2 AS (SELECT *, CAST(tot AS DOUBLE) / n_docs AS avgdl,
+          |    $idfSel
+          |  FROM s),
+          |sc AS (SELECT doc_id,
+          |    CAST($contrib AS DOUBLE) AS score
+          |  FROM tt CROSS JOIN s2),
+          |lex AS (SELECT doc_id, CAST(row_number()
+          |      OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lrank
+          |    FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20),
+          |d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |p AS (SELECT v FROM d WHERE vec_id = 0),
+          |vv AS (SELECT d.vec_id AS doc_id,
+          |      round(list_cosine_similarity(p.v, d.v), 6) AS cos
+          |    FROM p CROSS JOIN d WHERE d.vec_id <> 0),
+          |vec AS (SELECT doc_id, CAST(row_number()
+          |      OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vrank
+          |    FROM vv ORDER BY cos DESC, doc_id LIMIT 20),
+          |f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+          |      lrank, vrank,
+          |      coalesce(1000000 // (60 + lrank), 0)
+          |        + coalesce(1000000 // (60 + vrank), 0) AS rrf
+          |    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+          |SELECT doc_id, lrank, vrank, CAST(rrf AS BIGINT) AS rrf
+          |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) {
+        (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.operators.TextAnalysis.bm25(
+            Tables.load(spark, dir, "documents"), "doc_id", "text", qterms, 20)
+          .select(col("doc_id"), row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast(LongType).as("lrank"))
+        val e = emb(spark, dir)
+        val probes = e.where(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("vec"))
+        val vec = Similarity.bruteForceTopK(probes,
+            e.select(col("vec_id").as("nid"), col("vec")), 20)
+          .select(col("nid").as("doc_id"),
+            col("rank").cast(LongType).as("vrank"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + vrank)"), lit(0L)))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("lrank"), col("vrank"), col("rrf"))
+      }
+    },
+
     // Spherical k-means refinement (2 Lloyd iterations over the IVF
     // seeds). The oracle replays both iterations in SQL: seed = first
     // 16 vectors, argmax-cosine assignment (rounded, lowest-cid ties),
