@@ -112,11 +112,17 @@ object Bench {
     // The driver's BENCH_rN.json retains only an output TAIL — with
     // 119 queries most per-query numbers fall off it. Persist the full
     // table verbatim (overwritten per run) so round-over-round
-    // regression tracking always has every entry.
-    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_results.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: $e") }
+    // regression tracking always has every entry. Filtered local runs
+    // (SPARK_GRAFT_ONLY set) must NOT clobber the full committed
+    // table with a subset — they skip the write unless the caller
+    // redirects it explicitly via GRAFT_BENCH_OUT.
+    val outFile = sys.env.get("GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_results.json") else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: $e") }
+    }
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
