@@ -940,6 +940,204 @@ object Cdc {
         .orderBy("user_id", "slot")
     },
 
+    // Population Stability Index — the industry-standard model-input
+    // drift monitor beside the KS and KL tests (q_ks_drift,
+    // q_kl_drift): first-half-of-time vs second-half value
+    // distributions per event type, binned to integer bands. Exact
+    // recipe: the log ratio ln(aB/bA) is a ratio of INTEGERS (so both
+    // engines round the same double to 6 decimals), each term's
+    // weight (a·B − b·A) is an integer, the weighted sum accumulates
+    // as DECIMAL, and the single divide by A·B happens once per type.
+    // One-sided bins (mass appears/disappears entirely) can't take a
+    // finite log — they report beside the PSI as a count, the
+    // standard practice. The time midpoint is a one-row aggregate
+    // inside the plan.
+    "q_psi" -> QueryDef(
+      "PSI drift per event type: first half vs second half of the time range",
+      """WITH mid AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
+        |      AS m FROM events),
+        |e AS (SELECT event_type,
+        |    CASE WHEN epoch_ns(ts) < mid.m THEN 0 ELSE 1 END AS half,
+        |    CAST(round(value * 100) AS BIGINT) // 5000 AS band
+        |  FROM events CROSS JOIN mid),
+        |c AS (SELECT event_type, band,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(a) AS ta, sum(b) AS tb FROM c GROUP BY 1),
+        |r AS (SELECT c.event_type,
+        |    CASE WHEN a > 0 AND b > 0 THEN
+        |      round(ln(CAST(a * tb AS DOUBLE) / CAST(b * ta AS DOUBLE)), 6)
+        |        ::DECIMAL(30,6) END AS lr,
+        |    a * tb - b * ta AS w,
+        |    CASE WHEN a = 0 OR b = 0 THEN 1 ELSE 0 END AS oneside
+        |  FROM c JOIN t ON t.event_type = c.event_type)
+        |SELECT r.event_type,
+        |  round(CAST(sum(lr * w) AS DOUBLE)
+        |    / CAST(any_value(ta) * any_value(tb) AS DOUBLE), 9) AS psi,
+        |  CAST(sum(oneside) AS BIGINT) AS n_oneside_bins
+        |FROM r JOIN t ON t.event_type = r.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val dec30 = DecimalType(30, 6)
+      val ev = t(spark, dir)("events")
+      val mid = ev.agg(expr("(min(ts) + max(ts)) div 2").as("m"))
+      val e = ev.crossJoin(mid)
+        .select(col("event_type"),
+          when(col("ts") < col("m"), 0).otherwise(1).as("half"),
+          expr("CAST(round(value * 100) AS BIGINT) div 5000").as("band"))
+      val c = e.groupBy("event_type", "band")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("b"))
+      val tt = c.groupBy("event_type")
+        .agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      c.join(tt, Seq("event_type"))
+        .select(col("event_type"), col("ta"), col("tb"),
+          when(col("a") > 0 && col("b") > 0,
+            round(log((col("a") * col("tb")).cast(DoubleType) /
+              (col("b") * col("ta")).cast(DoubleType)), 6).cast(dec30))
+            .as("lr"),
+          (col("a") * col("tb") - col("b") * col("ta")).as("w"),
+          when(col("a") === 0 || col("b") === 0, 1L).otherwise(0L)
+            .as("oneside"))
+        .groupBy("event_type")
+        .agg(round(sum(col("lr") * col("w")).cast(DoubleType) /
+            (first(col("ta")) * first(col("tb"))).cast(DoubleType), 9)
+          .as("psi"),
+          sum(col("oneside")).as("n_oneside_bins"))
+        .orderBy("event_type")
+    },
+
+    // Gini coefficient of per-user purchase spend per event type —
+    // concentration profiling (is 1% of users 90% of the volume? the
+    // answer decides salting and broadcast choices downstream). The
+    // closed form over ascending totals, G = (2Σi·xᵢ − (n+1)Σx)
+    // / (n·Σx), is tie-order-invariant (swapping equal x's leaves
+    // Σi·xᵢ unchanged), so the rank window needs no engine-identical
+    // tiebreak; the numerator is exact integer arithmetic and the
+    // one divide is shared. Two keyed aggregates + one rank window
+    // over |users|·|types| rows — never the raw event table.
+    "q_gini" -> QueryDef(
+      "Gini concentration of per-user value totals per event type",
+      """WITH x AS (SELECT event_type, user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2 HAVING sum(round(value * 100)) > 0),
+        |r AS (SELECT event_type, cents, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cents, user_id) AS BIGINT) AS i
+        |  FROM x)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)
+        |      AS DOUBLE)
+        |    / CAST(count(*) * sum(cents) AS DOUBLE), 9) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val x = t(spark, dir)("events")
+        .groupBy("event_type", "user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .where(col("cents") > 0)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("user_id"))
+      x.withColumn("i", row_number().over(w).cast(LongType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("total_cents"),
+          round((lit(2) * sum(col("i") * col("cents")) -
+              (count(lit(1)) + 1) * sum(col("cents"))).cast(DoubleType) /
+            (count(lit(1)) * sum(col("cents"))).cast(DoubleType), 9)
+            .as("gini"))
+        .orderBy("event_type")
+    },
+
+    // Sequential-pattern support — the PrefixSpan counting primitive:
+    // for every ordered pair of event types, how many users ever do A
+    // strictly before B? "∃ a before b" collapses to min(ts_A) <
+    // max(ts_B), so the whole mining runs on the |users|·|types|
+    // summary table (one aggregate over the corpus), and the pair
+    // enumeration is a per-user self-equijoin of that bounded summary
+    // — never an event-level pair scan. Support in ppm by integer
+    // division on both engines.
+    "q_seq_support" -> QueryDef(
+      "ordered-pair sequence support: users doing type A before type B",
+      """WITH s AS (SELECT user_id, event_type, min(epoch_ns(ts)) AS mn,
+        |    max(epoch_ns(ts)) AS mx FROM events GROUP BY 1, 2),
+        |u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_users
+        |  FROM s a JOIN s b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type AND a.mn < b.mx
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_users * 1000000 // nu AS BIGINT) AS support_ppm
+        |FROM p CROSS JOIN u ORDER BY type_a, type_b""".stripMargin) {
+      (spark, dir) =>
+      val ev = t(spark, dir)("events")
+      val s = ev.groupBy("user_id", "event_type")
+        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      val u = ev.agg(countDistinct(col("user_id")).as("nu"))
+      val a = s.select(col("user_id"), col("event_type").as("type_a"),
+        col("mn"))
+      val b = s.select(col("user_id"), col("event_type").as("type_b"),
+        col("mx"))
+      a.join(b, Seq("user_id"))
+        .where(col("type_a") =!= col("type_b") && col("mn") < col("mx"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(u)
+        .select(col("type_a"), col("type_b"), col("n_users"),
+          expr("n_users * 1000000 div nu").as("support_ppm"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Rolling OLS slope — q_trend's windowed sibling: the slope over
+    // each user's trailing 8 observations, emitted per event. All five
+    // moments are frame sums over globally-rebased integer seconds
+    // (the shift leaves the slope invariant and keeps Σt'² in-long;
+    // the un-rebased Σt² would overflow), the determinant test and
+    // numerator are exact, and the one divide per row is shared.
+    // Frame = ROWS 7 PRECEDING..CURRENT, order pinned by (ts,
+    // event_id); only full frames emit.
+    "q_rolling_trend" -> QueryDef(
+      "per-event rolling OLS slope over the user's trailing 8 events",
+      """WITH t0 AS (SELECT min(epoch_ns(ts)) // 1000000000 AS g FROM events),
+        |e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 - t0.g AS t,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm,
+        |    epoch_ns(ts) AS tn
+        |  FROM events CROSS JOIN t0),
+        |f AS (SELECT user_id, event_id,
+        |    count(*) OVER w AS n, sum(t) OVER w AS st,
+        |    sum(vm) OVER w AS sv, sum(t * vm) OVER w AS stv,
+        |    sum(t * t) OVER w AS stt
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  round(CAST(n * stv - st * sv AS DOUBLE)
+        |    / CAST(n * stt - st * st AS DOUBLE), 9) AS slope
+        |FROM f WHERE n = 8 AND n * stt - st * st <> 0
+        |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      val ev = t(spark, dir)("events")
+      val t0 = ev.agg(expr("min(ts) div 1000000000").as("g"))
+      val e = ev.crossJoin(t0)
+        .select(col("user_id"), col("event_id"),
+          (expr("ts div 1000000000") - col("g")).as("t"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("vm"),
+          col("ts").as("tn"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tn"), col("event_id"))
+        .rowsBetween(-7, Window.currentRow)
+      val f = e
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("st", sum(col("t")).over(w))
+        .withColumn("sv", sum(col("vm")).over(w))
+        .withColumn("stv", sum(col("t") * col("vm")).over(w))
+        .withColumn("stt", sum(col("t") * col("t")).over(w))
+      val den = col("n") * col("stt") - col("st") * col("st")
+      f.where(col("n") === 8 && den =!= 0)
+        .select(col("user_id"), col("event_id"),
+          round((col("n") * col("stv") - col("st") * col("sv"))
+            .cast(DoubleType) / den.cast(DoubleType), 9).as("slope"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Range join — events per user in the 5 minutes after each event.
     // The naive inequality join degrades to broadcast-nested-loop in
     // Spark; Temporal.rangeCount buckets time so it's a keyed
