@@ -269,6 +269,45 @@ object Temporal {
       .select(col(idCol), coalesce(col(resultCol), lit(0L)).as(resultCol))
   }
 
+  /** Bounded-lookback temporal PAIR join — [[rangeCount]]'s
+    * payload-carrying sibling: every left row pairs with every right
+    * row of the same key whose `rightTime` falls in
+    * [leftTime − window, leftTime). Where rangeCount only counts,
+    * this emits the matched rows themselves (multi-touch attribution,
+    * feature lookback, context gathering), so the output is the true
+    * pair multiset — proportional to the real match count, which the
+    * bounded window keeps finite at any scale.
+    *
+    * Same no-inequality-join decomposition: time buckets of exactly
+    * `window` ns; each right row lands in ONE bucket, each left row
+    * probes TWO (its own and the previous), so every qualifying pair
+    * meets exactly once in a keyed EQUIJOIN — no
+    * broadcast-nested-loop, no duplicate pairs to dedup, and skew is
+    * bounded by per-(key, bucket) density.
+    *
+    * Both time columns are integer (nanosecond) epochs; `leftTime`
+    * and `rightTime` must be distinct column names. Output: all left
+    * columns + all right payload columns. */
+  def windowJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      window: Long): DataFrame = {
+    require(leftTime != rightTime,
+      s"leftTime and rightTime must differ, both were '$leftTime'")
+    require(window > 0, s"window must be positive, got $window")
+    val bucketL = expr(s"`$leftTime` div ${window}L")
+    val probes = left.withColumn("__b",
+      explode(array(bucketL - 1, bucketL)))
+    val rights = right.withColumn("__b", expr(s"`$rightTime` div ${window}L"))
+    probes.join(rights, keys :+ "__b")
+      .where(col(rightTime) < col(leftTime) &&
+        col(rightTime) >= col(leftTime) - window)
+      .drop("__b")
+  }
+
   /** Per-key OLS trend: slope and intercept of the least-squares line
     * of `valueCol` (milli-quantized) over `timeCol` (caller supplies
     * integer SECONDS — small enough that every moment sum below stays

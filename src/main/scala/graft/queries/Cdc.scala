@@ -796,6 +796,132 @@ object Cdc {
         .orderBy("campaign")
     },
 
+    // Linear multi-touch attribution — q_attribution's many-to-many
+    // sibling: each purchase splits its revenue EQUALLY across every
+    // click in its 3-day lookback (the marketing-standard linear
+    // model), so the temporal join must carry payload, not just
+    // count — that's Temporal.windowJoin (bucketed equijoin, each
+    // pair meets exactly once, no inequality-join fallback). Exact
+    // split without float shares: per-purchase credit quantum =
+    // cents·10⁶ div k (one integer division per purchase), times the
+    // campaign's click count in the window; purchases with an empty
+    // lookback credit campaign −1 whole. Campaign-null clicks are
+    // excluded on both engines.
+    "q_attribution_linear" -> QueryDef(
+      "linear multi-touch attribution: purchase revenue split across 3-day-lookback clicks",
+      """WITH c AS (SELECT user_id, epoch_ns(ts) AS ct,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign
+        |  FROM events WHERE event_type = 'click'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS pt,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pr AS (SELECT p.pid, p.cents, c.campaign
+        |       FROM p JOIN c ON p.user_id = c.user_id
+        |         AND c.ct < p.pt AND c.ct >= p.pt - 259200000000000),
+        |pc AS (SELECT pid, cents, campaign, count(*) AS cnt
+        |       FROM pr GROUP BY 1, 2, 3),
+        |kt AS (SELECT pid, sum(cnt) AS k FROM pc GROUP BY 1),
+        |cr AS (SELECT campaign, (cents * 1000000 // k) * cnt AS credit, pid
+        |       FROM pc JOIN kt USING (pid)
+        |       UNION ALL
+        |       SELECT -1 AS campaign, cents * 1000000 AS credit, pid
+        |       FROM p WHERE pid NOT IN (SELECT pid FROM kt))
+        |SELECT campaign, CAST(sum(credit) AS BIGINT) AS credit_micros,
+        |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("ct"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("campaign"))
+        .where(col("campaign").isNotNull)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("pt"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val pairs = Temporal.windowJoin(purchases, clicks, Seq("user_id"),
+        "pt", "ct", 259200L * 1000000000L)
+      val pc = pairs.groupBy("pid", "cents", "campaign")
+        .agg(count(lit(1)).as("cnt"))
+      val kt = pc.groupBy("pid").agg(sum(col("cnt")).as("k"))
+      val attributed = pc.join(kt, Seq("pid"))
+        .select(col("campaign"),
+          (expr("cents * 1000000 div k") * col("cnt")).as("credit"),
+          col("pid"))
+      val unattributed = purchases
+        .join(kt, Seq("pid"), "left_anti")
+        .select(lit(-1L).as("campaign"),
+          (col("cents") * 1000000L).as("credit"), col("pid"))
+      attributed.unionByName(unattributed)
+        .groupBy("campaign")
+        .agg(sum(col("credit")).as("credit_micros"),
+          countDistinct(col("pid")).as("n_purchases"))
+        .orderBy("campaign")
+    },
+
+    // Lagged cross-correlation of the daily click and purchase count
+    // series — does today's click volume predict tomorrow's
+    // purchases? The series reduce to ≤ |days| integer pairs (one
+    // corpus aggregate + a generated day grid with zero fill, so
+    // silent gaps can't misalign the lag), every Pearson moment is an
+    // exact integer, and the two sqrt-of-integer calls are
+    // correctly-rounded IEEE on both engines.
+    "q_xcorr" -> QueryDef(
+      "lagged cross-correlation (lags -2..2) of daily clicks vs purchases",
+      """WITH b AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events),
+        |lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+        |cnt AS (SELECT day, sum(isc) AS x, sum(isp) AS y FROM b GROUP BY 1),
+        |grid AS (SELECT d0 + s AS day FROM lim,
+        |         unnest(range(0, CAST(d1 - d0 + 1 AS BIGINT))) AS r(s)),
+        |g AS (SELECT grid.day, coalesce(cnt.x, 0) AS x, coalesce(cnt.y, 0) AS y
+        |      FROM grid LEFT JOIN cnt ON cnt.day = grid.day),
+        |pairs AS (SELECT l.lag, a.x, b2.y
+        |  FROM unnest([-2, -1, 0, 1, 2]) AS l(lag)
+        |  CROSS JOIN g a JOIN g b2 ON b2.day = a.day + l.lag),
+        |m AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS r
+        |FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY lag""".stripMargin) { (spark, dir) =>
+      val dayNs = 86400L * 1000000000L
+      val b = t(spark, dir)("events")
+        .select(expr(s"ts div ${dayNs}L").as("day"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("isc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("isp"))
+      val cnt = b.groupBy("day").agg(sum(col("isc")).as("x"),
+        sum(col("isp")).as("y"))
+      val lim = b.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = lim.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val g = grid.join(cnt, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val lags = spark.range(-2, 3).select(col("id").as("lag"))
+      val a = g.select(col("day"), col("x"))
+      val b2 = g.select(col("day").as("yday"), col("y"))
+      val pairs = a.crossJoin(lags)
+        .join(b2, col("yday") === col("day") + col("lag"))
+      val n = count(lit(1))
+      val den1 = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+      val den2 = n * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
+      pairs.groupBy("lag")
+        .agg(n.as("n_days"),
+          round((n * sum(col("x") * col("y")) -
+              sum(col("x")) * sum(col("y"))).cast(DoubleType) /
+            (sqrt(den1.cast(DoubleType)) * sqrt(den2.cast(DoubleType))), 9)
+            .as("r"),
+          den1.as("__d1"), den2.as("__d2"))
+        .where(col("__d1") > 0 && col("__d2") > 0)
+        .select(col("lag"), col("n_days"), col("r"))
+        .orderBy("lag")
+    },
+
     // Per-user OLS value trend (Temporal.trend scaladoc): slope +
     // intercept from five exact DECIMAL/HUGEINT moment sums in ONE
     // keyed aggregate — time re-based per key via the shift

@@ -610,6 +610,102 @@ object Text {
     // sums (n_chars and its squares sum exactly in 64 bits), so both
     // engines derive bit-identical doubles and the 2σ threshold can't
     // flip on summation order.
+    // Zipf power-law fit — does the corpus's term-frequency curve
+    // look like natural language (exponent ≈ −1)? OLS of ln(freq) on
+    // ln(rank) over the top-1000 terms. Scale shape: ONE corpus
+    // aggregate (term counting, map-side combined), then a
+    // TakeOrdered top-1000 slice — the full vocabulary is never
+    // globally sorted, and the rank window runs post-limit over 1000
+    // rows. Parity: both logs take INTEGER arguments, round to 6
+    // decimals, and accumulate as exact DECIMAL moments; the two
+    // divides at the end are shared.
+    "q_zipf" -> QueryDef(
+      "Zipf exponent: ln-ln OLS over the top-1000 term frequencies",
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS f FROM t GROUP BY 1),
+        |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, term)
+        |       AS rank FROM tf),
+        |top AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6)::DECIMAL(30,6) AS x,
+        |        round(ln(CAST(f AS DOUBLE)), 6)::DECIMAL(30,6) AS y
+        |        FROM rk WHERE rank <= 1000),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |      sum(x * y) AS sxy, sum(x * x) AS sxx FROM top)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |          / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val dec30 = DecimalType(30, 6)
+      val tf = docs(spark, dir)
+        .graftSpread()
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val top = tf.orderBy(col("f").desc, col("term")).limit(1000)
+      val rk = top.withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("term"))).cast(LongType))
+      val xy = rk.select(
+        round(log(col("rank").cast(DoubleType)), 6).cast(dec30).as("x"),
+        round(log(col("f").cast(DoubleType)), 6).cast(dec30).as("y"))
+      val m = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast(DoubleType)
+      val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast(DoubleType)
+      m.select(col("n").cast(LongType).as("n_terms"),
+        round(num / den, 6).as("zipf_slope"),
+        round((col("sy").cast(DoubleType) -
+          round(num / den, 6) * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType), 6).as("intercept"))
+    },
+
+    // Robust (median/MAD) outlier screen — q_outliers' heavy-tail-safe
+    // sibling: the classic z-score's mean and stddev are themselves
+    // dragged by the outliers they hunt, so the robust version
+    // centers on the per-source MEDIAN and scales by the median
+    // absolute deviation (modified z = 0.6745·(x−med)/MAD —
+    // Iglewicz & Hoaglin; their 3.5 cut returns nothing on this
+    // clean synthetic corpus, so the query flags at 2.5 to keep the
+    // gate's diff surface non-empty). Parity needs no rounding
+    // tricks: medians of integers interpolate to exact binary
+    // halves, so every intermediate is the same double on both
+    // engines. Two keyed aggregates (med, then MAD over deviations);
+    // the per-source stats join back broadcast.
+    "q_outliers_mad" -> QueryDef(
+      "per-source robust length outliers: modified z-score beyond 2.5",
+      """WITH s1 AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |      FROM documents GROUP BY 1),
+        |s2 AS (SELECT d.source,
+        |      quantile_cont(abs(d.n_chars - s1.med), 0.5) AS mad
+        |      FROM documents d JOIN s1 USING (source) GROUP BY d.source),
+        |z AS (SELECT d.doc_id, d.source,
+        |      round(0.6745 * (d.n_chars - s1.med) / s2.mad, 6) AS mz
+        |      FROM documents d JOIN s1 USING (source) JOIN s2 USING (source)
+        |      WHERE s2.mad > 0)
+        |SELECT doc_id, source, mz FROM z WHERE abs(mz) > 2.5
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val s1 = d.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val s2 = d.join(broadcast(s1), Seq("source"))
+        .groupBy("source")
+        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      d.join(broadcast(s1), Seq("source"))
+        .join(broadcast(s2), Seq("source"))
+        .where(col("mad") > 0)
+        .select(col("doc_id"), col("source"),
+          round(lit(0.6745) * (col("n_chars") - col("med")) / col("mad"), 6)
+            .as("mz"))
+        .where(abs(col("mz")) > 2.5)
+        .orderBy("doc_id")
+    },
+
     "q_outliers" -> QueryDef(
       "per-source length outliers beyond 2 population-stddevs",
       """WITH s AS (SELECT source,
