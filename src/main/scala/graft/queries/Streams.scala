@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.core.{Ckpt, QueryDef, Tables}
-import graft.streaming.{EventTime, StreamingDedup, TwsAnomaly, TwsCompaction, TwsFunnel, TwsKmv, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
+import graft.streaming.{EventTime, StreamingDedup, TwsAnomaly, TwsAttribution, TwsCompaction, TwsFunnel, TwsKmv, TwsScd2, TwsSessions, TwsSourceStats, TwsTopK}
 
 /** Queries that execute a REAL Structured Streaming pipeline —
   * file-source stream → stateful operator → memory sink — inside the
@@ -532,6 +532,42 @@ object Streams {
           .select(col("user_id"), col("stage"), col("v_us"), col("c_us"),
             col("p_us"))
           .orderBy("user_id")
+      }
+    },
+
+    // Streaming last-touch attribution (TwsAttribution scaladoc): the
+    // batch q_attribution as-of join needs the full click history;
+    // the stream credits each purchase AT ARRIVAL from O(1) per-user
+    // state (latest click time + best campaign at that time) and
+    // emits every credit exactly once. The oracle IS q_attribution's
+    // DuckDB ASOF SQL — the per-campaign rollup of the streamed
+    // credits must reproduce the batch as-of join to the cent.
+    "q_stream_attribution" -> QueryDef(
+      "streaming last-touch attribution: per-arrival purchase credits vs batch ASOF",
+      """WITH c AS (SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+        |    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT p.cents, coalesce(c.k, -1) AS campaign
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.t >= c.t)
+        |SELECT campaign, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM a GROUP BY 1 ORDER BY campaign""".stripMargin) { (spark, dir) =>
+      val events = Tables.loadStream(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      withRocksDb(spark) {
+        runStream(spark, TwsAttribution.attributionStream(events).toDF(),
+          OutputMode.Append())
+          .groupBy("campaign")
+          .agg(sum(col("cents")).as("revenue_cents"),
+            count(lit(1)).as("n_purchases"))
+          .orderBy("campaign")
       }
     },
 

@@ -1080,6 +1080,101 @@ object Text {
     // scaladoc): hash tokens into 64 feature slots, broadcast-join the
     // weight table, integer tf-weighted dot product. The oracle builds
     // the same weights from range(64) and the same md5 bucket hash.
+    // Multinomial Naive Bayes — TRAINED distributed, applied
+    // distributed, graded as a confusion matrix: the classic
+    // source-classifier baseline a data pipeline fits on its own
+    // corpus (q_classifier_score applies fixed weights; this LEARNS
+    // them). Laplace-smoothed likelihoods rearrange so unseen terms
+    // contribute ln(1) = 0 — score = prior + Σ tf·ln(cnt+1) −
+    // dl·ln(tok_c + V) — which turns the apply into an INNER
+    // equijoin on the term key (absent (term, class) rows simply
+    // drop out; no dense V×C grid ever materializes beyond the
+    // model itself). Every log takes an integer (or
+    // integer-ratio) argument and rounds to 6 decimals into DECIMAL,
+    // sums are exact, and the argmax is a min(struct) reduce with
+    // lexicographic tie-break. Train/test split is the deterministic
+    // doc_id % 5 rule. Scale shape: two corpus aggregates (class-term
+    // counts, test-doc tfs) + one keyed model join; the per-class
+    // constant table is broadcast-sized by construction.
+    "q_naive_bayes" -> QueryDef(
+      "Naive Bayes source classifier: train on 4/5, confusion matrix on 1/5",
+      """WITH tr AS (SELECT source AS c, doc_id, text FROM documents
+        |      WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id, source, text FROM documents
+        |      WHERE doc_id % 5 = 0),
+        |trt AS (SELECT c, unnest(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+')) AS term FROM tr),
+        |ct AS (SELECT c, term, count(*) AS cnt FROM trt GROUP BY 1, 2),
+        |cstat AS (SELECT c, sum(cnt) AS tok FROM ct GROUP BY 1),
+        |nd AS (SELECT c, count(*) AS ndc FROM tr GROUP BY 1),
+        |ntr AS (SELECT count(*) AS n FROM tr),
+        |vv AS (SELECT count(DISTINCT term) AS v FROM trt),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |        '[a-z0-9]+')) AS term FROM te) GROUP BY 1, 2),
+        |dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |sums AS (SELECT tf.doc_id, ct.c,
+        |      sum(tf.tf * round(ln(ct.cnt + 1), 6)::DECIMAL(30,6)) AS s
+        |      FROM tf JOIN ct USING (term) GROUP BY 1, 2),
+        |grid AS (SELECT te.doc_id, te.source, cs.c, cs.tok, nd.ndc,
+        |      coalesce(dls.dl, 0) AS dl
+        |      FROM te CROSS JOIN cstat cs
+        |      JOIN nd ON nd.c = cs.c
+        |      LEFT JOIN dls ON dls.doc_id = te.doc_id),
+        |score AS (SELECT g.doc_id, g.source, g.c,
+        |      round(ln(CAST(g.ndc AS DOUBLE) / ntr.n), 6)::DECIMAL(30,6)
+        |      - g.dl * round(ln(CAST(g.tok + vv.v AS DOUBLE)), 6)::DECIMAL(30,6)
+        |      + coalesce(s.s, 0) AS sc
+        |      FROM grid g CROSS JOIN ntr CROSS JOIN vv
+        |      LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.c = g.c),
+        |pred AS (SELECT doc_id, source, c FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY sc DESC, c) AS rn FROM score) WHERE rn = 1)
+        |SELECT source AS actual, c AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      val dec = DecimalType(30, 6)
+      val d = docs(spark, dir)
+      val tr = d.where(expr("doc_id % 5 <> 0"))
+      val te = d.where(expr("doc_id % 5 = 0"))
+      val trt = tr.graftSpread().select(col("source").as("c"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val ct = trt.groupBy("c", "term").agg(count(lit(1)).as("cnt"))
+      val cstat = ct.groupBy("c").agg(sum(col("cnt")).as("tok"))
+      val nd = tr.groupBy(col("source").as("c"))
+        .agg(count(lit(1)).as("ndc"))
+      val ntr = tr.agg(count(lit(1)).as("n"))
+      val vv = trt.agg(countDistinct(col("term")).as("v"))
+      val tf = te.graftSpread().select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val sums = tf.join(ct, Seq("term"))
+        .groupBy("doc_id", "c")
+        .agg(sum(col("tf") *
+          round(log(col("cnt") + 1), 6).cast(dec)).as("s"))
+      val grid = te.select(col("doc_id"), col("source"))
+        .crossJoin(broadcast(cstat.join(nd, Seq("c"))))
+        .join(dls, Seq("doc_id"), "left")
+        .withColumn("dl", coalesce(col("dl"), lit(0L)))
+        .crossJoin(broadcast(ntr)).crossJoin(broadcast(vv))
+      val score = grid
+        .join(sums, Seq("doc_id", "c"), "left")
+        .select(col("doc_id"), col("source"), col("c"),
+          (round(log(col("ndc").cast(DoubleType) / col("n")), 6).cast(dec)
+            - col("dl") *
+              round(log((col("tok") + col("v")).cast(DoubleType)), 6)
+                .cast(dec)
+            + coalesce(col("s"), lit(0).cast(dec))).as("sc"))
+      score.groupBy("doc_id", "source")
+        .agg(min(struct((-col("sc")).as("ns"), col("c").as("cl")))
+          .as("__p"))
+        .select(col("source").as("actual"), col("__p.cl").as("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    },
+
     "q_classifier_score" -> QueryDef(
       "hashed linear classifier logit per document (quality-filter apply)",
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf
@@ -1340,6 +1435,46 @@ object Text {
           (-col("__b.nl")).as("best_len"), col("n_sources"),
           col("__m.l").as("mode_lang"))
         .orderBy("cluster")
+    },
+
+    // SimHash near-dup PAIRS — the Hamming-space search completing
+    // q_dedup_simhash's fingerprints (Manku, Jain & Das Sarma,
+    // WWW'07): split the 32-bit fingerprint into 4 byte pieces; by
+    // pigeonhole, any pair within Hamming distance 3 agrees on at
+    // least one whole piece, so the candidate set is an EQUIJOIN on
+    // (piece index, piece value) — never an all-pairs XOR scan — and
+    // the verify is one codegen bit_count per candidate. The oracle
+    // IS the naive all-pairs scan, so the blocking's completeness is
+    // value-checked, not assumed. (Simhash piece values aren't
+    // hash-uniform — real deployments add permuted tables to split
+    // hot pieces; the equijoin shape is the same.)
+    "q_simhash_pairs" -> QueryDef(
+      "SimHash near-dup pairs within Hamming distance 3 (pigeonhole piece blocking)",
+      s"""WITH $gramsCte,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h32 FROM g),
+         |sh AS (SELECT doc_id,
+         |  CAST($simhashTerms AS BIGINT) AS s
+         |  FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      val sh = Dedup.simhash(
+        TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id")
+      val pieces = sh.select(col("doc_id"), col("simhash"),
+          explode(expr("array(0, 1, 2, 3)")).as("pc"))
+        .withColumn("pv", expr("shiftright(simhash, 8 * pc) & 255"))
+      val a = pieces.select(col("doc_id").as("doc_a"),
+        col("simhash").as("ha"), col("pc"), col("pv"))
+      val b = pieces.select(col("doc_id").as("doc_b"),
+        col("simhash").as("hb"), col("pc"), col("pv"))
+      a.join(b, Seq("pc", "pv")).where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        .where(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
     },
 
     "q_dedup_simhash" -> QueryDef(
