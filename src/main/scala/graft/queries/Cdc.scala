@@ -1303,6 +1303,170 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // Stationary distribution of the event-type Markov chain — where
+    // does user behavior settle? Power iteration over q_transitions'
+    // count matrix in PageRank's integer discipline (ppt-scaled
+    // longs, divide-per-source-state BEFORE the edge multiply, mass
+    // truncation deterministic), so three unrolled rounds replay
+    // bit-identically in SQL at any partition layout. Each round is
+    // one co-partitioned join + one keyed aggregate over the |types|²
+    // matrix — the machinery is the same at a million-state chain.
+    "q_markov_stationary" -> QueryDef(
+      "Markov stationary distribution: 3 integer power-iteration rounds",
+      """WITH s AS (SELECT user_id, event_type AS to_state,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS from_state FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS cnt FROM s
+        |      WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(cnt) AS t FROM c GROUP BY 1),
+        |st AS (SELECT DISTINCT from_state AS state FROM c),
+        |ns AS (SELECT count(*) AS k FROM st),
+        |p0 AS (SELECT state, 1000000000000 // ns.k AS p FROM st CROSS JOIN ns),
+        |p1 AS (SELECT c.to_state AS state, sum((p0.p // tot.t) * c.cnt) AS p
+        |       FROM p0 JOIN c ON c.from_state = p0.state
+        |       JOIN tot ON tot.from_state = p0.state GROUP BY 1),
+        |p1s AS (SELECT p1.state, p1.p FROM p1 JOIN st USING (state)),
+        |p2 AS (SELECT c.to_state AS state, sum((p1s.p // tot.t) * c.cnt) AS p
+        |       FROM p1s JOIN c ON c.from_state = p1s.state
+        |       JOIN tot ON tot.from_state = p1s.state GROUP BY 1),
+        |p2s AS (SELECT p2.state, p2.p FROM p2 JOIN st USING (state)),
+        |p3 AS (SELECT c.to_state AS state, sum((p2s.p // tot.t) * c.cnt) AS p
+        |       FROM p2s JOIN c ON c.from_state = p2s.state
+        |       JOIN tot ON tot.from_state = p2s.state GROUP BY 1),
+        |p3s AS (SELECT p3.state, p3.p FROM p3 JOIN st USING (state))
+        |SELECT state, CAST(p AS BIGINT) AS p_ppt FROM p3s
+        |ORDER BY state""".stripMargin) { (spark, dir) =>
+      val trans = Temporal.transitions(t(spark, dir)("events"),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("from_state"), col("to_state"), col("cnt"))
+      val tot = trans.groupBy("from_state").agg(sum(col("cnt")).as("t"))
+      val m = trans.join(tot, Seq("from_state"))
+      val states = trans.select(col("from_state").as("state")).distinct()
+      val k = states.agg(count(lit(1)).as("k"))
+      var pi = states.crossJoin(k)
+        .select(col("state"), expr("1000000000000L div k").as("p"))
+      for (_ <- 1 to 3) {
+        pi = pi
+          .join(m, pi("state") === m("from_state"))
+          .groupBy(col("to_state").as("state2"))
+          .agg(sum(expr("(p div t)") * col("cnt")).as("p"))
+          .withColumnRenamed("state2", "state")
+          .join(states, Seq("state"), "left_semi")
+      }
+      pi.select(col("state"), col("p").as("p_ppt")).orderBy("state")
+    },
+
+    // Time-to-convert distribution: for users completing the strict
+    // view→click→purchase ladder (q_stream_funnel's stage rules),
+    // exact quantiles of the end-to-end latency. The ladder reduces
+    // to three keyed min-aggregates chained by strictly-after joins
+    // (each table is ≤ |users| rows), and the quantile parity is the
+    // q_quantiles percentile/quantile_cont recipe.
+    "q_time_to_convert" -> QueryDef(
+      "view→purchase conversion latency quantiles across converting users",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type
+        |      FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > c_us GROUP BY 1),
+        |d AS (SELECT p.p_us - v.v_us AS dt FROM p JOIN v USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(dt, 0.25), 6) AS p25_us,
+        |  round(quantile_cont(dt, 0.50), 6) AS p50_us,
+        |  round(quantile_cont(dt, 0.75), 6) AS p75_us,
+        |  round(quantile_cont(dt, 0.95), 6) AS p95_us
+        |FROM d""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_type"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("us") > col("v_us"))
+        .groupBy("user_id").agg(min(col("us")).as("c_us"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("us") > col("c_us"))
+        .groupBy("user_id").agg(min(col("us")).as("p_us"))
+      p.join(v, Seq("user_id"))
+        .select((col("p_us") - col("v_us")).as("dt"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(dt, 0.25)"), 6).as("p25_us"),
+          round(expr("percentile(dt, 0.50)"), 6).as("p50_us"),
+          round(expr("percentile(dt, 0.75)"), 6).as("p75_us"),
+          round(expr("percentile(dt, 0.95)"), 6).as("p95_us"))
+    },
+
+    // Windowed funnel attribution — the 72-hour-conversion-window
+    // variant every product-analytics suite ships: each purchase
+    // walks BACK through its latest preceding click, then that
+    // click's latest preceding view (two chained union-merge as-of
+    // joins — never an inequality join), and converts iff the whole
+    // chain fits the window. The greedy latest-preceding chain is the
+    // deterministic industry definition (and what two nested ASOF
+    // joins state exactly), not an ∃-path search. Clickless purchases
+    // bypass the second hop explicitly: DuckDB's ASOF matches a NULL
+    // probe time against the key's LAST right row (observed 1.0.0
+    // behavior), so a NULL-carrying chain would diverge.
+    "q_funnel_window" -> QueryDef(
+      "72h windowed funnel: purchase ← latest click ← latest view chain",
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |      event_type FROM events),
+        |pq AS (SELECT user_id, event_id AS purchase_id, us AS tq FROM e
+        |       WHERE event_type = 'purchase'),
+        |cq AS (SELECT DISTINCT user_id, us AS tq FROM e
+        |       WHERE event_type = 'click'),
+        |vq AS (SELECT DISTINCT user_id, us AS tq FROM e
+        |       WHERE event_type = 'view'),
+        |pc AS (SELECT pq.user_id, pq.purchase_id, pq.tq AS p_us,
+        |       cq.tq AS c_us
+        |       FROM pq ASOF LEFT JOIN cq
+        |         ON pq.user_id = cq.user_id AND pq.tq >= cq.tq),
+        |pcv AS (SELECT pc.user_id, pc.purchase_id, pc.p_us, pc.c_us,
+        |       vq.tq AS v_us
+        |       FROM (SELECT * FROM pc WHERE c_us IS NOT NULL) pc
+        |       ASOF LEFT JOIN vq
+        |         ON pc.user_id = vq.user_id AND pc.c_us >= vq.tq
+        |       UNION ALL
+        |       SELECT user_id, purchase_id, p_us, c_us, NULL AS v_us
+        |       FROM pc WHERE c_us IS NULL)
+        |SELECT purchase_id, user_id, p_us, c_us, v_us,
+        |  CAST(CASE WHEN v_us IS NOT NULL
+        |    AND p_us - v_us <= 259200000000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS converted
+        |FROM pcv ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us"), col("event_type"))
+      val pq = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("tq"))
+      val cq = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("tq")).distinct()
+      val vq = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("tq")).distinct()
+      val pc = Temporal.asofJoin(
+          pq, cq.withColumn("c_us", col("tq")), Seq("user_id"), "tq",
+          Seq("c_us"))
+        .select(col("user_id"), col("purchase_id"),
+          col("tq").as("p_us"), col("c_us"))
+      val pcv = Temporal.asofJoin(
+          pc.where(col("c_us").isNotNull).withColumn("tq", col("c_us")),
+          vq.withColumn("v_us", col("tq")), Seq("user_id"), "tq",
+          Seq("v_us"))
+        .select(col("purchase_id"), col("user_id"), col("p_us"),
+          col("c_us"), col("v_us"))
+        .unionByName(pc.where(col("c_us").isNull)
+          .select(col("purchase_id"), col("user_id"), col("p_us"),
+            col("c_us"), lit(null).cast(LongType).as("v_us")))
+      pcv.withColumn("converted",
+          when(col("v_us").isNotNull &&
+            col("p_us") - col("v_us") <= 259200000000L, 1L).otherwise(0L))
+        .orderBy("purchase_id")
+    },
+
     "q_funnel" -> QueryDef(
       "first-5 event-type funnel path per user",
       """SELECT user_id,

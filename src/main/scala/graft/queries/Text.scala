@@ -610,6 +610,40 @@ object Text {
     // sums (n_chars and its squares sum exactly in 64 bits), so both
     // engines derive bit-identical doubles and the 2σ threshold can't
     // flip on summation order.
+    // Functional-dependency audit — approximate-FD mining's
+    // verification half: IF source → lang held, each source would
+    // carry one language; the audit reports every violating source
+    // with its majority language (mode, lexicographic tie) and the
+    // exact count of rows that would need repair (the g₃ error of
+    // the FD literature). One map-side-combined aggregate to the
+    // (source, lang) grid — group-cardinality, corpus-independent —
+    // then a struct-argmax reduce; the corpus shuffles once.
+    "q_fd_violations" -> QueryDef(
+      "approximate-FD audit: source→lang violations with g3 repair counts",
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+        |      GROUP BY 1, 2),
+        |m AS (SELECT source, count(*) AS n_langs, sum(n) AS n_rows,
+        |      max(n) AS maj_n FROM c GROUP BY 1),
+        |mj AS (SELECT c.source, min(c.lang) AS majority_lang
+        |       FROM c JOIN m ON m.source = c.source AND c.n = m.maj_n
+        |       GROUP BY 1)
+        |SELECT m.source, CAST(m.n_langs AS BIGINT) AS n_langs,
+        |  mj.majority_lang,
+        |  CAST(m.n_rows - m.maj_n AS BIGINT) AS g3_repairs
+        |FROM m JOIN mj ON mj.source = m.source
+        |WHERE m.n_langs > 1 ORDER BY m.source""".stripMargin) { (spark, dir) =>
+      val c = docs(spark, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+      c.groupBy("source")
+        .agg(count(lit(1)).as("n_langs"), sum(col("n")).as("n_rows"),
+          min(struct((-col("n")).as("nn"), col("lang").as("l"))).as("__m"))
+        .where(col("n_langs") > 1)
+        .select(col("source"), col("n_langs"),
+          col("__m.l").as("majority_lang"),
+          (col("n_rows") + col("__m.nn")).as("g3_repairs"))
+        .orderBy("source")
+    },
+
     // Zipf power-law fit — does the corpus's term-frequency curve
     // look like natural language (exponent ≈ −1)? OLS of ln(freq) on
     // ln(rank) over the top-1000 terms. Scale shape: ONE corpus
