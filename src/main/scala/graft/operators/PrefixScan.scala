@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable GLOBAL prefix aggregation — running max/sum over a total
+  * order with NO single-partition window.
+  *
+  * `Window.orderBy(...)` without a partition key is the classic
+  * 100-TB trap: Spark plans it as one task holding the entire
+  * dataset. The standard fix is the two-level scan (the same shape
+  * GPU/MPI prefix scans use):
+  *
+  *   1. bucket rows by a dense range of the order column (integer
+  *      `div` — rows stay where they are, ONE shuffle to bucket);
+  *   2. aggregate one partial per bucket and prefix-combine those on
+  *      the bucket table (tiny — |buckets| rows, broadcast back);
+  *   3. run the in-bucket running aggregate in parallel per bucket
+  *      and combine with the bucket's carry-in.
+  *
+  * Determinism: the order is (`orderCol`) which must be unique (use
+  * a tiebreak-free dense id like an offset/event id); the combine is
+  * max or sum — associative, so the two-level split is exact, and
+  * the result equals the naive single-window answer row for row
+  * (PrefixScanSpec proves equality on random data).
+  */
+object PrefixScan {
+
+  /** Inclusive global running MAX of `valueCol` in `orderCol` order.
+    * Appends `outCol`. `bucketWidth` = how many order units share a
+    * bucket (bucket count ≈ order span / width; keep it ≥ the
+    * cluster's task count and ≪ the row count). */
+  def runningMax(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val bucketed = df.withColumn("__pb", expr(s"`$orderCol` div ${bucketWidth}L"))
+    // per-bucket partials (tiny table), exclusive prefix over buckets
+    val carry = bucketed.groupBy("__pb").agg(max(col(valueCol)).as("__bm"))
+      .withColumn("__carry", lag(col("__bm"), 1).over(
+        Window.orderBy(col("__pb"))))
+      .withColumn("__carry", max(col("__carry")).over(
+        Window.orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__pb"), col("__carry"))
+    // in-bucket running max runs PARALLEL per bucket; the only
+    // single-partition window above is over |buckets| rows.
+    val w = Window.partitionBy(col("__pb")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(carry), Seq("__pb"))
+      .withColumn("__in", max(col(valueCol)).over(w))
+      .withColumn(outCol, greatest(col("__in"), coalesce(col("__carry"),
+        col("__in"))))
+      .drop("__pb", "__carry", "__in")
+  }
+
+  /** Inclusive global running SUM (same two-level shape, sum
+    * combine). `valueCol` must be integral — the split is exact. */
+  def runningSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val bucketed = df.withColumn("__pb", expr(s"`$orderCol` div ${bucketWidth}L"))
+    val carry = bucketed.groupBy("__pb").agg(sum(col(valueCol)).as("__bs"))
+      .withColumn("__carry", coalesce(sum(col("__bs")).over(
+        Window.orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pb"), col("__carry"))
+    val w = Window.partitionBy(col("__pb")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(carry), Seq("__pb"))
+      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__carry"))
+      .drop("__pb", "__carry")
+  }
+}

@@ -1303,6 +1303,96 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // Event-time lateness audit — how out-of-order does the feed get
+    // when per-user shards merge round-robin (the Kafka many-
+    // partitions-one-consumer shape; the raw event_id order is
+    // perfectly sorted in this synthetic feed, so the audit would be
+    // all-zero there)? Arrival = k-th event of each user in user
+    // order within round k; lateness = (inclusive running max of
+    // event time in that arrival order) − event time — i.e. the
+    // watermark delay a streaming job would need. The running max is
+    // the PrefixScan two-level scan: the naive Window.orderBy(arr)
+    // is a single task holding the whole log at 100 TB; here the
+    // only partition-less window runs over the |buckets| partials
+    // and each round's scan runs parallel (PrefixScanSpec proves
+    // row-for-row equality with the naive window, which is exactly
+    // what the DuckDB oracle states).
+    "q_lateness" -> QueryDef(
+      "round-robin-merge lateness histogram (minutes behind the running watermark)",
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |      FROM events),
+        |a AS (SELECT us, CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS BIGINT) * 1000000 + user_id AS arr
+        |  FROM e),
+        |w AS (SELECT us, max(us) OVER (ORDER BY arr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |  FROM a)
+        |SELECT (wm - us) // 60000000 AS late_min,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(wm - us) AS BIGINT) AS max_late_us
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val a = t(spark, dir)("events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+        .withColumn("arr",
+          row_number().over(w).cast(LongType) * 1000000L + col("user_id"))
+        .select(col("arr"), col("us"))
+      graft.operators.PrefixScan
+        .runningMax(a, "arr", "us", "wm", bucketWidth = 1000000L)
+        .select(expr("(wm - us) div 60000000").as("late_min"),
+          (col("wm") - col("us")).as("late_us"))
+        .groupBy("late_min")
+        .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+        .orderBy("late_min")
+    },
+
+    // Two-proportion A/B z-test — the experiment-analysis primitive:
+    // cohorts by user-id parity, conversion = "14+ purchases" (the
+    // corpus median — "ever purchased" saturates to 100% on this
+    // synthetic feed and the pooled variance degenerates to 0/0),
+    // and the pooled z-statistic computed from FOUR integers (nA,
+    // xA, nB, xB), so both engines execute the identical double
+    // arithmetic on identical inputs. One keyed aggregate to the
+    // per-user table, one 4-integer reduce — nothing else touches
+    // the corpus.
+    "q_ab_test" -> QueryDef(
+      "two-proportion z-test: heavy-purchaser conversion, cohorts by user parity",
+      """WITH u AS (SELECT user_id, user_id % 2 AS cohort,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') >= 14
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT
+        |    sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS x_a,
+        |    sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS x_b
+        |  FROM u)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM s""".stripMargin) { (spark, dir) =>
+      val u = t(spark, dir)("events")
+        .groupBy(col("user_id"), (col("user_id") % 2).as("cohort"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
+      val s = u.agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 0, col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 1, col("conv")).otherwise(0L)).as("x_b"))
+      val pa = col("x_a").cast(DoubleType) / col("n_a")
+      val pb = col("x_b").cast(DoubleType) / col("n_b")
+      val pp = (col("x_a") + col("x_b")).cast(DoubleType) /
+        (col("n_a") + col("n_b"))
+      s.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+    },
+
     // Stationary distribution of the event-type Markov chain — where
     // does user behavior settle? Power iteration over q_transitions'
     // count matrix in PageRank's integer discipline (ppt-scaled

@@ -674,6 +674,49 @@ object Relational {
         .orderBy("node")
     },
 
+    // Directed-graph reciprocity on the nation-level trade matrix:
+    // how much of the supplier-nation → customer-nation flow is
+    // mutual? Weighted reciprocity = Σ min(c_ij, c_ji) / Σ c_ij over
+    // off-diagonal edges — one aggregate to the |nations|² matrix
+    // (corpus-independent), one self-join on the REVERSED key for
+    // the transpose, integer min/sums, a single shared divide.
+    "q_reciprocity" -> QueryDef(
+      "trade-graph reciprocity: mutual flow share of the nation matrix",
+      """WITH m AS (SELECT s.s_nationkey AS i, c.c_nationkey AS j,
+        |      count(*) AS c
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    WHERE s.s_nationkey <> c.c_nationkey
+        |    GROUP BY 1, 2),
+        |r AS (SELECT m.i, m.j, m.c, coalesce(t.c, 0) AS ct
+        |      FROM m LEFT JOIN m t ON t.i = m.j AND t.j = m.i)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(c) AS BIGINT) AS total_flow,
+        |  CAST(sum(least(c, ct)) AS BIGINT) AS mutual_flow,
+        |  CAST(sum(least(c, ct)) * 1000000 // sum(c) AS BIGINT)
+        |    AS reciprocity_ppm
+        |FROM r""".stripMargin) { (spark, dir) =>
+      val m = t(spark, dir)("lineitem")
+        .join(t(spark, dir)("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(spark, dir)("supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(spark, dir)("customer")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("i"), col("c_nationkey").as("j"))
+        .agg(count(lit(1)).as("c"))
+      val tr = m.select(col("j").as("i"), col("i").as("j"),
+        col("c").as("ct"))
+      m.join(tr, Seq("i", "j"), "left")
+        .withColumn("ct", coalesce(col("ct"), lit(0L)))
+        .agg(count(lit(1)).as("n_edges"), sum(col("c")).as("total_flow"),
+          sum(least(col("c"), col("ct"))).as("mutual_flow"),
+          expr("sum(least(c, ct)) * 1000000 div sum(c)")
+            .as("reciprocity_ppm"))
+    },
+
     // Personalized PageRank from the nation-0 supplier seed set
     // (GraphOps.personalizedPageRank scaladoc): teleport mass pinned
     // to trusted seeds, so rank measures link-proximity to the
