@@ -1303,6 +1303,55 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // New / returning / cumulative user growth per day — the
+    // top-of-dashboard activation curve. Each user's first-seen day
+    // is ONE keyed aggregate; dailies are exact two-stage distinct
+    // counts; the cumulative sum runs over the DAY table (30 rows at
+    // any corpus size — day-cardinality, so the partition-less
+    // window is not a scale trap here, unlike q_lateness's
+    // row-cardinality scan which uses PrefixScan).
+    "q_user_growth" -> QueryDef(
+      "daily new/active/returning users and the cumulative growth curve",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |      FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+        |nu AS (SELECT d0 AS day, count(*) AS new_users FROM f GROUP BY 1),
+        |au AS (SELECT day, count(DISTINCT user_id) AS active_users
+        |       FROM e GROUP BY 1),
+        |lim AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e),
+        |grid AS (SELECT dmin + s AS day FROM lim,
+        |         unnest(range(0, CAST(dmax - dmin + 1 AS BIGINT))) AS r(s)),
+        |g AS (SELECT grid.day, coalesce(nu.new_users, 0) AS new_users,
+        |      coalesce(au.active_users, 0) AS active_users
+        |      FROM grid LEFT JOIN nu ON nu.day = grid.day
+        |      LEFT JOIN au ON au.day = grid.day)
+        |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(active_users AS BIGINT) AS active_users,
+        |  CAST(active_users - new_users AS BIGINT) AS returning_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM g ORDER BY day""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val f = e.groupBy("user_id").agg(min(col("day")).as("d0"))
+      val nu = f.groupBy(col("d0").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val au = e.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val grid = e.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+        .select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(nu, Seq("day"), "left").join(au, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          coalesce(col("active_users"), lit(0L)).as("active_users"))
+        .withColumn("returning_users", col("active_users") - col("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
+
     // Event-time lateness audit — how out-of-order does the feed get
     // when per-user shards merge round-robin (the Kafka many-
     // partitions-one-consumer shape; the raw event_id order is

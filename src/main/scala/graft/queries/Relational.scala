@@ -717,6 +717,62 @@ object Relational {
             .as("reciprocity_ppm"))
     },
 
+    // Degree assortativity of the supplier↔customer trade graph — do
+    // high-degree suppliers serve high-degree customers (assortative,
+    // r > 0) or the periphery (disassortative, r < 0)? Standard
+    // Newman recipe: every undirected edge contributes its
+    // endpoint-degree pair in BOTH orders, then Pearson over those
+    // pairs. (The nation-level matrix is COMPLETE at every SF — zero
+    // degree variance, r undefined — so the audit runs on the entity
+    // graph, where degrees genuinely vary.) All five moments are
+    // exact integers; the two sqrt-of-integer calls are
+    // correctly-rounded IEEE on both engines, shared bit-for-bit.
+    "q_assortativity" -> QueryDef(
+      "degree assortativity of the supplier-customer trade graph (Newman r)",
+      """WITH m AS (SELECT DISTINCT l.l_suppkey AS u,
+        |      o.o_custkey + 1000000 AS v
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ends AS (SELECT u AS node, v AS other FROM m
+        |         UNION ALL SELECT v, u FROM m),
+        |deg AS (SELECT node, count(*) AS d FROM ends GROUP BY 1),
+        |p AS (SELECT da.d AS x, db.d AS y FROM ends e
+        |      JOIN deg da ON da.node = e.node
+        |      JOIN deg db ON db.node = e.other),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |      sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_half_edges,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS r
+        |FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""
+        .stripMargin) { (spark, dir) =>
+      val m = t(spark, dir)("lineitem")
+        .join(t(spark, dir)("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("u"),
+          (col("o_custkey") + 1000000L).as("v"))
+        .distinct()
+      val ends = m.select(col("u").as("node"), col("v").as("other"))
+        .unionByName(m.select(col("v").as("node"), col("u").as("other")))
+      val deg = ends.groupBy("node").agg(count(lit(1)).as("d"))
+      val p = ends
+        .join(deg.select(col("node"), col("d").as("x")), Seq("node"))
+        .join(deg.select(col("node").as("other"), col("d").as("y")),
+          Seq("other"))
+      val n = count(lit(1))
+      val den1 = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+      val den2 = n * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
+      p.agg(n.as("n_half_edges"),
+          round((n * sum(col("x") * col("y")) -
+            sum(col("x")) * sum(col("y"))).cast(DoubleType) /
+            (sqrt(den1.cast(DoubleType)) * sqrt(den2.cast(DoubleType))), 9)
+            .as("r"),
+          den1.as("__d1"), den2.as("__d2"))
+        .where(col("__d1") > 0 && col("__d2") > 0)
+        .select(col("n_half_edges"), col("r"))
+    },
+
     // Personalized PageRank from the nation-0 supplier seed set
     // (GraphOps.personalizedPageRank scaladoc): teleport mass pinned
     // to trusted seeds, so rank measures link-proximity to the

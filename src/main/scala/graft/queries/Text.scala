@@ -1523,6 +1523,58 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // PCM waveform statistics from RAW BYTES — the audio-modality
+    // companion of q_multimodal_meta's header parsing: each doc's
+    // byte payload is read as little-endian i16 samples and reduced
+    // to count / peak / energy / RMS with NO codec library — the
+    // byte-pair decode is hex-substring arithmetic inside
+    // whole-stage codegen, and the oracle replays the identical
+    // offsets on the hex image (a wrong endianness or sign fold
+    // hash-mismatches). Energy is an exact integer (≤ 2³⁰ per
+    // sample), so the one sqrt-of-ratio at the end is the only
+    // float, shared bit-for-bit. UTF-8 multibyte text is why the
+    // sample count comes from OCTET length, not char length.
+    "q_audio_stats" -> QueryDef(
+      "PCM i16-LE waveform stats (count/peak/energy/RMS) decoded from raw bytes",
+      """WITH b AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+        |      octet_length(encode(text)) // 2 AS ns FROM documents),
+        |sm AS (SELECT doc_id, ns,
+        |      ('0x' || substr(hx, CAST(4 * s + 3 AS INT), 2)
+        |            || substr(hx, CAST(4 * s + 1 AS INT), 2))::BIGINT AS uv
+        |  FROM b, unnest(range(0, ns)) AS r(s) WHERE ns > 0),
+        |sv AS (SELECT doc_id, ns,
+        |      uv - CASE WHEN uv >= 32768 THEN 65536 ELSE 0 END AS v
+        |  FROM sm)
+        |SELECT doc_id, CAST(max(ns) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / max(ns)), 6) AS rms
+        |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (spark, dir) =>
+      val b = docs(spark, dir)
+        .graftSpread()
+        .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"),
+          expr("octet_length(encode(text, 'UTF-8')) div 2").as("ns"))
+        .where(col("ns") > 0)
+      val sv = b
+        .select(col("doc_id"), col("ns"), col("hx"),
+          explode(sequence(lit(0L), col("ns") - 1)).as("s"))
+        .select(col("doc_id"), col("ns"),
+          expr("CAST(conv(substr(hx, CAST(4 * s + 3 AS INT), 2) || " +
+            "substr(hx, CAST(4 * s + 1 AS INT), 2), 16, 10) AS BIGINT)")
+            .as("uv"))
+        .select(col("doc_id"), col("ns"),
+          (col("uv") - when(col("uv") >= 32768, 65536L).otherwise(0L))
+            .as("v"))
+      sv.groupBy("doc_id")
+        .agg(max(col("ns")).as("n_samples"),
+          max(abs(col("v"))).as("peak"),
+          sum(col("v") * col("v")).as("energy"),
+          round(sqrt(sum(col("v") * col("v")).cast(DoubleType) /
+            max(col("ns"))), 6).as("rms"))
+        .orderBy("doc_id")
+    },
+
     // Binary payload plumbing with REAL container-header decode: each
     // doc becomes a payload in a rotating container (PNG / GIF / BMP /
     // bare bytes by doc_id mod 4, dimensions a closed form of doc_id),
