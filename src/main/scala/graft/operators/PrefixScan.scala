@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * max or sum — associative, so the two-level split is exact, and
   * the result equals the naive single-window answer row for row
   * (PrefixScanSpec proves equality on random data).
+  *
+  * Contract: `orderCol` must be NON-NEGATIVE — bucketing uses
+  * integer `div`, which truncates toward zero, so a negative order
+  * value would land in bucket 0 alongside small positive ones and
+  * break the prefix order. Offsets/event ids satisfy this by
+  * construction.
   */
 object PrefixScan {
 

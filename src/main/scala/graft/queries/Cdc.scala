@@ -522,6 +522,54 @@ object Cdc {
         .orderBy("user_id", "valid_from")
     },
 
+    // BITEMPORAL point query — both time axes at once: "what did the
+    // system BELIEVE at transaction offset O about the state VALID
+    // at offset V". Transaction time = the changelog prefix
+    // (event_id ≤ O, the asOf(generation) axis of the durable
+    // backend); valid time = the SCD2 interval containing V. Both
+    // cuts are in-plan scalars (max-offset fractions), so the query
+    // is one prefix filter + one run-collapse + one interval point
+    // probe — the warehouse-canonical bitemporal shape, no
+    // inequality join anywhere.
+    "q_bitemporal" -> QueryDef(
+      "bitemporal point query: state valid at V as known at transaction O",
+      """WITH cut AS (SELECT max(event_id) // 2 AS o, max(event_id) // 4 AS v
+        |      FROM events),
+        |e AS (SELECT user_id, event_id, event_type
+        |      FROM events CROSS JOIN cut WHERE event_id <= cut.o),
+        |c AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev FROM e),
+        |chg AS (SELECT user_id, event_id, event_type FROM c
+        |        WHERE prev IS NULL OR prev <> event_type),
+        |ver AS (SELECT user_id, event_type, event_id AS valid_from,
+        |        coalesce(lead(event_id) OVER (PARTITION BY user_id
+        |          ORDER BY event_id), -1) AS valid_to FROM chg)
+        |SELECT ver.user_id, ver.event_type AS state,
+        |  CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to,
+        |  CAST(cut.o AS BIGINT) AS asof_txn,
+        |  CAST(cut.v AS BIGINT) AS asof_valid
+        |FROM ver CROSS JOIN cut
+        |WHERE valid_from <= cut.v AND (valid_to = -1 OR cut.v < valid_to)
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val events = t(spark, dir)("events")
+      val cut = events.agg(expr("max(event_id) div 2").as("o"),
+        expr("max(event_id) div 4").as("v"))
+      val prefix = events.crossJoin(cut)
+        .where(col("event_id") <= col("o"))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      Temporal.scd2(prefix, keyCol = "user_id", attrCol = "event_type",
+          offsetCol = "event_id")
+        .crossJoin(cut)
+        .where(col("valid_from") <= col("v") &&
+          (col("valid_to") === -1L || col("v") < col("valid_to")))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"),
+          col("o").as("asof_txn"), col("v").as("asof_valid"))
+        .orderBy("user_id")
+    },
+
     // Point-in-time (PIT) join against the SCD2 dimension: each
     // purchase event is enriched with the user's activity state (the
     // SCD2 version built from the NON-purchase changelog) in effect at

@@ -674,6 +674,44 @@ object Relational {
         .orderBy("node")
     },
 
+    // Right-to-be-forgotten cascade audit — the compliance dry-run a
+    // CDC pipeline executes before an erasure wave: for a deletion
+    // cohort (nation-3 customers), how many rows tombstone in each
+    // downstream table and how much exact revenue leaves the books.
+    // Pure keyed semi-join cascade (customer → orders → lineitem),
+    // revenue in exact cents; the three 1-row aggregates cross-join
+    // at the end. This is the read-only twin of the IVM engine's
+    // root-tombstone scrub (J5) — same fan-out, counted instead of
+    // applied.
+    "q_cascade_delete" -> QueryDef(
+      "GDPR erasure dry-run: cascade tombstone counts + exact revenue impact",
+      """WITH cust AS (SELECT c_custkey FROM customer WHERE c_nationkey = 3),
+        |o AS (SELECT o_orderkey FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM cust)),
+        |l AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+        |SELECT (SELECT count(*) FROM cust) AS n_customers,
+        |  (SELECT count(*) FROM o) AS n_orders,
+        |  (SELECT count(*) FROM l) AS n_lineitems,
+        |  CAST((SELECT coalesce(sum(cents), 0) FROM l) AS BIGINT)
+        |    AS revenue_cents""".stripMargin) { (spark, dir) =>
+      val cust = t(spark, dir)("customer")
+        .where(col("c_nationkey") === 3).select(col("c_custkey"))
+      val o = t(spark, dir)("orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("o_orderkey"))
+      val l = t(spark, dir)("lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"))
+      cust.agg(count(lit(1)).as("n_customers"))
+        .crossJoin(o.agg(count(lit(1)).as("n_orders")))
+        .crossJoin(l.agg(count(lit(1)).as("n_lineitems"),
+          coalesce(sum(col("cents")), lit(0L)).as("revenue_cents")))
+    },
+
     // Directed-graph reciprocity on the nation-level trade matrix:
     // how much of the supplier-nation → customer-nation flow is
     // mutual? Weighted reciprocity = Σ min(c_ij, c_ji) / Σ c_ij over
