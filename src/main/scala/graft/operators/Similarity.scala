@@ -71,6 +71,25 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Every corpus vector with cosine ≥ `tau` to ANY probe — the
+    * embedding-space decontamination screen (probes = the eval set).
+    * Probes broadcast; the corpus is scanned map-side once (never
+    * shuffled, never replicated), and the per-corpus-vector reduce
+    * keeps hit count, best cosine, and the closest probe
+    * (min-qid tie). Output: (nid, n_hits, max_cos, worst_probe). */
+  def thresholdMatches(
+      probes: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    corpus.select(col("nid"), col("vec").as("__nv"))
+      .crossJoin(broadcast(probes.select(col("qid"), col("vec").as("__qv"))))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
+      .where(col("cos") >= tau)
+      .groupBy("nid")
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"),
+        min(struct((-col("cos")).as("nc"), col("qid").as("q")))
+          .getField("q").as("worst_probe"))
+  }
+
   /** All pairs with cosine ≥ tau (near-duplicate detection by
     * embedding). Exact — O(n²) dot products; [[cosinePairsBlocked]]
     * is the distributed form of the same computation and

@@ -183,6 +183,38 @@ object Vectors {
         .orderBy("qid")
     },
 
+    // Embedding-space eval-set decontamination — q_decontaminate's
+    // semantic sibling: n-gram screens miss paraphrases, so the
+    // second pass flags train vectors too close in COSINE to any
+    // eval vector (vec_id % 50, the same deterministic split rule).
+    // The eval set broadcasts; the corpus is scanned map-side ONCE —
+    // never shuffled, never replicated (Similarity.thresholdMatches).
+    "q_decontaminate_embed" -> QueryDef(
+      "embedding decontamination: train vectors within cosine 0.4 of eval",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS qid, v AS qv FROM d WHERE vec_id % 50 = 0),
+        |t AS (SELECT vec_id AS nid, v FROM d WHERE vec_id % 50 <> 0),
+        |h AS (SELECT t.nid, p.qid,
+        |      round(list_cosine_similarity(p.qv, t.v), 6) AS cos
+        |      FROM t CROSS JOIN p WHERE p.qid <> t.nid),
+        |f AS (SELECT nid, cos, qid FROM h WHERE cos >= 0.4)
+        |SELECT nid, CAST(count(*) AS BIGINT) AS n_hits,
+        |  max(cos) AS max_cos,
+        |  CAST(min(CASE WHEN cos = m THEN qid END) AS BIGINT) AS worst_probe
+        |FROM (SELECT nid, cos, qid, max(cos) OVER (PARTITION BY nid) AS m
+        |      FROM f)
+        |GROUP BY nid ORDER BY nid""".stripMargin) { (spark, dir) =>
+      val e = emb(spark, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("vec"))
+      val train = e.where(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("nid"), col("vec"))
+      Similarity.thresholdMatches(probes, train, 0.4)
+        .select(col("nid"), col("n_hits"), col("max_cos"),
+          col("worst_probe"))
+        .orderBy("nid")
+    },
+
     // Reciprocal-rank fusion — the standard hybrid-search combiner
     // (Cormack & Clarke SIGIR'09): BM25's lexical top-20 and the
     // embedding cosine top-20 fuse by rank alone, score =
