@@ -89,4 +89,43 @@ object Checks {
     }
     parts.result().reduce(_ unionAll _).orderBy("check_name")
   }
+
+  /** Offset-continuity audit: every maximal run of MISSING ids in a
+    * dense offset column — "did the changelog lose records?". Output:
+    * (gap_start, next_present, n_missing), one row per gap.
+    *
+    * Scale shape (the same two-level trick as
+    * [[graft.operators.PrefixScan]]): ids bucket by integer `div`,
+    * so gaps INTERIOR to a bucket come from a per-bucket (keyed,
+    * parallel) lag window, and gaps SPANNING bucket boundaries come
+    * from the bucket min/max summary — a |buckets|-row table whose
+    * global lag window is not a scale trap. The naive global
+    * `Window.orderBy(id)` over the data (what the DuckDB oracle
+    * states) would be one task holding the whole log. Empty buckets
+    * between present ones are handled by construction: the summary
+    * lag skips them and the boundary gap covers the whole span.
+    * `idCol` must be non-negative (same `div` contract as
+    * PrefixScan). */
+  def offsetGaps(df: DataFrame, idCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(idCol).as("__id"))
+      .withColumn("__b", expr(s"__id div ${bucketWidth}L"))
+    val inner = b
+      .withColumn("__prev", lag(col("__id"), 1).over(
+        Window.partitionBy(col("__b")).orderBy(col("__id"))))
+      .where(col("__prev").isNotNull && col("__id") > col("__prev") + 1)
+      .select((col("__prev") + 1).as("gap_start"),
+        col("__id").as("next_present"))
+    val summary = b.groupBy("__b")
+      .agg(min(col("__id")).as("__mn"), max(col("__id")).as("__mx"))
+    val boundary = summary
+      .withColumn("__pmx", lag(col("__mx"), 1).over(
+        Window.orderBy(col("__b"))))
+      .where(col("__pmx").isNotNull && col("__mn") > col("__pmx") + 1)
+      .select((col("__pmx") + 1).as("gap_start"),
+        col("__mn").as("next_present"))
+    inner.unionByName(boundary)
+      .withColumn("n_missing", col("next_present") - col("gap_start"))
+  }
 }

@@ -1351,6 +1351,30 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // Offset-continuity audit (Checks.offsetGaps scaladoc): the "did
+    // the changelog lose records?" screen — every maximal missing-id
+    // run in the surviving stream (a value filter stands in for real
+    // loss on this synthetic feed), largest gaps first. Interior
+    // gaps come from per-bucket keyed windows, boundary gaps from
+    // the |buckets|-row summary — the global-order lag the oracle
+    // states never runs over the data table.
+    "q_offset_gaps" -> QueryDef(
+      "changelog offset-gap audit: 10 largest missing-id runs",
+      """WITH e AS (SELECT event_id FROM events WHERE value >= 1),
+        |g AS (SELECT lag(event_id) OVER (ORDER BY event_id) AS p,
+        |      event_id FROM e)
+        |SELECT CAST(p + 1 AS BIGINT) AS gap_start,
+        |  CAST(event_id AS BIGINT) AS next_present,
+        |  CAST(event_id - p - 1 AS BIGINT) AS n_missing
+        |FROM g WHERE p IS NOT NULL AND event_id > p + 1
+        |ORDER BY n_missing DESC, gap_start LIMIT 10""".stripMargin) {
+      (spark, dir) =>
+      graft.operators.Checks.offsetGaps(
+          t(spark, dir)("events").where(col("value") >= 1),
+          "event_id", bucketWidth = 4096L)
+        .orderBy(col("n_missing").desc, col("gap_start")).limit(10)
+    },
+
     // New / returning / cumulative user growth per day — the
     // top-of-dashboard activation curve. Each user's first-seen day
     // is ONE keyed aggregate; dailies are exact two-stage distinct

@@ -674,6 +674,37 @@ object Relational {
         .orderBy("node")
     },
 
+    // UNPIVOT / melt — wide measure columns to long (measure, value)
+    // form, then one profiling aggregate per measure: the reshape
+    // every stats/ML exporter needs. Spark's `stack` is a codegen
+    // generator (no shuffle to reshape — the only exchange is the
+    // 4-group aggregate); sums stay exact DECIMAL until the final
+    // rounded cast.
+    "q_unpivot" -> QueryDef(
+      "melt lineitem measures to long form + per-measure profile",
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v,
+        |  round(CAST(sum(v) AS DOUBLE), 6) AS sum_v
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin) {
+      (spark, dir) =>
+      t(spark, dir)("lineitem")
+        .select(expr(
+          "stack(4, 'l_quantity', l_quantity, " +
+            "'l_extendedprice', l_extendedprice, " +
+            "'l_discount', l_discount, 'l_tax', l_tax) AS (measure, v)"))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).cast(DoubleType).as("min_v"),
+          max(col("v")).cast(DoubleType).as("max_v"),
+          round(sum(col("v")).cast(DoubleType), 6).as("sum_v"))
+        .orderBy("measure")
+    },
+
     // Right-to-be-forgotten cascade audit — the compliance dry-run a
     // CDC pipeline executes before an erasure wave: for a deletion
     // cohort (nation-3 customers), how many rows tombstone in each
