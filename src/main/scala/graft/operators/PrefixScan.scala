@@ -64,6 +64,49 @@ object PrefixScan {
       .drop("__pb", "__carry", "__in")
   }
 
+  /** Inclusive global running SUM over a SPARSE order domain —
+    * `runningSum`'s range-partitioned sibling. Integer-`div`
+    * bucketing needs a dense order column (event ids); a sparse one
+    * (epoch timestamps) would put ~every row in its own bucket and
+    * the bucket summary would be as big as the data. Here Spark's
+    * range partitioner buckets by SAMPLED quantiles instead
+    * (`repartitionByRange`), the physical partition id becomes the
+    * bucket, and the same partial + carry combine applies. The
+    * result is boundary-agnostic — wherever sampling lands the
+    * splits, the prefix sums are exactly the same values — so the
+    * sampling inside the range partitioner costs nothing in
+    * determinism.
+    *
+    * Ties in `orderCol` are allowed IF the caller's downstream only
+    * reads tie-insensitive features of the running sum (a same-sign
+    * tie run is monotone, so its extremes are deterministic even
+    * though intra-run intermediate values are not); equal keys never
+    * straddle a range split. */
+  def runningSumRanged(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      partitions: Int): DataFrame = {
+    require(partitions > 0, s"partitions must be positive: $partitions")
+    // pin the sampled ranges (graftCkptMem): the carry join and the
+    // in-bucket window must see the SAME bucket assignment — a
+    // re-executed range sampling could split differently per consumer
+    val bucketed = graft.core.Ckpt.mem(
+      df.repartitionByRange(partitions, col(orderCol))
+        .withColumn("__pb", spark_partition_id().cast("long")))
+    val carry = bucketed.groupBy("__pb").agg(sum(col(valueCol)).as("__bs"))
+      .withColumn("__carry", coalesce(sum(col("__bs")).over(
+        Window.orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pb"), col("__carry"))
+    val w = Window.partitionBy(col("__pb")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(carry), Seq("__pb"))
+      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__carry"))
+      .drop("__pb", "__carry")
+  }
+
   /** Inclusive global running SUM (same two-level shape, sum
     * combine). `valueCol` must be integral — the split is exact. */
   def runningSum(

@@ -1351,6 +1351,125 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // Peak concurrency per day — the sweep-line classic: sessions
+    // become (+1 at start, −1 past end) boundary deltas, the GLOBAL
+    // running sum of deltas is the live-session count, and the
+    // per-day max is the capacity-planning number. The global
+    // running sum is PrefixScan.runningSumRanged — boundary keys are
+    // SPARSE timestamps, so the dense-div bucketing is wrong and the
+    // range-partitioned variant is the scale path (the naive sweep
+    // is a partition-less window over every boundary). Order key =
+    // time·2 + side: ends sort before starts at an equal
+    // microsecond, so back-to-back sessions never double-count, and
+    // ties within a key are same-sign runs — the daily MAX is
+    // tie-order-insensitive, which is the contract runningSumRanged
+    // documents (the oracle picks its own tie order and lands on
+    // the same maxima).
+    "q_concurrency" -> QueryDef(
+      "peak concurrent 30-min sessions per day (sweep line + ranged prefix scan)",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |flag AS (SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           > 1800000000
+        |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session FROM e),
+        |sess AS (SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, us
+        |  FROM flag),
+        |iv AS (SELECT user_id, sid, min(us) AS s, max(us) + 1 AS x
+        |       FROM sess GROUP BY 1, 2),
+        |b AS (SELECT s * 2 + 1 AS k, 1 AS delta, s AS t FROM iv
+        |      UNION ALL
+        |      SELECT x * 2 AS k, -1 AS delta, x AS t FROM iv),
+        |c AS (SELECT t, sum(delta) OVER (ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM b)
+        |SELECT t // 86400000000 AS day,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val sess = e
+        .withColumn("__new", when(col("us") - lag(col("us"), 1).over(wU)
+          > 1800000000L || lag(col("us"), 1).over(wU).isNull, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("__new")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("s"), (max(col("us")) + 1).as("x"))
+      val b = sess.select((col("s") * 2 + 1).as("k"),
+          lit(1L).as("delta"), col("s").as("t"))
+        .unionByName(sess.select((col("x") * 2).as("k"),
+          lit(-1L).as("delta"), col("x").as("t")))
+      graft.operators.PrefixScan
+        .runningSumRanged(b, "k", "delta", "conc",
+          partitions = spark.sparkContext.defaultParallelism)
+        .groupBy(expr("t div 86400000000").as("day"))
+        .agg(max(col("conc")).as("max_concurrent"))
+        .orderBy("day")
+    },
+
+    // Linear gap interpolation onto the hourly grid — q_resample's
+    // second half: forward fill answers "latest known state", the
+    // interpolation answers "best estimate of the level", and the
+    // grid machinery is shared (backward + forward union-merge as-of
+    // joins, output ∝ |users|·ticks). Arithmetic is exact integers
+    // up to ONE shared double divide per tick (µs gaps × cents stay
+    // under 2⁶³; an exact-hit tick short-circuits to the sample to
+    // dodge the 0/0).
+    "q_interpolate" -> QueryDef(
+      "hourly grid linear interpolation between surrounding events",
+      """WITH h AS (SELECT (epoch_ns(min(ts)) // 3600000000000)
+        |      * 3600000000 AS h0us FROM events),
+        |g AS (SELECT s AS slot, h0us + s * 3600000000 AS tn
+        |      FROM h, unnest(range(0, 48)) AS r(s)),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |l AS (SELECT user_id, slot, tn FROM u CROSS JOIN g),
+        |e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tn,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |bk AS (SELECT l.user_id, l.slot, l.tn, e.tn AS t0, e.c AS v0
+        |       FROM l ASOF LEFT JOIN e
+        |         ON l.user_id = e.user_id AND l.tn >= e.tn),
+        |fw AS (SELECT bk.user_id, bk.slot, bk.tn, bk.t0, bk.v0,
+        |       e.tn AS t1, e.c AS v1
+        |       FROM bk ASOF LEFT JOIN e
+        |         ON bk.user_id = e.user_id AND bk.tn <= e.tn)
+        |SELECT user_id, CAST(slot AS BIGINT) AS slot,
+        |  CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+        |       WHEN t1 = t0 THEN CAST(v0 AS DOUBLE)
+        |       ELSE round((v0 * (t1 - tn) + v1 * (tn - t0))
+        |         / CAST(t1 - t0 AS DOUBLE), 6) END AS interp_cents
+        |FROM fw ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      val ev = t(spark, dir)("events")
+      val hourUs = 3600L * 1000000L
+      val grid = ev.agg(expr("(min(ts) div 3600000000000) * 3600000000")
+          .as("h0us"))
+        .select(explode(sequence(lit(0L), lit(47L))).as("slot"), col("h0us"))
+        .select(col("slot"), (col("h0us") + col("slot") * hourUs).as("tn"))
+      val left = ev.select(col("user_id")).distinct().crossJoin(grid)
+      val right = ev.select(col("user_id"),
+        expr("ts div 1000").as("tn"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val bk = Temporal.asofJoin(left,
+          right.select(col("user_id"), col("tn"), col("tn").as("t0"),
+            col("c").as("v0")),
+          Seq("user_id"), "tn", Seq("t0", "v0"))
+      val fw = Temporal.asofJoin(bk,
+          right.select(col("user_id"), col("tn"), col("tn").as("t1"),
+            col("c").as("v1")),
+          Seq("user_id"), "tn", Seq("t1", "v1"), direction = "forward")
+      fw.select(col("user_id"), col("slot"),
+          when(col("t0").isNull || col("t1").isNull, lit(null))
+            .when(col("t1") === col("t0"), col("v0").cast(DoubleType))
+            .otherwise(round((col("v0") * (col("t1") - col("tn")) +
+              col("v1") * (col("tn") - col("t0"))) /
+              (col("t1") - col("t0")).cast(DoubleType), 6))
+            .as("interp_cents"))
+        .orderBy("user_id", "slot")
+    },
+
     // Offset-continuity audit (Checks.offsetGaps scaladoc): the "did
     // the changelog lose records?" screen — every maximal missing-id
     // run in the surviving stream (a value filter stands in for real

@@ -38,6 +38,25 @@ class PrefixScanSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("runningSumRanged equals the naive global window on sparse keys") {
+    // sparse, clustered order keys — the domain div-bucketing cannot
+    // handle — with unique keys so row-level equality is well-defined
+    val rnd2 = new scala.util.Random(13)
+    val sparse = (0 until 4000)
+      .map(i => (i.toLong * 1000003L + rnd2.nextInt(500), rnd2.nextInt(9).toLong - 4))
+      .toDF("ord", "v")
+    val fast = graft.operators.PrefixScan
+      .runningSumRanged(sparse, "ord", "v", "rs", partitions = 7)
+      .select("ord", "rs").as[(Long, Long)].collect().toMap
+    val naive = sparse.withColumn("rs", sum(col("v")).over(
+        Window.orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("ord", "rs").as[(Long, Long)].collect().toMap
+    assert(fast == naive)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("sparse buckets: carry propagates across empty bucket gaps") {
     val sparse = Seq((0L, 5L), (1L, 3L), (1000L, 1L), (5000L, 2L))
       .toDF("ord", "v")
