@@ -1494,6 +1494,47 @@ object Cdc {
         .orderBy(col("n_missing").desc, col("gap_start")).limit(10)
     },
 
+    // Rolling 7-day active users — the WAU staple beside
+    // q_user_growth's DAU: |distinct users active in [d−6, d]| per
+    // day. A sliding DISTINCT cannot ride a window frame (distinct
+    // doesn't decompose), so the exact scale shape is: reduce to the
+    // (user, day) grain first (one corpus aggregate), then each
+    // user-day votes into the ≤7 window-end days it can influence
+    // (a 7× explode of the REDUCED table, never the corpus) and a
+    // second exact two-stage distinct per window-end day.
+    "q_rolling_active" -> QueryDef(
+      "DAU and rolling 7-day WAU per day (exact sliding distinct)",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |      epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |lim AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ud),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |w AS (SELECT ud.user_id, ud.day + s AS wday
+        |      FROM ud, unnest(range(0, 7)) AS r(s)),
+        |wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau7
+        |        FROM w CROSS JOIN lim
+        |        WHERE wday <= lim.dmax GROUP BY 1)
+        |SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+        |  CAST(wau.wau7 AS BIGINT) AS wau7
+        |FROM wau LEFT JOIN dau ON dau.day = wau.day
+        |ORDER BY wau.day""".stripMargin) { (spark, dir) =>
+      val ud = t(spark, dir)("events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val lim = ud.agg(max(col("day")).as("dmax"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .crossJoin(lim)
+        .where(col("wday") <= col("dmax"))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau7"))
+        .orderBy("day")
+    },
+
     // New / returning / cumulative user growth per day — the
     // top-of-dashboard activation curve. Each user's first-seen day
     // is ONE keyed aggregate; dailies are exact two-stage distinct
