@@ -674,6 +674,48 @@ object Relational {
         .orderBy("node")
     },
 
+    // Winsorization — the outlier-tolerant preprocessing step: clip
+    // each group's values at its own [p05, p95] and report how much
+    // mass moved. Quantile cuts use the established
+    // percentile/quantile_cont parity recipe (rounded 6 so the clip
+    // thresholds are the same doubles on both engines); the clipped
+    // mean accumulates clip(v)·100 as exact integer cents. Two
+    // passes: the group-cardinality cut table broadcasts back.
+    "q_winsorize" -> QueryDef(
+      "winsorize extended price at per-flag [p05, p95]; clip counts + means",
+      """WITH c AS (SELECT l_returnflag,
+        |      round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |      round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |    FROM lineitem GROUP BY 1),
+        |v AS (SELECT l.l_returnflag, c.lo, c.hi,
+        |      CAST(l.l_extendedprice AS DOUBLE) AS p
+        |      FROM lineitem l JOIN c USING (l_returnflag))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  CAST(sum(CAST(round(least(greatest(p, lo), hi) * 100) AS BIGINT))
+        |    AS BIGINT) AS winsorized_cents
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val li = t(spark, dir)("lineitem")
+      val cuts = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+      li.join(broadcast(cuts), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("lo"), col("hi"),
+          col("l_extendedprice").cast(DoubleType).as("p"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("p") < col("lo"), 1L).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("p") > col("hi"), 1L).otherwise(0L))
+            .as("n_clipped_high"),
+          sum(expr("CAST(round(least(greatest(p, lo), hi) * 100) AS BIGINT)"))
+            .as("winsorized_cents"))
+        .orderBy("l_returnflag")
+    },
+
     // UNPIVOT / melt — wide measure columns to long (measure, value)
     // form, then one profiling aggregate per measure: the reshape
     // every stats/ML exporter needs. Spark's `stack` is a codegen
