@@ -291,6 +291,44 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Language-ID evaluation — q_lang_id emits predictions; this
+    // grades them against the corpus's lang labels as a confusion
+    // matrix (same eval shape as q_naive_bayes), the go/no-go check
+    // before trusting the classifier to route a 100-TB corpus. One
+    // extra map-side projection + a |langs|² aggregate on top of the
+    // prediction pass — the eval costs nothing beyond the apply.
+    "q_lang_id_eval" -> QueryDef(
+      "language-ID confusion matrix vs corpus labels",
+      {
+        val latin = TextAnalysis.langMarkers.filter(_._1 != "zh").map {
+          case (l, ms) =>
+            s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS s_$l"
+        }.mkString(",\n    ")
+        val zhChars = TextAnalysis.langMarkers.toMap.apply("zh").mkString
+        val langs = TextAnalysis.langMarkers.map(_._1)
+        val whens = langs.map(l =>
+          s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+        s"""WITH p AS (SELECT doc_id, CASE $whens ELSE 'und' END AS pred FROM (
+           |  SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+           |    greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS best
+           |  FROM (SELECT doc_id,
+           |    $latin,
+           |    len(regexp_extract_all(text, '[$zhChars]')) AS s_zh
+           |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           |        FROM documents))))
+           |SELECT d.lang AS actual, p.pred AS predicted,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM documents d JOIN p USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (spark, dir) =>
+      val d = docs(spark, dir)
+      d.select(col("doc_id"), col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    },
+
     // PII scrub: redact emails / IPv4s / card-shaped digit runs and
     // count redactions. Patterns are plain ASCII classes so Java regex
     // and RE2 agree; DuckDB needs the 'g' flag for replace-all (Spark
