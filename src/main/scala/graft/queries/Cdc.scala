@@ -1838,6 +1838,36 @@ object Cdc {
         .orderBy("purchase_id")
     },
 
+    // Top behavior paths — the Sankey/flow-diagram feed: the 20 most
+    // frequent 3-step event-type sequences across users. One keyed
+    // window provides both lookaheads in a single sort (Catalyst
+    // plans lead(1) and lead(2) in one Window node), the count is
+    // map-side combined on the ≤ |types|³ path key space, and the
+    // final slice is a TakeOrdered — no global sort.
+    "q_path_trigrams" -> QueryDef(
+      "top-20 three-step event-type paths (behavior flow mining)",
+      """WITH s AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(spark, dir)("events")
+        .select(col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .where(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    },
+
     "q_funnel" -> QueryDef(
       "first-5 event-type funnel path per user",
       """SELECT user_id,
