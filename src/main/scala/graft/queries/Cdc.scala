@@ -1351,6 +1351,75 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // Association rules over session baskets — market-basket mining
+    // on the event stream: each 30-min session is a basket of the
+    // DISTINCT event types it contains; every type pair gets exact
+    // support and lift (both as integer ppm — lift's divide is
+    // integer division of exact products, so no float ratio ever
+    // forms). The pair enumeration self-joins the (basket, type)
+    // table on the basket key — bounded by |types|² per basket,
+    // never an event-level pair scan (the q_seq_support discipline,
+    // unordered flavor).
+    "q_basket_pairs" -> QueryDef(
+      "session-basket association: support + lift ppm per event-type pair",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type
+        |      FROM events),
+        |flag AS (SELECT user_id, us, event_type,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           > 1800000000
+        |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session FROM e),
+        |sess AS (SELECT user_id, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flag),
+        |b AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+        |nb AS (SELECT count(DISTINCT (user_id, sid)) AS n FROM b),
+        |it AS (SELECT event_type, count(*) AS nt FROM b GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |      count(*) AS nab
+        |      FROM b a JOIN b c ON a.user_id = c.user_id AND a.sid = c.sid
+        |        AND a.event_type < c.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(nab AS BIGINT) AS n_baskets,
+        |  CAST(nab * 1000000 // nb.n AS BIGINT) AS support_ppm,
+        |  CAST(nab * nb.n * 1000000 // (ia.nt * ib.nt) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pr CROSS JOIN nb
+        |JOIN it ia ON ia.event_type = pr.type_a
+        |JOIN it ib ON ib.event_type = pr.type_b
+        |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+      val e = t(spark, dir)("events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_type"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val b = e
+        .withColumn("__new", when(col("us") - lag(col("us"), 1).over(wU)
+          > 1800000000L || lag(col("us"), 1).over(wU).isNull, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("__new")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "sid", "event_type").distinct()
+      val nb = b.select("user_id", "sid").distinct()
+        .agg(count(lit(1)).as("n"))
+      val it = b.groupBy("event_type").agg(count(lit(1)).as("nt"))
+      val pr = b.select(col("user_id"), col("sid"),
+          col("event_type").as("type_a"))
+        .join(b.select(col("user_id"), col("sid"),
+          col("event_type").as("type_b")), Seq("user_id", "sid"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("nab"))
+      pr.crossJoin(broadcast(nb))
+        .join(broadcast(it.select(col("event_type").as("type_a"),
+          col("nt").as("na"))), Seq("type_a"))
+        .join(broadcast(it.select(col("event_type").as("type_b"),
+          col("nt").as("nbt"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("nab").as("n_baskets"),
+          expr("nab * 1000000 div n").as("support_ppm"),
+          expr("nab * n * 1000000 div (na * nbt)").as("lift_ppm"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Peak concurrency per day — the sweep-line classic: sessions
     // become (+1 at start, −1 past end) boundary deltas, the GLOBAL
     // running sum of deltas is the live-session count, and the
