@@ -1351,6 +1351,75 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // RFM segmentation — the classic customer-value cube: per-user
+    // Recency (µs since last activity vs the corpus max), Frequency
+    // (purchase count), Monetary (exact cents), each cut into
+    // terciles at global percentile boundaries (the established
+    // percentile/quantile_cont parity recipe, rounded 6 so both
+    // engines band with identical cut doubles), then one aggregate
+    // over the ≤27 segments. Two corpus-shaped aggregates total; the
+    // 1-row cut table cross-joins back.
+    "q_rfm" -> QueryDef(
+      "RFM tercile segmentation: users and revenue per (r,f,m) segment",
+      """WITH u AS (SELECT user_id,
+        |    max(epoch_ns(ts) // 1000) AS last_us,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS f,
+        |    coalesce(sum(CAST(round(value * 100) AS BIGINT))
+        |      FILTER (WHERE event_type = 'purchase'), 0) AS m
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_us) AS mu FROM u),
+        |r AS (SELECT user_id, mx.mu - last_us AS rec, f, m
+        |      FROM u CROSS JOIN mx),
+        |c AS (SELECT round(quantile_cont(rec, 0.3333), 6) AS r33,
+        |    round(quantile_cont(rec, 0.6667), 6) AS r66,
+        |    round(quantile_cont(f, 0.3333), 6) AS f33,
+        |    round(quantile_cont(f, 0.6667), 6) AS f66,
+        |    round(quantile_cont(m, 0.3333), 6) AS m33,
+        |    round(quantile_cont(m, 0.6667), 6) AS m66 FROM r),
+        |s AS (SELECT
+        |    CASE WHEN rec <= r33 THEN 0 WHEN rec <= r66 THEN 1 ELSE 2 END AS r_band,
+        |    CASE WHEN f <= f33 THEN 0 WHEN f <= f66 THEN 1 ELSE 2 END AS f_band,
+        |    CASE WHEN m <= m33 THEN 0 WHEN m <= m66 THEN 1 ELSE 2 END AS m_band,
+        |    m FROM r CROSS JOIN c)
+        |SELECT CAST(r_band AS BIGINT) AS r_band,
+        |  CAST(f_band AS BIGINT) AS f_band,
+        |  CAST(m_band AS BIGINT) AS m_band,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(m) AS BIGINT) AS revenue_cents
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (spark, dir) =>
+      val u = t(spark, dir)("events")
+        .groupBy("user_id")
+        .agg(max(expr("ts div 1000")).as("last_us"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("f"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L)).as("m"))
+      val mx = u.agg(max(col("last_us")).as("mu"))
+      val r = u.crossJoin(mx)
+        .select(col("user_id"), (col("mu") - col("last_us")).as("rec"),
+          col("f"), col("m"))
+      val c = r.agg(
+        round(expr("percentile(rec, 0.3333)"), 6).as("r33"),
+        round(expr("percentile(rec, 0.6667)"), 6).as("r66"),
+        round(expr("percentile(f, 0.3333)"), 6).as("f33"),
+        round(expr("percentile(f, 0.6667)"), 6).as("f66"),
+        round(expr("percentile(m, 0.3333)"), 6).as("m33"),
+        round(expr("percentile(m, 0.6667)"), 6).as("m66"))
+      r.crossJoin(broadcast(c))
+        .select(
+          when(col("rec") <= col("r33"), 0L)
+            .when(col("rec") <= col("r66"), 1L).otherwise(2L).as("r_band"),
+          when(col("f") <= col("f33"), 0L)
+            .when(col("f") <= col("f66"), 1L).otherwise(2L).as("f_band"),
+          when(col("m") <= col("m33"), 0L)
+            .when(col("m") <= col("m66"), 1L).otherwise(2L).as("m_band"),
+          col("m"))
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("revenue_cents"))
+        .orderBy("r_band", "f_band", "m_band")
+    },
+
     // Association rules over session baskets — market-basket mining
     // on the event stream: each 30-min session is a basket of the
     // DISTINCT event types it contains; every type pair gets exact
