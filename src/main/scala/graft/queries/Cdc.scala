@@ -1351,6 +1351,89 @@ object Cdc {
     // keyed aggregation; the per-user sort is bounded by the user's
     // event count and runs inside the aggregate, not as a global sort.
     // Deterministic: (ts, event_id) is a total order.
+    // Pareto concentration headline — "what share of revenue do the
+    // top-decile users carry?": the 80/20 number beside q_gini's
+    // full curve statistic. The decile cut is a percentile (parity
+    // recipe); shares are integer ppm of exact cents. Two keyed
+    // aggregates + a 1-row broadcast — the user table never sorts
+    // globally.
+    "q_pareto_share" -> QueryDef(
+      "revenue share of the top-decile users (Pareto check, exact cents)",
+      """WITH u AS (SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT round(quantile_cont(m, 0.9), 6) AS p90 FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN m > p90 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top,
+        |  CAST(sum(m) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN m > p90 THEN m ELSE 0 END) AS BIGINT)
+        |    AS top_cents,
+        |  CAST(sum(CASE WHEN m > p90 THEN m ELSE 0 END) * 1000000
+        |    // sum(m) AS BIGINT) AS top_share_ppm
+        |FROM u CROSS JOIN c""".stripMargin) { (spark, dir) =>
+      val u = t(spark, dir)("events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
+      val c = u.agg(round(expr("percentile(m, 0.9)"), 6).as("p90"))
+      u.crossJoin(broadcast(c))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("m") > col("p90"), 1L).otherwise(0L)).as("n_top"),
+          sum(col("m")).as("total_cents"),
+          sum(when(col("m") > col("p90"), col("m")).otherwise(0L))
+            .as("top_cents"),
+          expr("sum(CASE WHEN m > p90 THEN m ELSE 0 END) * 1000000 " +
+            "div sum(m)").as("top_share_ppm"))
+    },
+
+    // Trailing-window revenue anomaly days — the batch twin of
+    // q_stream_anomaly's streaming z-score: daily exact-cents
+    // revenue, trailing-7-day mean and variance from integer frame
+    // moments (dev² · n² cross-multiplied so nothing divides until
+    // the final shared comparison), flag days where
+    // (x−μ)² > k²·σ² — stated entirely in integers: n·(n·x−S)² >
+    // k²·(n·Σv²−S²) with k = 2. The day table is tiny at any SF, but
+    // the moment discipline is the same one the corpus-scale ops
+    // use.
+    "q_revenue_anomaly" -> QueryDef(
+      "anomalous revenue days: trailing-7 integer z-test (k=2)",
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |      sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT day, v,
+        |    count(*) OVER tw AS n, sum(v) OVER tw AS s,
+        |    sum(v * v) OVER tw AS s2
+        |  FROM d WINDOW tw AS (ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, CAST(v AS BIGINT) AS revenue_cents,
+        |  CAST(n AS BIGINT) AS n_window
+        |FROM w
+        |WHERE n = 7
+        |  AND n * (n * v - s) * (n * v - s) > 4 * n * (n * s2 - s * s)
+        |ORDER BY day""".stripMargin) { (spark, dir) =>
+      val d = t(spark, dir)("events")
+        .where(col("event_type") === "purchase")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+      // moments in DECIMAL(38,0): daily cents squared exceed a long
+      // well before 100 TB (DuckDB's sum widens to HUGEINT on its own)
+      val dec = DecimalType(38, 0)
+      val tw = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      val w = d
+        .withColumn("n", count(lit(1)).over(tw).cast(dec))
+        .withColumn("s", sum(col("v").cast(dec)).over(tw))
+        .withColumn("s2", sum(col("v").cast(dec) * col("v")).over(tw))
+      val dev = col("n") * col("v") - col("s")
+      w.where(col("n") === 7 &&
+          col("n") * dev * dev >
+            lit(4).cast(dec) * col("n") *
+              (col("n") * col("s2") - col("s") * col("s")))
+        .select(col("day"), col("v").as("revenue_cents"),
+          col("n").cast(LongType).as("n_window"))
+        .orderBy("day")
+    },
+
     // RFM segmentation — the classic customer-value cube: per-user
     // Recency (µs since last activity vs the corpus max), Frequency
     // (purchase count), Monetary (exact cents), each cut into
