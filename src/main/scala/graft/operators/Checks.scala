@@ -49,11 +49,18 @@ object Checks {
     * check_name. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Checks.run needs at least one check")
+    // Duplicate names would collide as map() keys (the default
+    // spark.sql.mapKeyDedupPolicy=EXCEPTION throws at runtime) and
+    // make the agg aliases ambiguous — reject them up front.
+    val dups = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate check names: ${dups.mkString(", ")}")
+    // coalesce(..., 0): on an EMPTY table sum() is NULL; every check
+    // must report (0, 0), matching the Unique/ForeignKey arms.
     val rowLocal = checks.collect {
       case c: NotNull => c.name ->
-        sum(when(col(c.colName).isNotNull, 1L).otherwise(0L))
+        coalesce(sum(when(col(c.colName).isNotNull, 1L).otherwise(0L)), lit(0L))
       case c: Predicate => c.name ->
-        sum(when(c.cond, 1L).otherwise(0L))
+        coalesce(sum(when(c.cond, 1L).otherwise(0L)), lit(0L))
     }
     val parts = Seq.newBuilder[DataFrame]
     if (rowLocal.nonEmpty) {

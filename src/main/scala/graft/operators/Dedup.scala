@@ -285,6 +285,15 @@ object Dedup {
     * slice — a stopgram never does. Verification is exact integer
     * arithmetic on the true intersection (i·den ≥ num·n_src).
     *
+    * EAGER at call time — not a lazy plan builder: the exploded gram
+    * table and its document frequencies localCheckpoint immediately
+    * (they are read 2-3× downstream), and choosing the representation
+    * runs a driver-blocking dictionary-size count before the plan is
+    * returned (`denseUniverseMax = 0` skips the count and pins the
+    * prefix-filter path, but the checkpoints still materialize).
+    * Callers composing plans ahead of execution should defer the call
+    * to execution time.
+    *
     * @return (src, dst, n_src, n_shared, containment) — both
     *         directions of a mutual near-dup appear as two rows
     */
@@ -317,9 +326,11 @@ object Dedup {
     // candidate space IS dense, and the further scale lever (noted,
     // not needed at this SF) is grouping identical bitmaps first so
     // the loop runs over distinct SETS, fanning doc ids back out after.
-    val universe = dfs.count()
-    if (universe <= denseUniverseMax)
-      return containmentDense(g, dfs, universe, tauNum, tauDen)
+    if (denseUniverseMax > 0) {
+      val universe = dfs.count()
+      if (universe <= denseUniverseMax)
+        return containmentDense(g, dfs, universe, tauNum, tauDen)
+    }
     val plen = (n: Column) =>
       (n - floor((n * tauNum + (tauDen - 1)) / tauDen) + 1).cast(IntegerType)
     val docPrefix = g.join(dfs, "gram")

@@ -191,9 +191,10 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k: assign every corpus vector
     * to its nearest of `nLists` centroids (one partition pass), then
     * search each probe only in the `nProbe` centroid cells nearest to
-    * it. Centroids are taken deterministically as the first `nLists`
-    * corpus vectors (a k-means iteration would refine them — the
-    * assignment/probing plumbing is identical). Cell assignment is a
+    * it. Centroids are a deterministic hash-sample of `nLists` corpus
+    * vectors ([[seedSample]] — id-decorrelated, literal-replayable; a
+    * k-means iteration would refine them — the assignment/probing
+    * plumbing is identical). Cell assignment is a
     * broadcast of the centroid set; the probe-cell join is a keyed
     * equijoin — no cross join anywhere, the second 100 TB-scale path
     * besides LSH.
@@ -209,7 +210,7 @@ object Similarity {
     // full corpus is a pure codegen map expression: argmax of nLists
     // cosines per row, no crossJoin and no per-vector window shuffle.
     val cents: Array[(Long, Seq[Double])] =
-      corpus.orderBy(col("nid")).limit(nLists)
+      seedSample(corpus, nLists)
         .select(col("nid").cast(LongType), col("vec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     if (cents.isEmpty)
@@ -233,6 +234,27 @@ object Similarity {
       .withColumn("cos", round(cosine(col("__qv"), col("__nv")), 6))
     rankTopK(joined, k)
   }
+
+  /** Deterministic hash-sampled seed selection for centroid/codebook
+    * initialization: order by a Knuth multiplicative mix of the id
+    * (id·1327217885 mod 2³¹, id as tiebreak) and take the first n.
+    *
+    * Why not first-n-by-id: real embedding corpora are id-correlated
+    * (a crawl ingests source-by-source, so consecutive ids cluster),
+    * and seeding from one id-neighborhood collapses most seeds into
+    * one semantic region — downstream cells skew, and any in-cell
+    * quadratic work (semDedup) concentrates in one hot cell. The
+    * multiplicative mix scrambles id order even on tiny sequential
+    * ranges (the multiplier wraps 2³¹ from id = 2 upward), giving a
+    * uniform pseudo-random sample that is still LITERAL-REPLAYABLE in
+    * any engine — pure 64-bit-safe integer arithmetic (operands stay
+    * below 2⁶², no ANSI overflow, no engine-specific hash), stated in
+    * each oracle as `(id % 2147483648) * 1327217885 % 2147483648`. */
+  private def seedSample(corpus: DataFrame, n: Int): DataFrame =
+    corpus.orderBy(
+      pmod(pmod(col("nid").cast(LongType), lit(1L << 31)) * 1327217885L,
+        lit(1L << 31)),
+      col("nid")).limit(n)
 
   /** Per-centroid (cosine, cid) rank structs for argmax assignment:
     * struct ordering (d desc, cid asc) via lexicographic (d, -cid).
@@ -260,7 +282,7 @@ object Similarity {
     * oracle. Means round to 6 decimals each iteration so the refinement
     * trajectory is reproducible on any engine.
     *
-    * Seeds are the first `nLists` corpus vectors by id — deterministic,
+    * Seeds are a deterministic hash-sample of `nLists` corpus vectors —
     * same convention as [[ivfTopK]] (which this refinement feeds).
     *
     * @return final (cid, pos, val, n_vecs): centroid cid's component at
@@ -272,7 +294,7 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     require(iters >= 1, "at least one refinement iteration")
     var cents: Array[(Long, Seq[Double])] =
-      corpus.orderBy(col("nid")).limit(nLists)
+      seedSample(corpus, nLists)
         .select(col("nid").cast(LongType), col("vec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     var means: DataFrame = null
@@ -394,7 +416,7 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, tau: Double, nLists: Int = 16): DataFrame = {
     val cents: Array[(Long, Seq[Double])] =
-      corpus.orderBy(col("nid")).limit(nLists)
+      seedSample(corpus, nLists)
         .select(col("nid").cast(LongType), col("vec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val assigned = corpus
@@ -552,8 +574,11 @@ object Similarity {
       nCodes: Int, k: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
-    val cb: Array[Seq[Double]] = corpus.orderBy("nid").limit(nCodes)
-      .select(col("vec")).collect().map(_.getSeq[Double](0))
+    // Codes number by nid WITHIN the hash-sampled set (driver-side
+    // sort of nCodes rows) so both engines agree on code ids.
+    val cb: Array[Seq[Double]] = seedSample(corpus, nCodes)
+      .select(col("nid").cast(LongType), col("vec")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
     require(cb.length == nCodes, s"corpus has fewer than $nCodes vectors")
     def l2sq(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),

@@ -1835,13 +1835,20 @@ object Cdc {
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
+      // Pack (per-user rank, user_id) into one lex-faithful long for
+      // PrefixScan's unique non-negative orderCol. A shift of 33 bits
+      // holds user_id < 2³³ and rank < 2³⁰ (a billion events per user)
+      // before overflow; the oracle's `rn * 1e6 + user_id` packing is
+      // order-EQUIVALENT whenever its user_ids stay below 1e6 (true of
+      // every test SF) — both reduce to lexicographic (rank, user_id),
+      // which is all the running-max downstream consumes.
       val a = t(spark, dir)("events")
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
         .withColumn("arr",
-          row_number().over(w).cast(LongType) * 1000000L + col("user_id"))
+          shiftleft(row_number().over(w).cast(LongType), 33) + col("user_id"))
         .select(col("arr"), col("us"))
       graft.operators.PrefixScan
-        .runningMax(a, "arr", "us", "wm", bucketWidth = 1000000L)
+        .runningMax(a, "arr", "us", "wm", bucketWidth = 1L << 33)
         .select(expr("(wm - us) div 60000000").as("late_min"),
           (col("wm") - col("us")).as("late_us"))
         .groupBy("late_min")

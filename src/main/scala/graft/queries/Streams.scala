@@ -464,8 +464,10 @@ object Streams {
     },
 
     // Streaming z-score anomaly flags on transformWithState
-    // (TwsAnomaly scaladoc): running mean/variance as THREE longs of
-    // keyed state, integer cross-multiplied test — no division, no
+    // (TwsAnomaly scaladoc): running mean/variance as FOUR longs of
+    // keyed state (the sum of squares is a 128-bit hi/lo pair — a
+    // long would wrap within the documented |x| ≤ 2³¹ input bound),
+    // integer cross-multiplied test — no division, no
     // sqrt — so the batch window replay agrees row-for-row. Values
     // pre-scale to cents via the DECIMAL(18,2) cast both engines
     // share. One AvailableNow batch == the full prior-rows window.

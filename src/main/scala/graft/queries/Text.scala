@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, Tables}
 import graft.core.Ckpt.CkptOps
+import graft.core.Hints.HintOps
 import graft.core.Spread.SpreadOps
 import graft.operators.{Dedup, Multimodal, TextAnalysis, TrainingData}
 
@@ -1388,11 +1389,13 @@ object Text {
     // actually ships: every document that is either untouched by the
     // duplicate graph or the canonical (minimum-id) member of its
     // cluster. Composes the verified-pair + connected-components
-    // machinery of q_dup_clusters; the anti-join against the
-    // non-canonical cluster members is broadcast-sized (clusters are
-    // the rare case by construction — at 100 TB the survivors list is
-    // ~the corpus, the DROP list is the small side, so the join
-    // broadcasts the drop list, never the corpus).
+    // machinery of q_dup_clusters; the anti-join keeps the corpus on
+    // the big side and the DROP list (non-canonical cluster members)
+    // on the small side. How small is DATA-dependent — a dirty crawl
+    // can put 20-50 % of the corpus in clusters — so the broadcast is
+    // a size-gated DECISION (Hints.broadcastIfSmall), not a forced
+    // hint: estimated-small drop lists broadcast, anything else falls
+    // back to AQE's runtime call instead of an unconditional collect.
     "q_dedup_keep" -> QueryDef(
       "surviving corpus after near-dup removal (cluster-canonical keep)",
       s"""WITH RECURSIVE $minhashPairsCtes,
@@ -1413,7 +1416,7 @@ object Text {
       val drop = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .where(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
-      d.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      d.join(drop.graftBcastIfSmall(), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy("doc_id")
     },
@@ -1444,9 +1447,13 @@ object Text {
     // with lexicographic tiebreak, source count for lineage). Both
     // argmaxes are single-aggregate min(struct(-key, tiebreak))
     // reductions — no window over the corpus — and everything
-    // downstream of connectedComponents is |cluster members| rows
-    // (the rare case by construction), joined to documents on the
-    // broadcast-sized membership list.
+    // downstream of connectedComponents is |cluster members| rows.
+    // The members↔documents join broadcasts only under the size gate
+    // (Hints.broadcastIfSmall): membership is corpus-derived (a dirty
+    // crawl clusters 20-50 % of its docs), so a forced hint would
+    // bypass Spark's size check and OOM the driver at 100 TB; the
+    // gate hints when the estimate fits and otherwise lets AQE decide
+    // from runtime shuffle sizes.
     "q_golden_record" -> QueryDef(
       "golden records: per-cluster survivorship merge after near-dup ER",
       s"""WITH RECURSIVE $minhashPairsCtes,
@@ -1486,7 +1493,7 @@ object Text {
         TextAnalysis.gramArrays(d, "doc_id", "text", 5), "doc_id", 3, 5)
       val members = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component"))
-      val m = d.join(broadcast(members), Seq("doc_id"))
+      val m = d.join(members.graftBcastIfSmall(), Seq("doc_id"))
         .select(col("component"), col("doc_id"), col("n_chars"),
           col("source"), col("lang"))
       val agg = m.groupBy("component")

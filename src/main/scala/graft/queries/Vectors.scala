@@ -72,13 +72,15 @@ object Vectors {
 
     // IVF variant: centroid cells + nProbe search — the second
     // approximate scale path. The oracle replicates the whole index
-    // deterministically in SQL: centroids are "first nLists corpus
-    // vectors by id", cell assignment is argmax cosine (ties → lowest
+    // deterministically in SQL: centroids are the hash-sampled seed set
+    // (Knuth multiplicative mix of vec_id — Similarity.seedSample), cell assignment is argmax cosine (ties → lowest
     // centroid id), probes search their nProbe nearest cells.
     "q_ann_ivf" -> QueryDef(
       "IVF-cell approximate cosine top-10 (16 lists, 4 probes)",
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM d
+        |     ORDER BY (vec_id % 2147483648) * 1327217885 % 2147483648, vec_id
+        |     LIMIT 16),
         |asg AS (SELECT nid, nv, cid FROM (
         |  SELECT d.vec_id AS nid, d.v AS nv, c.cid,
         |    row_number() OVER (PARTITION BY d.vec_id
@@ -302,8 +304,8 @@ object Vectors {
     },
 
     // Spherical k-means refinement (2 Lloyd iterations over the IVF
-    // seeds). The oracle replays both iterations in SQL: seed = first
-    // 16 vectors, argmax-cosine assignment (rounded, lowest-cid ties),
+    // seeds). The oracle replays both iterations in SQL: seed = the
+    // 16-vector hash-sample, argmax-cosine assignment (rounded ties),
     // per-cell rounded means rebuilt into centroid lists for the second
     // assignment. Verifies the iterative literal-feedback machinery
     // that refines ivfTopK's cells.
@@ -317,12 +319,14 @@ object Vectors {
     // SemDeDup: near-dup search restricted to k-means cells — the
     // semantic-dedup scale path (pairwise only within a cell, cell
     // count grows with the corpus). The oracle rebuilds the same cell
-    // assignment (argmax over the first-16 seed centroids, identical
+    // assignment (argmax over the 16 hash-sampled seed centroids, identical
     // to the IVF oracle) and the within-cell pair scan in SQL.
     "q_semdedup" -> QueryDef(
       "semantic dedup: lowest-id near-duplicate within each k-means cell",
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM d
+        |     ORDER BY (vec_id % 2147483648) * 1327217885 % 2147483648, vec_id
+        |     LIMIT 16),
         |asg AS (SELECT nid, nv, cid FROM (
         |  SELECT d.vec_id AS nid, d.v AS nv, c.cid,
         |    row_number() OVER (PARTITION BY d.vec_id
@@ -414,7 +418,7 @@ object Vectors {
     // runs entirely on probe-precomputed distance tables — the
     // memory-bound scale path beside LSH (q_ann_lsh) and IVF
     // (q_ann_ivf). The oracle rebuilds codebook, encoding and ADC
-    // wholly in SQL from the data (first-16 codebook convention).
+    // wholly in SQL from the data (hash-sampled 16-vector codebook).
     "q_ann_pq" -> QueryDef(
       "product-quantization approximate top-10 (8 subspaces × 16 codes, ADC)",
       pqOracleSql(dim = 64, m = 8, nCodes = 16, k = 10)) { (spark, dir) =>
@@ -488,7 +492,9 @@ object Vectors {
   }
 
   /** Generated DuckDB oracle for [[Similarity.pqTopK]]: codebook =
-    * sub-vector slices of the first `nCodes` corpus vectors by id,
+    * sub-vector slices of `nCodes` hash-sampled corpus vectors
+    * (Similarity.seedSample order, codes numbered by vec_id within
+    * the sample),
     * encoding = per-subspace argmin of round-6 L2² with lowest-code
     * ties (row_number, mirroring array_position's first-min), ADC =
     * DECIMAL-exact sum of the rounded per-subspace distances — the
@@ -497,7 +503,9 @@ object Vectors {
     val sub = dim / m
     s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) AS c, v
-       |        FROM (SELECT vec_id, v FROM d ORDER BY vec_id LIMIT $nCodes)),
+       |        FROM (SELECT vec_id, v FROM d
+       |          ORDER BY (vec_id % 2147483648) * 1327217885 % 2147483648, vec_id
+       |          LIMIT $nCodes)),
        |cw AS (SELECT s, c, v[s*$sub+1 : s*$sub+$sub] AS w
        |       FROM cbv, unnest(range(0, $m)) AS u(s)),
        |sv AS (SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
@@ -525,7 +533,9 @@ object Vectors {
 
   private def kmeansOracleSql: String =
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM d
+        |     ORDER BY (vec_id % 2147483648) * 1327217885 % 2147483648, vec_id
+        |     LIMIT 16),
         |a1 AS (SELECT vec_id, v, cid FROM (
         |  SELECT d.vec_id, d.v, c0.cid,
         |    row_number() OVER (PARTITION BY d.vec_id

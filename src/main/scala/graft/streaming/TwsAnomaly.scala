@@ -5,8 +5,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 
 /** Streaming z-score anomaly detection on `transformWithState` —
   * each key's running mean/variance lives in ValueState (Welford's
-  * sufficient statistics: count, sum, sum-of-squares — THREE longs per
-  * key forever), and a row whose squared deviation exceeds k² times
+  * sufficient statistics: count, sum, 128-bit sum-of-squares — FOUR
+  * longs per key forever), and a row whose squared deviation exceeds k² times
   * the variance of everything seen BEFORE it flags, exactly once,
   * append-only. The monitoring primitive a pipeline bolts onto any
   * metric stream: no training pass, no model table, state O(keys).
@@ -15,10 +15,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * values pre-scale to integer units (cents here — the caller picks
   * the scale), and the test `z² > k²` cross-multiplies to
   * `(n·x − s)² > k²·(n·q − s²)` — no division, no sqrt, no float.
-  * The comparison runs in BigInt (HUGEINT in the oracle): n·x and the
-  * sums individually fit a long under the documented input bound
-  * (|x| ≤ 2³¹), but their squares need 128 bits. A zero-variance
-  * history flags ANY deviation (RHS = 0) — correct limit behavior.
+  * The comparison runs in BigInt (HUGEINT in the oracle). Under the
+  * documented input bound (|x| ≤ 2³¹) each x² fits a long, but the
+  * RUNNING sum of squares does not — two rows near the bound already
+  * exceed 2⁶³ — so `q` accumulates as a hi/lo pair of longs (value =
+  * qHi·2⁶² + qLo, 0 ≤ qLo < 2⁶²): exact to 2¹²⁵, carried in the
+  * fixed-width state row a state store can encode (no variable-width
+  * BigInt in state, no precision-losing Decimal encoder). `s` stays a
+  * plain long — |s| ≤ n·2³¹ holds to n < 2³² rows per key, far past
+  * any per-key stream this monitors. A zero-variance history flags
+  * ANY deviation (RHS = 0) — correct limit behavior.
   *
   * Ordering contract = [[TwsScd2]]'s: per-key offsets must not regress
   * across batches; rows inside a batch sort by offset before the fold
@@ -38,8 +44,12 @@ object TwsAnomaly {
     * `n_prior` observations before it. */
   case class Anomaly(key: Long, offset: Long, x: Long, n_prior: Long)
 
-  /** Running sufficient statistics + the cross-batch ordering guard. */
-  case class Stats(n: Long, s: Long, q: Long, lastOff: Long)
+  /** Running sufficient statistics + the cross-batch ordering guard.
+    * The sum of squares is 126-bit: `qHi`·2⁶² + `qLo` (invariant
+    * 0 ≤ qLo < 2⁶², so adding one x² ≤ 2⁶² carries at most 1). */
+  case class Stats(n: Long, s: Long, qHi: Long, qLo: Long, lastOff: Long)
+
+  private val QBase = 1L << 62
 
   /** Anomaly stream; run with `OutputMode.Append` — every flag is
     * final when emitted. `k` is the z-score threshold (integer — the
@@ -68,16 +78,23 @@ object TwsAnomaly {
         timerValues: TimerValues): Iterator[Anomaly] = {
       val ordered = rows.toArray.sortBy(_.offset)
       val out = Seq.newBuilder[Anomaly]
-      var st = if (stats.exists()) stats.get() else Stats(0L, 0L, 0L, Long.MinValue)
+      var st =
+        if (stats.exists()) stats.get() else Stats(0L, 0L, 0L, 0L, Long.MinValue)
       val k2 = BigInt(k.toLong * k)
       ordered.foreach { r =>
+        require(math.abs(r.x) <= (1L << 31),
+          s"TwsAnomaly input bound |x| <= 2^31 violated: ${r.x}")
         if (r.offset > st.lastOff) {
           if (st.n >= minN) {
+            val q = (BigInt(st.qHi) << 62) + st.qLo
             val lhs = (BigInt(st.n) * r.x - st.s).pow(2)
-            val rhs = k2 * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
+            val rhs = k2 * (BigInt(st.n) * q - BigInt(st.s) * st.s)
             if (lhs > rhs) out += Anomaly(key, r.offset, r.x, st.n)
           }
-          st = Stats(st.n + 1L, st.s + r.x, st.q + r.x * r.x, r.offset)
+          val x2 = r.x * r.x // exact: |x| <= 2^31 so x^2 <= 2^62
+          val lo = st.qLo + x2 - (if (st.qLo + x2 >= QBase) QBase else 0L)
+          val hi = st.qHi + (if (st.qLo + x2 >= QBase) 1L else 0L)
+          st = Stats(st.n + 1L, st.s + r.x, hi, lo, r.offset)
         }
       }
       stats.update(st)

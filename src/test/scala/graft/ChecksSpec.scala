@@ -63,4 +63,26 @@ class ChecksSpec extends SparkSpec {
     // add passes over the data
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
   }
+
+  test("duplicate check names are rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      Checks.run(fact, Seq(NotNull("cust"), NotNull("cust")))
+    }
+    assert(e.getMessage.contains("not_null:cust"))
+    // a Predicate shadowing a NotNull's derived name is the sneaky case
+    intercept[IllegalArgumentException] {
+      Checks.run(fact, Seq(NotNull("cust"),
+        Predicate("not_null:cust", col("cust") > 0)))
+    }
+  }
+
+  test("empty table reports (0, 0) for every check kind") {
+    val empty = fact.where(lit(false))
+    val got = Checks.run(empty, Seq(
+        NotNull("cust"), Predicate("pred:pos", col("amount") > 0),
+        Unique("id"), ForeignKey("cust", dim, "c_id")))
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 4)
+    assert(got.forall { case (_, p, t) => p == 0L && t == 0L })
+  }
 }

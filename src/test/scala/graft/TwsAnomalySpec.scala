@@ -67,6 +67,24 @@ class TwsAnomalySpec extends SparkSpec {
         stream.addData(Seq((2L, 1L, 1000000L)))
         q.processAllAvailable()
         assert(!flags().exists(_._1 == 2L))
+
+        // 128-bit sum-of-squares: values near the |x| <= 2^31 input
+        // bound whose running q exceeds 2^63 after three rows. With a
+        // long accumulator q wraps negative, the zero-variance RHS
+        // turns hugely negative, and the EQUAL fourth value would
+        // false-flag (0 > rhs). The hi/lo pair keeps q exact: an
+        // identical value after zero-variance history must stay quiet,
+        // while a genuine deviation still flags.
+        val big = 2000000000L // 2e9 < 2^31; 3 squares = 1.2e19 > 2^63
+        stream.addData(Seq((3L, 1L, big), (3L, 2L, big), (3L, 3L, big)))
+        q.processAllAvailable()
+        stream.addData(Seq((3L, 4L, big)))
+        q.processAllAvailable()
+        assert(!flags().exists(_._1 == 3L), "exact q must not false-flag")
+        stream.addData(Seq((3L, 5L, big + 7L)))
+        q.processAllAvailable()
+        assert(flags().exists(f => f._1 == 3L && f._2 == 5L),
+          "true deviation from zero-variance history still flags")
       } finally {
         q.stop()
         spark.catalog.dropTempView("anom_sink")
