@@ -251,6 +251,52 @@ object Streams {
         .orderBy("doc_id")
     },
 
+    // Streaming CLUSTER assignment within a horizon
+    // (StreamingDedup.lshScreenBounded scaladoc): each doc gets a
+    // cluster id AT INGEST — the first-seen anchor of its LSH bucket
+    // epochs, where a bucket quiet for >200s (event time = doc_id
+    // seconds here) closes its epoch, evicts its state at the
+    // watermark, and the next arrival founds a fresh cluster. The
+    // oracle replays the gap-epoch semantics exactly: per-bucket
+    // session splits (lag > horizon), epoch anchor = first member,
+    // per-doc min over its bands. One-hop assignment by contract —
+    // transitive anchor merges stay the periodic batch CC pass
+    // (q_dup_clusters), the standard streaming/batch split.
+    "q_stream_dup_clusters" -> QueryDef(
+      "streaming near-dup cluster assignment within a 200s horizon (gap-epoch anchors)",
+      s"""WITH ${Text.minhashBandsCtes},
+         |e AS (SELECT band, bh, doc_id,
+         |        CASE WHEN lag(doc_id) OVER w IS NULL
+         |               OR doc_id - lag(doc_id) OVER w > 200 THEN 1
+         |             ELSE 0 END AS newep
+         |      FROM bands WINDOW w AS (PARTITION BY band, bh ORDER BY doc_id)),
+         |ep AS (SELECT band, bh, doc_id,
+         |         sum(newep) OVER (PARTITION BY band, bh ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+         |       FROM e),
+         |anch AS (SELECT band, bh, epoch, min(doc_id) AS anchor
+         |         FROM ep GROUP BY 1, 2, 3),
+         |asg AS (SELECT ep.doc_id, min(a.anchor) AS cluster
+         |        FROM ep JOIN anch a USING (band, bh, epoch)
+         |        GROUP BY ep.doc_id)
+         |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM asg ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val arrivals = Tables.loadStream(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val bands = graft.operators.Dedup
+        .bandedSignaturesRowwise(arrivals, "doc_id", "text", 5)
+        // +1000s so doc 0 sits ABOVE the initial (epoch-0) watermark —
+        // a row exactly at the watermark drops as late
+        .select(col("band"), col("bh"), col("id").as("doc_id"),
+          timestamp_seconds(col("id") + 1000L).as("tstamp"))
+      val hits = runStream(spark,
+        StreamingDedup.lshScreenBounded(bands, horizonMs = 200000L,
+          watermarkDelay = "0 seconds").toDF(),
+        OutputMode.Append())
+      hits.groupBy("doc_id").agg(min(col("dup_of")).as("cluster"))
+        .orderBy("doc_id")
+    },
+
     // Latest-per-key compaction on transformWithState (Spark 4's
     // arbitrary-state API, RocksDB state store — the provider a real
     // deployment runs): the events stream recast as a unified

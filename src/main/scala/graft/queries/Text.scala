@@ -1421,6 +1421,67 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // QUALITY-aware keep policy — what production dedup actually ships
+    // (q_dedup_keep keeps the min-id member; real pipelines keep the
+    // BEST member): per cluster, survive the doc with the lowest
+    // unigram-LM negative log-likelihood (TextAnalysis.lmScore — lower
+    // = more typical of the corpus), tie-broken by min doc_id. Both
+    // the nll (round-6, DECIMAL-exact accumulation) and the argmin
+    // (single min(struct) aggregate, no corpus window) are pinned to
+    // engine-identical values, so the winner can't flip on float
+    // noise. Scale shape: lmScore is one tokenize pass + broadcast
+    // model; everything past connectedComponents is |members| rows;
+    // the drop-list anti-join is size-gated, never force-broadcast.
+    "q_dedup_keep_quality" -> QueryDef(
+      "surviving corpus after near-dup removal (best-quality keep, LM-scored)",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+         |walk AS (
+         |  SELECT DISTINCT u AS node, u AS reach FROM edges
+         |  UNION
+         |  SELECT e.v AS node, w.reach FROM edges e JOIN walk w ON w.node = e.u),
+         |comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+         |t AS (SELECT doc_id,
+         |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |       FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(tf) AS tot FROM tf),
+         |lp AS (SELECT term,
+         |         round(ln(CAST(ctf AS DOUBLE) / CAST(tot AS DOUBLE)), 6)::DECIMAL(30,6) AS logp
+         |       FROM ctf CROSS JOIN tot),
+         |nll AS (SELECT doc_id,
+         |         round(-CAST(sum(logp * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS nll
+         |       FROM tf JOIN lp USING (term) GROUP BY doc_id),
+         |best AS (SELECT doc_id FROM (
+         |    SELECT c.component, n.doc_id, row_number() OVER (
+         |      PARTITION BY c.component ORDER BY n.nll, n.doc_id) AS rn
+         |    FROM comp c JOIN nll n ON n.doc_id = c.node) WHERE rn = 1)
+         |SELECT d.doc_id, d.source, d.lang FROM documents d LEFT JOIN comp c
+         |  ON d.doc_id = c.node
+         |WHERE c.node IS NULL OR d.doc_id IN (SELECT doc_id FROM best)
+         |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val pairs = Dedup.minhashPairs(
+        TextAnalysis.gramArrays(d, "doc_id", "text", 5), "doc_id", 3, 5)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component"))
+      val quality = TextAnalysis.lmScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("nll"))
+      // members only reach the quality join (|members| rows); the
+      // argmin is one aggregate per component
+      val best = comp.join(quality, Seq("doc_id"))
+        .groupBy("component")
+        .agg(min(struct(col("nll"), col("doc_id"))).as("__k"))
+        .select(col("__k.doc_id").as("doc_id"))
+      val drop = comp.select("doc_id")
+        .join(best, Seq("doc_id"), "left_anti")
+      d.join(drop.graftBcastIfSmall(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     "q_dup_clusters" -> QueryDef(
       "duplicate clusters: connected components over verified near-dup pairs",
       s"""WITH RECURSIVE $minhashPairsCtes,

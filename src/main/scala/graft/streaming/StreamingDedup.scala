@@ -184,4 +184,85 @@ object StreamingDedup {
     if (!state.exists) state.update(SeenState(anchor))
     ids.filter(_ != anchor).map(d => LshDecision(d, anchor)).iterator
   }
+
+  /** One band-bucket membership row with the doc's event time. */
+  case class BandHitTs(band: Int, bh: String, doc_id: Long, tstamp: Timestamp)
+
+  /** Horizon-bounded epoch state for one (band, bucket): the current
+    * epoch's anchor and the last arrival's event time (the session-gap
+    * renewal clock). */
+  case class EpochState(canonical_id: Long, last_ms: Long)
+
+  /** Streaming CLUSTER assignment within a horizon — the step real
+    * ingestion pipelines want after [[lshScreen]]'s pair screening:
+    * every arriving document is assigned a cluster id at ingest time,
+    * where the cluster id is the FIRST-SEEN member (anchor) of the
+    * LSH bucket epoch it lands in, and bucket epochs are bounded by a
+    * session-gap horizon: a bucket quiet for more than `horizonMs`
+    * (event time) closes its epoch — state EVICTS via
+    * `EventTimeTimeout` once the watermark passes last-seen + horizon
+    * — and the next arrival FOUNDS a new epoch (fresh anchor). Gap
+    * splits are enforced inside the batch fold too (rows sorted by
+    * event time per bucket), so the semantics are pure gap-epochs
+    * regardless of how arrivals split into micro-batches.
+    *
+    * Every row (founders included, anchor = self) emits one
+    * (doc, anchor) hit; the consumer's per-doc roll-up
+    * `min(anchor) over the doc's bands` IS the cluster id —
+    * one-hop assignment. Transitive merges across anchors remain the
+    * periodic batch CC pass (`q_dup_clusters`); this operator's
+    * contract is the standard streaming/batch split: immediate
+    * bounded-state assignment now, exact closure offline.
+    *
+    * Scale shape: state is one fixed-width entry per bucket occupied
+    * WITHIN the horizon (the only shape that runs forever on an
+    * endless stream), hash-partitioned by bucket key; a hot bucket
+    * costs O(members) emissions, never O(members²). Run with
+    * `OutputMode.Append`. */
+  def lshScreenBounded(
+      bands: DataFrame,
+      horizonMs: Long,
+      watermarkDelay: String): Dataset[LshDecision] = {
+    implicit val outEnc = Encoders.product[LshDecision]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val stateEnc = Encoders.product[EpochState]
+    bands.withWatermark("tstamp", watermarkDelay)
+      .as[BandHitTs](Encoders.product[BandHitTs])
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        lshGroupBounded(horizonMs))
+  }
+
+  private[streaming] def lshGroupBounded(horizonMs: Long)(
+      key: (Int, String),
+      rows: Iterator[BandHitTs],
+      state: GroupState[EpochState]): Iterator[LshDecision] = {
+    if (state.hasTimedOut) {
+      // watermark passed last-seen + horizon: the epoch is closed
+      state.remove()
+      Iterator.empty
+    } else {
+      val ordered = rows.toSeq.sortBy(r => (r.tstamp.getTime, r.doc_id))
+      var st = state.getOption
+      val out = Seq.newBuilder[LshDecision]
+      ordered.foreach { r =>
+        val ms = r.tstamp.getTime
+        st match {
+          case Some(EpochState(c, last)) if ms - last <= horizonMs =>
+            out += LshDecision(r.doc_id, c)
+            st = Some(EpochState(c, ms))
+          case _ => // empty bucket, or in-batch gap beyond the horizon
+            out += LshDecision(r.doc_id, r.doc_id)
+            st = Some(EpochState(r.doc_id, ms))
+        }
+      }
+      st.foreach { s =>
+        state.update(s)
+        // admitted rows are ahead of the watermark, so this is too
+        state.setTimeoutTimestamp(s.last_ms + horizonMs)
+      }
+      out.result().iterator
+    }
+  }
 }

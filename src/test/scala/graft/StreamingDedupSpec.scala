@@ -156,4 +156,66 @@ class StreamingDedupSpec extends SparkSpec {
       spark.catalog.dropTempView("lsh_screen")
     }
   }
+
+  test("bounded lsh clusters: horizon joins, in-batch gap splits, eviction refounds") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(sec: Long) = new Timestamp((1000L + sec) * 1000L) // off epoch 0
+
+    val stream = MemoryStream[(Int, String, Long, Timestamp)]
+    val out = StreamingDedup.lshScreenBounded(
+      stream.toDF().toDF("band", "bh", "doc_id", "tstamp"),
+      horizonMs = 60000L, watermarkDelay = "10 seconds").toDF()
+    val query = out.writeStream.format("memory").queryName("lsh_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows(): Seq[(Long, Long)] = spark.table("lsh_bounded")
+        .as[(Long, Long)].collect().toSeq
+      def stateRows(): Long =
+        query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+
+      // batch 1: bucket A founds with doc 10 (anchor = self emission)
+      stream.addData(Seq((0, "A", 10L, ts(0))))
+      query.processAllAvailable()
+      assert(rows().toSet == Set((10L, 10L)), s"got ${rows()}")
+
+      // batch 2: doc 30 within A's horizon (50s - 0s <= 60s) joins
+      // anchor 10; its second band (1, "C") founds with itself — the
+      // per-doc min(anchor) roll-up (the query's cluster id) is 10
+      stream.addData(Seq((0, "A", 30L, ts(50)), (1, "C", 30L, ts(50))))
+      query.processAllAvailable()
+      val doc30 = rows().filter(_._1 == 30L).map(_._2)
+      assert(doc30.toSet == Set(10L, 30L) && doc30.min == 10L,
+        s"doc 30 hits $doc30")
+
+      // batch 3: an IN-BATCH gap beyond the horizon inside bucket G
+      // (11 @100s, 12 @201s, gap 101s > 60s) splits into two epochs —
+      // both founders — within a single micro-batch; it also drives
+      // the watermark to 191s, past A's renewed timeout (50+60=110s)
+      stream.addData(Seq((0, "G", 11L, ts(100)), (0, "G", 12L, ts(201))))
+      query.processAllAvailable()
+      assert(rows().toSet.intersect(Set((11L, 11L), (12L, 12L))).size == 2,
+        s"in-batch gap must split epochs, got ${rows()}")
+
+      // batch 4: filler advances processing; A (timeout 110s) and C
+      // (110s) evict under watermark 191s — only G's second epoch
+      // (261s) and the filler bucket remain
+      stream.addData(Seq((0, "Z", 90L, ts(205))))
+      query.processAllAvailable()
+      assert(stateRows() <= 2,
+        s"A and C must have evicted: state=${stateRows()}")
+
+      // batch 5: doc 40 lands in A after the epoch closed — FOUNDS a
+      // fresh cluster (an unbounded screen would have joined 10)
+      stream.addData(Seq((0, "A", 40L, ts(200))))
+      query.processAllAvailable()
+      assert(rows().contains((40L, 40L)),
+        s"post-eviction arrival must refound, got ${rows().filter(_._1 == 40L)}")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("lsh_bounded")
+    }
+  }
 }
