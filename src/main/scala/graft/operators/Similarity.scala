@@ -249,7 +249,18 @@ object Similarity {
     * uniform pseudo-random sample that is still LITERAL-REPLAYABLE in
     * any engine — pure 64-bit-safe integer arithmetic (operands stay
     * below 2⁶², no ANSI overflow, no engine-specific hash), stated in
-    * each oracle as `(id % 2147483648) * 1327217885 % 2147483648`. */
+    * each oracle as `(id % 2147483648) * 1327217885 % 2147483648`.
+    *
+    * ID-SPACE SCOPE: the mix keys off `id mod 2³¹`, so ids congruent
+    * mod 2³¹ share a mix key — determinism is preserved (the full id
+    * is the tiebreak) but the "uniform" claim holds only for id spaces
+    * below 2³¹. Above that, sampling degrades toward per-residue-class
+    * (still deterministic and replayable, never wrong — just less
+    * uniform). A full-64-bit mix can't be expressed in overflow-free
+    * portable SQL (id·multiplier exceeds 2⁶³ for id ≥ ~7·10⁹), so the
+    * 2³¹ scope is the documented contract; corpora with wider id
+    * spaces should pre-fold ids (e.g. xor-fold high into low 31 bits)
+    * before seeding. */
   private def seedSample(corpus: DataFrame, n: Int): DataFrame =
     corpus.orderBy(
       pmod(pmod(col("nid").cast(LongType), lit(1L << 31)) * 1327217885L,

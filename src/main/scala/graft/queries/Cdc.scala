@@ -1841,11 +1841,20 @@ object Cdc {
       // before overflow; the oracle's `rn * 1e6 + user_id` packing is
       // order-EQUIVALENT whenever its user_ids stay below 1e6 (true of
       // every test SF) — both reduce to lexicographic (rank, user_id),
-      // which is all the running-max downstream consumes.
+      // which is all the running-max downstream consumes. Both bounds
+      // are ENFORCED, not assumed: a rank ≥ 2³⁰ or user_id ≥ 2³³ wraps
+      // the Long sign and silently corrupts the prefix-scan order, so
+      // the packing raises instead of wrapping.
+      val rn = row_number().over(w).cast(LongType)
       val a = t(spark, dir)("events")
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
         .withColumn("arr",
-          shiftleft(row_number().over(w).cast(LongType), 33) + col("user_id"))
+          when(rn >= (1L << 30) || col("user_id") >= (1L << 33) ||
+               col("user_id") < 0L,
+            raise_error(concat(lit("q_lateness rank/user_id outside packing" +
+              " bound (rank<2^30, 0<=user_id<2^33): rank="), rn,
+              lit(" user_id="), col("user_id"))))
+          .otherwise(shiftleft(rn, 33) + col("user_id")))
         .select(col("arr"), col("us"))
       graft.operators.PrefixScan
         .runningMax(a, "arr", "us", "wm", bucketWidth = 1L << 33)

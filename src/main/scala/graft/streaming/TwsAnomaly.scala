@@ -46,7 +46,18 @@ object TwsAnomaly {
 
   /** Running sufficient statistics + the cross-batch ordering guard.
     * The sum of squares is 126-bit: `qHi`·2⁶² + `qLo` (invariant
-    * 0 ≤ qLo < 2⁶², so adding one x² ≤ 2⁶² carries at most 1). */
+    * 0 ≤ qLo < 2⁶², so adding one x² ≤ 2⁶² carries at most 1).
+    *
+    * STATE-SCHEMA VERSIONING: this row is the processor's durable
+    * checkpoint layout. The qHi/qLo split changed it from 4 to 5
+    * fields, so the ValueState is registered under a VERSIONED name
+    * ("statsV2" below) — a restart against a checkpoint written by the
+    * 4-field release finds no state under the new name and fails
+    * Spark's state-schema compatibility check loudly instead of
+    * misreading 4-field rows as 5-field ones. Operational contract:
+    * changing this case class means bumping the state name and
+    * discarding (or batch-migrating) existing anomaly-stream
+    * checkpoints — there is no in-place migration. */
   case class Stats(n: Long, s: Long, qHi: Long, qLo: Long, lastOff: Long)
 
   private val QBase = 1L << 62
@@ -69,7 +80,7 @@ object TwsAnomaly {
     @transient private var stats: ValueState[Stats] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      stats = getHandle.getValueState[Stats]("stats",
+      stats = getHandle.getValueState[Stats]("statsV2",
         Encoders.product[Stats], TTLConfig.NONE)
 
     override def handleInputRows(
