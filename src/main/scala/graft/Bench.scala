@@ -1,7 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-object Bench {
+/** Shared timing machinery for the benchmark mains ([[Bench]] — the
+  * driver's entry, which SHARDS the run across fixed-size child JVMs —
+  * and [[BenchShard]], the per-shard child).
+  *
+  * WHY SHARDING: two consecutive rounds showed same-code geomean
+  * swings of ±40% (r11 1.40×, r12 0.77×) when all 200+ queries share
+  * one JVM session — block-manager/GC/code-cache state accumulated by
+  * earlier queries taxes later ones, so a query's measurement depends
+  * on its POSITION in the session, and round-over-round comparisons of
+  * a growing query set are unfalsifiable. Fixed-size sessions (default
+  * 50 queries, streaming isolated in their own sessions) pin each
+  * query's session position across rounds: adding queries appends new
+  * shards instead of shifting everyone's position.
+  */
+object BenchCore {
 
   /** Deterministically release everything a finished query pinned:
     * its localCheckpoint blocks (unpersist BLOCKING — the async form
@@ -9,7 +23,7 @@ object Bench {
     * as 1.3-3.9× phantom regressions in earlier rounds), any cached
     * plans, any catalog tables a durable-backend query registered,
     * then a GC so the next measurement starts from a clean heap. */
-  private def release(spark: SparkSession): Unit = {
+  def release(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.sqlContext.clearCache()
@@ -17,10 +31,9 @@ object Bench {
       .filter(_.name.startsWith("graft_state_"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     System.gc()
-    // HARD comparability guard: with 118+ queries sharing one JVM, a
-    // query that leaks pinned blocks or state tables past its own
-    // release taxes every successor's timing silently. Fail the bench
-    // loudly instead of best-effort-cleaning and moving on.
+    // HARD comparability guard: a query that leaks pinned blocks or
+    // state tables past its own release taxes every successor's timing
+    // silently. Fail the bench loudly instead of best-effort-cleaning.
     val leakedRdds = spark.sparkContext.getPersistentRDDs
     require(leakedRdds.isEmpty,
       s"leaked persistent RDDs after release: ${leakedRdds.keys.mkString(",")}")
@@ -30,9 +43,38 @@ object Bench {
       s"leaked state tables after release: ${leakedTables.mkString(",")}")
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** All query names in the canonical bench order: sorted, with the
+    * q_stream_* family LAST — each streaming pipeline spins up a
+    * checkpointed state-store runtime whose setup/teardown and GC
+    * footprint measurably bleeds into whatever runs next in a shared
+    * JVM (see BENCH_AB_r10.md). */
+  def orderedNames(only: Option[Set[String]]): Seq[String] = {
+    val all = SparkEntry.queries.keys.toSeq
+    (only match {
+      case Some(names) => all.filter(names)
+      case None => all
+    }).sortBy(n => (n.startsWith("q_stream_"), n))
+  }
+
+  case class SessionResult(
+      results: Seq[(String, Double)],
+      passes: Seq[(String, List[Double])],
+      errors: List[(String, String)])
+
+  /** One timing session over `names` in the given order: fresh
+    * SparkSession, warm-up (parquet footers, codegen, shuffle
+    * machinery — excluded from timings), then per-query best-of-2 for
+    * anything over `retimeAbove` seconds, with a blocking release
+    * between every measurement.
+    *
+    * `tsvOut`, when set, receives the handoff rows INCREMENTALLY —
+    * appended after each query completes — so a child killed by a
+    * watchdog timeout (the scale sweep runs potentially-superlinear
+    * queries at 10× data) still hands off every measurement it
+    * finished. Consumers must treat a partial handoff as partial
+    * ([[Bench]] re-runs the missing names in-process). */
+  def runSession(sfDir: String, cpus: String, names: Seq[String],
+      tsvOut: Option[String] = None): SessionResult = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,33 +82,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Session warm-up, excluded from per-query timings: without it the
-    // first query absorbs parquet-footer reads, codegen/janino compile,
-    // and shuffle-machinery cold-start (measured ~3-5s attributed to
-    // whichever query happens to run first).
     graft.core.Tables.tpch.foreach { t =>
       try graft.core.Tables.load(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }
     }
     spark.range(1 << 18).selectExpr("id % 97 as k")
       .groupBy("k").count().count()
-    // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a
-    // subset; unset (the driver's mode) runs everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    // Deterministic order, streaming pipelines LAST: the q_stream_*
-    // queries each spin up a checkpointed state-store runtime whose
-    // setup/teardown and GC footprint measurably bleeds into whatever
-    // runs next in the shared JVM (see BENCH_AB_r10.md) — isolating
-    // them at the tail keeps the batch numbers clean, and a sorted
-    // name order makes run-to-run comparisons line up.
-    val selected = (only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }).toSeq.sortBy { case (n, _) => (n.startsWith("q_stream_"), n) }
-    // A failing query must be VISIBLE in the output: it gets a negative
-    // duration in `queries` and an entry in `errors` — never a silent
-    // fast "win". `total` sums successful queries only.
     var errors = List.empty[(String, String)]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -82,40 +103,198 @@ object Bench {
       if (ok) dt else -dt
     }
     // Expensive queries get a second, fully-isolated pass and report
-    // the min: two rounds of phantom cross-query regressions (r4 ngram,
-    // r5 a 14-query tail cluster) showed a single shared-JVM sample of
-    // a multi-second query carries seconds of block-manager/GC noise.
-    // The min of two cleanly-separated runs is the standard estimator
-    // for that; both passes are emitted so nothing is hidden.
+    // the min: a single shared-JVM sample of a multi-second query
+    // carries seconds of block-manager/GC noise; the min of two
+    // cleanly-separated runs is the standard estimator for that. Both
+    // passes are emitted so nothing is hidden.
     val retimeAbove = 0.5
     val passes = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    val results = selected.map { case (name, fn) =>
+    val b64 = java.util.Base64.getEncoder
+    def append(lines: String): Unit = tsvOut.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val errsBefore = errors
       val t1 = timeOnce(name, fn)
       val ts = if (t1 > retimeAbove) List(t1, timeOnce(name, fn)) else List(t1)
       passes(name) = ts
       val best =
         if (ts.exists(_ < 0)) ts.find(_ < 0).get // any failed pass fails the query
         else ts.min
+      val sb = new StringBuilder(s"Q\t$name\t$best\n")
+      if (ts.length > 1) sb.append(s"P\t$name\t${ts.mkString(",")}\n")
+      // errors is prepend-accumulated, so this query's new entries are
+      // the head slice beyond what existed before it ran
+      errors.take(errors.length - errsBefore.length)
+        .foreach { case (n, m) =>
+          sb.append(s"E\t$n\t${b64.encodeToString(m.getBytes("UTF-8"))}\n") }
+      append(sb.toString)
       name -> best
     }
-    def jmap(m: Iterable[(String, String)]): String =
-      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v) => k -> v.toString })
-    val passJson = jmap(passes.collect { case (k, ts) if ts.length > 1 =>
+    spark.stop()
+    SessionResult(results, passes.toSeq, errors.reverse)
+  }
+
+  def jmap(m: Iterable[(String, String)]): String =
+    m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+
+  /** The driver-contract JSON line. */
+  def jsonLine(r: SessionResult, sfDir: String, shards: Int): String = {
+    val qs = jmap(r.results.map { case (k, v) => k -> v.toString })
+    val passJson = jmap(r.passes.collect { case (k, ts) if ts.length > 1 =>
       k -> ts.mkString("[", ",", "]")
     })
-    val errJson = errors.reverse
+    val errJson = r.errors
       .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val total = r.results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir","shards":$shards}"""
+  }
+
+  // ---- machine-readable shard handoff (TSV, not JSON: the parent
+  // must never depend on parsing a child's log-polluted stdout) ----
+
+  def readTsv(path: String): SessionResult = {
+    val b64 = java.util.Base64.getDecoder
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray(Array.empty[String])
+    val rs = Seq.newBuilder[(String, Double)]
+    val ps = Seq.newBuilder[(String, List[Double])]
+    var es = List.empty[(String, String)]
+    lines.foreach { l =>
+      l.split("\t", 3) match {
+        case Array("Q", n, t) => rs += n -> t.toDouble
+        case Array("P", n, ts) => ps += n -> ts.split(",").map(_.toDouble).toList
+        case Array("E", n, m) => es ::= n -> new String(b64.decode(m), "UTF-8")
+        case _ => ()
+      }
+    }
+    SessionResult(rs.result(), ps.result(), es.reverse)
+  }
+}
+
+/** Child JVM for one bench shard: runs the queries named in
+  * GRAFT_SHARD_QUERIES (comma-separated, in that order) against
+  * SPARK_GRAFT_SF_DIR and writes the TSV handoff to GRAFT_SHARD_OUT.
+  * Runnable standalone for A/B experiments (see BENCH_AB_r12.md). */
+object BenchShard {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val names = sys.env("GRAFT_SHARD_QUERIES").split(",").map(_.trim).toSeq
+    val out = sys.env("GRAFT_SHARD_OUT")
+    // handoff rows append incrementally — a watchdog kill keeps
+    // everything measured so far
+    val r = BenchCore.runSession(sfDir, cpus, names, tsvOut = Some(out))
+    sys.exit(if (r.errors.nonEmpty) 1 else 0)
+  }
+}
+
+/** Driver bench entry. Shards the query set into fixed-size child JVM
+  * sessions (GRAFT_BENCH_SHARD_SIZE, default 50; streaming queries
+  * isolated in their own sessions), runs them SEQUENTIALLY (parallel
+  * shards would contend for the same 32 cores and contaminate each
+  * other), merges the TSV handoffs, and prints the single
+  * driver-contract JSON line. GRAFT_BENCH_SHARDED=0 restores the old
+  * single-session in-process run; a shard whose child JVM fails to
+  * produce a handoff is re-run in-process so the bench line is never
+  * silently incomplete. */
+object Bench {
+
+  /** Child JVM spawn: same java binary, same classpath (the sbt-forked
+    * parent carries the REAL classpath in java.class.path), same
+    * memory/module flags (copied from this JVM's input arguments). */
+  private def runShardInChild(
+      names: Seq[String], sfDir: String, cpus: String, idx: Int): Option[BenchCore.SessionResult] = {
+    val out = java.nio.file.Files.createTempFile(s"graft_shard_$idx", ".tsv")
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray(Array.empty[String])
+      .filterNot(a => a.startsWith("-javaagent") || a.startsWith("-agentlib"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.BenchShard")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("GRAFT_SHARD_QUERIES", names.mkString(","))
+    pb.environment().put("GRAFT_SHARD_OUT", out.toString)
+    val log = java.nio.file.Files.createTempFile(s"graft_shard_$idx", ".log")
+    pb.redirectOutput(log.toFile)
+    pb.redirectErrorStream(true)
+    val rc = try pb.start().waitFor()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] shard $idx spawn failed: $e"); -1 }
+    // rc != 0 with a complete handoff just means some QUERY failed —
+    // the TSV carries the error entries. The handoff appends
+    // incrementally, so a crashed child leaves a PARTIAL file: the
+    // caller re-runs exactly the missing names in-process rather than
+    // trusting (or discarding) a partial handoff wholesale.
+    if (java.nio.file.Files.exists(out) && java.nio.file.Files.size(out) > 0)
+      Some(BenchCore.readTsv(out.toString))
+    else {
+      System.err.println(
+        s"[bench] shard $idx (rc=$rc) left no handoff; log=$log — re-running in-process")
+      None
+    }
+  }
+
+  /** Run one shard in a child JVM, then top up any names the child
+    * did not hand off (crash mid-shard) with an in-process session. */
+  private def runShardComplete(
+      names: Seq[String], sfDir: String, cpus: String, idx: Int): BenchCore.SessionResult = {
+    val fromChild = runShardInChild(names, sfDir, cpus, idx)
+      .getOrElse(BenchCore.SessionResult(Nil, Nil, Nil))
+    val done = fromChild.results.map(_._1).toSet
+    val missing = names.filterNot(done)
+    if (missing.isEmpty) fromChild
+    else {
+      System.err.println(
+        s"[bench] shard $idx handed off ${done.size}/${names.size}; " +
+          s"re-running ${missing.mkString(",")} in-process")
+      val rest = BenchCore.runSession(sfDir, cpus, missing)
+      BenchCore.SessionResult(
+        fromChild.results ++ rest.results,
+        fromChild.passes ++ rest.passes,
+        fromChild.errors ++ rest.errors)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = BenchCore.orderedNames(only)
+    val shardSize = sys.env.getOrElse("GRAFT_BENCH_SHARD_SIZE", "50").toInt
+    val sharded = sys.env.getOrElse("GRAFT_BENCH_SHARDED", "1") != "0"
+    // Fixed-size shards; the streaming family starts a fresh shard so
+    // its state-store runtimes never share a session with batch queries.
+    val (batch, stream) = names.partition(!_.startsWith("q_stream_"))
+    val shards: Seq[Seq[String]] =
+      (batch.grouped(shardSize) ++ stream.grouped(shardSize)).toSeq
+    val merged: BenchCore.SessionResult =
+      if (!sharded || names.isEmpty) {
+        val r = BenchCore.runSession(sfDir, cpus, names)
+        BenchCore.SessionResult(r.results, r.passes, r.errors)
+      } else {
+        val parts = shards.zipWithIndex.map { case (s, i) =>
+          runShardComplete(s, sfDir, cpus, i)
+        }
+        BenchCore.SessionResult(
+          parts.flatMap(_.results), parts.flatMap(_.passes),
+          parts.flatMap(_.errors).toList)
+      }
+    val line = BenchCore.jsonLine(merged, sfDir,
+      if (sharded) shards.size else 1)
     println(line)
-    // The driver's BENCH_rN.json retains only an output TAIL — with
-    // 119 queries most per-query numbers fall off it. Persist the full
-    // table verbatim (overwritten per run) so round-over-round
+    // The driver's BENCH_rN.json retains only an output TAIL — persist
+    // the full table verbatim (overwritten per run) so round-over-round
     // regression tracking always has every entry. Filtered local runs
-    // (SPARK_GRAFT_ONLY set) must NOT clobber the full committed
-    // table with a subset — they skip the write unless the caller
-    // redirects it explicitly via GRAFT_BENCH_OUT.
+    // (SPARK_GRAFT_ONLY set) must NOT clobber the full committed table
+    // with a subset — they skip the write unless the caller redirects
+    // it explicitly via GRAFT_BENCH_OUT.
     val outFile = sys.env.get("GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("bench_results.json") else None)
     outFile.foreach { f =>
@@ -123,7 +302,6 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $f: $e") }
     }
-    if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
-    spark.stop()
+    sys.exit(if (merged.errors.nonEmpty) 1 else 0)
   }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep data generator: replicates the driver's sf0.1 testdata
+  * k× into a larger scale factor, preserving each table's WORKLOAD
+  * SHAPE so time-vs-sf exponents measured on the output are honest.
+  *
+  * `sbt "runMain graft.ScaleGen <inDir> <outDir> <k>"`
+  *
+  * Replication is k id-offset copies, NOT naive row duplication — the
+  * difference is what keeps the sweep meaningful:
+  *
+  *  - **Keys**: every copy's ids shift by copy·cap (cap = max id + 1
+  *    per key space), and every FOREIGN key shifts by the same cap as
+  *    its target, so referential structure, join fan-outs, and
+  *    group-by cardinalities all scale linearly — exactly how a real
+  *    corpus grows. `region`/`nation` stay fixed (TPC-H dimension
+  *    semantics: SF never scales them).
+  *  - **Document text**: a verbatim copy would make every document an
+  *    exact k-plicate — near-dup pair counts would grow Θ(k²) from the
+  *    REPLICATION, not the algorithm, poisoning every dedup exponent.
+  *    Instead each copy rewrites text under a copy-specific alphabet
+  *    rotation (`translate` over [a-z][A-Z][0-9], copy 0 = identity):
+  *    lengths, token boundaries, per-copy duplicate structure, and
+  *    shingle statistics are preserved exactly, while cross-copy
+  *    shingle overlap drops to ~0 — duplicate clusters scale linearly,
+  *    the dedup rate stays constant, which is the null hypothesis a
+  *    scale sweep needs.
+  *  - **Embeddings**: each copy rotates the vector k positions
+  *    (norm- and within-copy-geometry-preserving, cross-copy cosine
+  *    pseudo-random), so ANN/semdedup cell structure replicates per
+  *    copy instead of collapsing into k-plicate points.
+  *  - **events.ts** stays as-is (copies add volume per time window —
+  *    linear density growth, the realistic stream-scale model); ids
+  *    offset so per-user/per-event state scales in KEY COUNT, not in
+  *    per-key history length.
+  *
+  * Output goes under the repo (testdata-scale/, git-ignored) — the
+  * driver's /root/testdata is read-only by contract.
+  */
+object ScaleGen {
+
+  /** (key columns to offset) per table, keyed by the cap-space name —
+    * every column in one cap space shifts by the same cap so FKs stay
+    * aligned. */
+  private val offsets: Map[String, Seq[(String, String)]] = Map(
+    "customer" -> Seq("c_custkey" -> "cust"),
+    "supplier" -> Seq("s_suppkey" -> "supp"),
+    "part" -> Seq("p_partkey" -> "part"),
+    "orders" -> Seq("o_orderkey" -> "ord", "o_custkey" -> "cust"),
+    "lineitem" -> Seq("l_orderkey" -> "ord", "l_partkey" -> "part",
+      "l_suppkey" -> "supp"),
+    "events" -> Seq("event_id" -> "evt", "user_id" -> "user"),
+    "documents" -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec"))
+
+  private val alpha = ('a' to 'z').mkString
+  private val upper = ('A' to 'Z').mkString
+  private val digit = ('0' to '9').mkString
+
+  private def rot(s: String, i: Int): String = {
+    val n = ((i % s.length) + s.length) % s.length
+    s.substring(n) + s.substring(0, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    def load(t: String): DataFrame = graft.core.Tables.load(spark, inDir, t)
+
+    // One cap per key space: max over every column that draws from it,
+    // +1 so copies never collide. Deterministic given the input.
+    val capSpaces = offsets.toSeq.flatMap { case (t, cols) =>
+      cols.map { case (c, space) => (space, t, c) } }
+    val caps: Map[String, Long] = capSpaces.groupBy(_._1).map {
+      case (space, uses) =>
+        val mx = uses.map { case (_, t, c) =>
+          load(t).agg(max(col(c))).head().getLong(0)
+        }.max
+        space -> (mx + 1L)
+    }
+
+    // region/nation: fixed dimensions, byte-identical copy
+    Seq("region", "nation").foreach { t =>
+      load(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+    offsets.keys.toSeq.sorted.foreach { t =>
+      val base = load(t)
+      val dim =
+        if (t == "embeddings")
+          base.select(size(col("embedding"))).head().getInt(0)
+        else 0
+      val copies = (0 until k).map { i =>
+        var c = base
+        offsets(t).foreach { case (colName, space) =>
+          c = c.withColumn(colName, col(colName) + lit(i * caps(space)))
+        }
+        if (t == "documents" && i > 0) {
+          val from = alpha + upper + digit
+          val to = rot(alpha, i) + rot(upper, i) + rot(digit, i)
+          c = c.withColumn("text", translate(col("text"), from, to))
+        }
+        if (t == "embeddings" && i > 0) {
+          val r = i % dim
+          if (r != 0)
+            c = c.withColumn("embedding",
+              concat(slice(col("embedding"), r + 1, dim - r),
+                slice(col("embedding"), 1, r)))
+        }
+        c
+      }
+      val out = copies.reduce(_ unionAll _)
+      // one file per ~copy keeps file counts proportionate to volume
+      out.repartition(math.max(1, k / 2))
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scalegen] $t x$k -> $outDir/$t.parquet")
+    }
+    spark.stop()
+  }
+}

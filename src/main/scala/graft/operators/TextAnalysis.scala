@@ -279,9 +279,22 @@ object TextAnalysis {
     * integer tf), so the score is independent of partitioning and
     * addition order; the final division is a single IEEE op.
     *
+    * `scoreIds`, when given (a one-column frame of `idCol` values),
+    * prunes the SCORING side to those documents with a semi-join on
+    * the tf table: the model (ctf/tot → logp) still aggregates the
+    * FULL corpus — the LM is corpus-wide by definition, so the
+    * tokenize pass is irreducible — but the logp join and the per-doc
+    * score aggregation then run over |scoreIds| documents' tf rows
+    * instead of the whole corpus's. That is the dominant post-model
+    * cost when scoring a small slice (e.g. dedup cluster members, a
+    * few % of the corpus). The semi-join is unhinted: scoreIds is
+    * typically corpus-derived, so the broadcast decision belongs to
+    * AQE's runtime statistics.
+    *
     * @return (id, n_tokens, nll)
     */
-  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      scoreIds: Option[DataFrame] = None): DataFrame = {
     val dec = DecimalType(30, 6)
     val tf = df
       .graftSpread()
@@ -295,7 +308,11 @@ object TextAnalysis {
       .select(col("term"),
         round(log(col("ctf").cast(DoubleType) / col("tot").cast(DoubleType)), 6)
           .cast(dec).as("logp"))
-    tf.join(broadcast(logp), "term")
+    val scoredTf = scoreIds match {
+      case Some(ids) => tf.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+      case None => tf
+    }
+    scoredTf.join(broadcast(logp), "term")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("logp") * col("tf")).as("__s"))

@@ -297,6 +297,88 @@ object Streams {
         .orderBy("doc_id")
     },
 
+    // Incremental anchor-merge (StreamingDedup.anchorMerge scaladoc):
+    // q_stream_dup_clusters is one-hop by contract — a doc landing in
+    // two bucket epochs with different anchors still reports only the
+    // min anchor, and the anchors stay separate clusters. This query
+    // adds the ONE-ROUND merge: such a doc witnesses an anchor↔anchor
+    // collision edge; a second stateful stage (keyed by the larger
+    // anchor, one fixed-width row per active anchor, horizon-evicted)
+    // folds edges into per-anchor representative pointers, and the
+    // final assignment remaps each hit's anchor through the pointer
+    // before the per-doc min. Edges travel between the two streaming
+    // stages as files — the offline stand-in for a topic, matching how
+    // a real deployment chains the jobs. Chains deeper than one hop
+    // converge over successive batches (pinned in StreamingDedupSpec);
+    // EXACT closure remains the batch CC pass (q_dup_clusters).
+    "q_stream_dup_merge" -> QueryDef(
+      "streaming anchor-merge: one-round cluster closure over gap-epoch anchors",
+      s"""WITH ${Text.minhashBandsCtes},
+         |e AS (SELECT band, bh, doc_id,
+         |        CASE WHEN lag(doc_id) OVER w IS NULL
+         |               OR doc_id - lag(doc_id) OVER w > 200 THEN 1
+         |             ELSE 0 END AS newep
+         |      FROM bands WINDOW w AS (PARTITION BY band, bh ORDER BY doc_id)),
+         |ep AS (SELECT band, bh, doc_id,
+         |         sum(newep) OVER (PARTITION BY band, bh ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+         |       FROM e),
+         |anch AS (SELECT band, bh, epoch, min(doc_id) AS anchor
+         |         FROM ep GROUP BY 1, 2, 3),
+         |hits AS (SELECT DISTINCT ep.doc_id, a.anchor
+         |         FROM ep JOIN anch a USING (band, bh, epoch)),
+         |lo AS (SELECT doc_id, min(anchor) AS lo FROM hits GROUP BY 1),
+         |edges AS (SELECT DISTINCT l.lo, h.anchor AS hi
+         |          FROM hits h JOIN lo l USING (doc_id) WHERE h.anchor > l.lo),
+         |mrg AS (SELECT hi AS anchor, min(lo) AS mn FROM edges GROUP BY 1),
+         |fin AS (SELECT h.doc_id,
+         |          min(least(h.anchor, coalesce(m.mn, h.anchor))) AS cluster
+         |        FROM hits h LEFT JOIN mrg m ON m.anchor = h.anchor
+         |        GROUP BY 1)
+         |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM fin ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val arrivals = Tables.loadStream(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val bands = graft.operators.Dedup
+        .bandedSignaturesRowwise(arrivals, "doc_id", "text", 5)
+        .select(col("band"), col("bh"), col("id").as("doc_id"),
+          timestamp_seconds(col("id") + 1000L).as("tstamp"))
+      val hits = runStream(spark,
+        StreamingDedup.lshScreenBounded(bands, horizonMs = 200000L,
+          watermarkDelay = "0 seconds").toDF(), OutputMode.Append())
+      // collision edges: per doc, (min anchor, each other anchor) —
+      // the witness doc's event time drives the merge horizon clock
+      val edges = hits.groupBy("doc_id")
+        .agg(min(col("dup_of")).as("lo"),
+          collect_set(col("dup_of")).as("hs"))
+        .select(col("doc_id"), col("lo"), explode(col("hs")).as("hi"))
+        .where(col("hi") > col("lo"))
+        .select(col("lo"), col("hi"),
+          timestamp_seconds(col("doc_id") + 1000L).as("tstamp"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_edges")
+      try {
+        edges.write.mode("overwrite").parquet(tmp.toString)
+        val edgeStream = spark.readStream.schema(edges.schema)
+          .parquet(tmp.toString)
+        val updates = runStream(spark,
+          StreamingDedup.anchorMerge(edgeStream, horizonMs = 200000L,
+            watermarkDelay = "0 seconds").toDF(), OutputMode.Append())
+        // monotone improvements → final pointer is the per-anchor min
+        val mergeMap = updates.groupBy("anchor")
+          .agg(min(col("merged_into")).as("mn"))
+        hits.join(mergeMap, hits("dup_of") === mergeMap("anchor"), "left")
+          .select(col("doc_id"),
+            least(col("dup_of"), coalesce(col("mn"), col("dup_of"))).as("a"))
+          .groupBy("doc_id").agg(min(col("a")).as("cluster"))
+          .orderBy("doc_id")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+
     // Latest-per-key compaction on transformWithState (Spark 4's
     // arbitrary-state API, RocksDB state store — the provider a real
     // deployment runs): the events stream recast as a unified

@@ -1467,7 +1467,14 @@ object Text {
         TextAnalysis.gramArrays(d, "doc_id", "text", 5), "doc_id", 3, 5)
       val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component"))
-      val quality = TextAnalysis.lmScore(d, "doc_id", "text")
+      // Score ONLY cluster members (scoreIds semi-join inside lmScore):
+      // the LM model still aggregates the full corpus — it is
+      // corpus-wide by the oracle's definition, so the tokenize pass
+      // is irreducible — but the logp join + per-doc nll aggregation
+      // drop from |corpus| to |members| tf rows, the dominant
+      // post-model cost when clusters are a few % of the corpus.
+      val quality = TextAnalysis
+        .lmScore(d, "doc_id", "text", scoreIds = Some(comp.select("doc_id")))
         .select(col("doc_id"), col("nll"))
       // members only reach the quality join (|members| rows); the
       // argmin is one aggregate per component

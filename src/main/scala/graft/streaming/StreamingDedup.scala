@@ -234,6 +234,94 @@ object StreamingDedup {
         lshGroupBounded(horizonMs))
   }
 
+  /** An anchor↔anchor collision: a single document landed in bucket
+    * epochs with BOTH anchors, witnessing that the two one-hop
+    * clusters are really one. `lo` < `hi` (the witness doc's smallest
+    * anchor vs another of its anchors); `tstamp` is the witness doc's
+    * event time — it drives the merge state's horizon clock. */
+  case class AnchorEdge(lo: Long, hi: Long, tstamp: Timestamp)
+
+  /** Merge state for one anchor: smallest representative witnessed so
+    * far + the last-evidence clock for horizon eviction. */
+  case class MergeState(rep: Long, last_ms: Long)
+
+  /** `anchor`'s cluster representative improved to `merged_into`. */
+  case class MergeUpdate(anchor: Long, merged_into: Long)
+
+  /** Incremental anchor-merge — transitive-closure evidence WITHIN the
+    * horizon, the step [[lshScreenBounded]] defers by contract: when a
+    * document lands in two bucket epochs with different anchors, those
+    * anchors are one cluster, and this operator folds that evidence
+    * into a per-anchor representative pointer as it streams in.
+    *
+    * State is keyed by the LARGER anchor of each collision edge — one
+    * fixed-width row per anchor that has appeared on the `hi` side
+    * within the horizon, O(active anchors), NOT O(docs) (anchors are
+    * one per bucket-epoch, a small fraction of documents). Each batch
+    * folds its edges in event-time order; whenever an edge improves
+    * the anchor's representative (lo < current rep) it emits a
+    * monotone `MergeUpdate` — append-safe, never retracted, so the
+    * consumer's roll-up is `min(merged_into) per anchor`. State evicts
+    * via `EventTimeTimeout` once the watermark passes the anchor's
+    * last evidence + horizon, same session-gap contract as the
+    * assignment stage.
+    *
+    * ONE-ROUND semantics, by design: the pointer is min over DIRECT
+    * collision partners — a chain a₃→a₂→a₁ needs a₃-a₁ evidence (or a
+    * consumer-side re-resolve) to collapse fully in one pass. Each
+    * additional batch of evidence monotonically improves pointers
+    * (pinned in StreamingDedupSpec); EXACT closure remains the
+    * periodic batch CC pass (`q_dup_clusters`), unchanged. This is the
+    * standard streaming union-find compromise: bounded state, monotone
+    * convergence, offline exactness. */
+  def anchorMerge(
+      edges: DataFrame,
+      horizonMs: Long,
+      watermarkDelay: String): Dataset[MergeUpdate] = {
+    implicit val outEnc = Encoders.product[MergeUpdate]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[MergeState]
+    edges.withWatermark("tstamp", watermarkDelay)
+      .as[AnchorEdge](Encoders.product[AnchorEdge])
+      .groupByKey(_.hi)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        mergeGroup(horizonMs))
+  }
+
+  private[streaming] def mergeGroup(horizonMs: Long)(
+      anchor: Long,
+      rows: Iterator[AnchorEdge],
+      state: GroupState[MergeState]): Iterator[MergeUpdate] = {
+    if (state.hasTimedOut) {
+      // watermark passed last evidence + horizon: merge window closed
+      state.remove()
+      Iterator.empty
+    } else {
+      val ordered = rows.toSeq.sortBy(r => (r.tstamp.getTime, r.lo))
+      var rep = state.getOption.map(_.rep).getOrElse(anchor)
+      var lastMs = state.getOption.map(_.last_ms).getOrElse(Long.MinValue)
+      val out = Seq.newBuilder[MergeUpdate]
+      ordered.foreach { r =>
+        val ms = r.tstamp.getTime
+        // gap split enforced in-band too (same as lshGroupBounded): a
+        // key that receives data in the very batch its timer would
+        // fire never sees hasTimedOut, so the quiet-horizon window
+        // close must also be detected from the evidence clock itself
+        if (lastMs != Long.MinValue && ms - lastMs > horizonMs) rep = anchor
+        lastMs = math.max(lastMs, ms)
+        if (r.lo < rep) {
+          rep = r.lo
+          out += MergeUpdate(anchor, rep)
+        }
+      }
+      state.update(MergeState(rep, lastMs))
+      // admitted rows are ahead of the watermark, so this is too
+      state.setTimeoutTimestamp(lastMs + horizonMs)
+      out.result().iterator
+    }
+  }
+
   private[streaming] def lshGroupBounded(horizonMs: Long)(
       key: (Int, String),
       rows: Iterator[BandHitTs],

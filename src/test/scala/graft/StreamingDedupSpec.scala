@@ -218,4 +218,54 @@ class StreamingDedupSpec extends SparkSpec {
       spark.catalog.dropTempView("lsh_bounded")
     }
   }
+
+  test("anchor merge: a late doc bridges two existing clusters; improvements are monotone; the window gap-resets") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(sec: Long) = new Timestamp((1000L + sec) * 1000L) // off epoch 0
+
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingDedup.anchorMerge(
+      stream.toDF().toDF("lo", "hi", "tstamp"),
+      horizonMs = 60000L, watermarkDelay = "10 seconds").toDF()
+    val query = out.writeStream.format("memory").queryName("anchor_merge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows(): Seq[(Long, Long)] = spark.table("anchor_merge")
+        .as[(Long, Long)].collect().toSeq
+
+      // Scenario: clusters anchored at 5 and 9 exist from earlier
+      // assignment batches. batch 1: a LATE doc lands in both buckets
+      // → collision edge (5, 9) — anchor 9's cluster merges into 5's.
+      stream.addData(Seq((5L, 9L, ts(0))))
+      query.processAllAvailable()
+      assert(rows().toSet == Set((9L, 5L)), s"got ${rows()}")
+
+      // batch 2: another witness bridges 9 with the even-older anchor
+      // 2 → the pointer IMPROVES (new update), never retracts; a
+      // worse witness (7, 9) in the same batch emits nothing
+      stream.addData(Seq((2L, 9L, ts(30)), (7L, 9L, ts(31))))
+      query.processAllAvailable()
+      assert(rows().toSet == Set((9L, 5L), (9L, 2L)), s"got ${rows()}")
+
+      // consumer roll-up (min per anchor) = final pointer
+      val finalMap = rows().groupBy(_._1).map { case (a, us) =>
+        a -> us.map(_._2).min }
+      assert(finalMap == Map(9L -> 2L))
+
+      // batch 3: quiet horizon passes (evidence clock jumps beyond
+      // last(31s) + 60s) — the merge window closed, so a fresh
+      // collision starts from the anchor itself: (8, 9) emits (9, 8)
+      // even though 8 > the OLD window's representative 2
+      stream.addData(Seq((8L, 9L, ts(600))))
+      query.processAllAvailable()
+      assert(rows().toSet == Set((9L, 5L), (9L, 2L), (9L, 8L)),
+        s"gap must reset the window, got ${rows()}")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("anchor_merge")
+    }
+  }
 }

@@ -99,4 +99,30 @@ class TextOpsPlanSpec extends SparkSpec {
         s"expected ≤2 exchanges (agg + sort), got ${shuffles.size}:\n$plan")
     }
   }
+
+  test("lmScore scoreIds prunes the scoring side to members, values unchanged") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.core.Tables.load(spark, dir, "documents")
+    val members = d.select("doc_id").where(col("doc_id") % 7 === 0)
+    val full = graft.operators.TextAnalysis.lmScore(d, "doc_id", "text")
+    val pruned = graft.operators.TextAnalysis
+      .lmScore(d, "doc_id", "text", scoreIds = Some(members))
+    // semantics: pruned == full restricted to members (the MODEL stays
+    // corpus-wide, so scores must be identical — this is what keeps
+    // the q_dedup_keep_quality oracle unchanged)
+    val expected = full.join(members, Seq("doc_id"), "left_semi")
+      .orderBy("doc_id").collect().toSeq
+    val got = pruned.orderBy("doc_id").collect().toSeq
+    assert(got == expected,
+      "member-pruned scores must equal the full run restricted to members")
+    // plan: the scoring branch semi-joins BEFORE the logp join — a
+    // LeftSemi must appear in the optimized plan, and it must sit on
+    // the tf side (scoring work |members|, not |corpus|)
+    val hasSemi = pruned.queryExecution.optimizedPlan.exists {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }
+    assert(hasSemi, "scoring side must be member-pruned via a semi-join")
+  }
 }
