@@ -29,20 +29,25 @@ import graft.functions.TopKByScore
   * retraction is lossless (float retraction would drift).
   *
   * MIN/MAX are NOT self-inverse (retracting the current extreme needs
-  * the runner-up), so each group carries a bounded candidate multiset
-  * per extreme — the classic IVM bounded-synopsis design:
+  * the runner-up), so each group carries a bounded candidate synopsis
+  * per extreme — the classic IVM bounded-synopsis design, stored as
+  * (value, live-occurrence-count) PAIRS so duplicate extremes (routine
+  * in replicated corpora — every copy shares its price) never break
+  * the bound representation:
   *
   *  - `mins` holds ALL live values strictly below the exclusion bound
-  *    `minb` (null bound = +∞, i.e. the set is complete), capped at k
-  *    entries: when a merge overflows k, the (k+1)-th smallest value
-  *    becomes the new bound and everything ≥ it is dropped — the
-  *    invariant "complete below the bound" is preserved because only
-  *    values at/above the new bound leave.
-  *  - a DELETE whose value sits below the bound removes exactly one
-  *    occurrence (completeness guarantees it is present — enforced
-  *    with a hard require, never silently absorbed); an INSERT below
-  *    the bound enters; traffic at/above the bound is ignored, the
-  *    fallback owns it.
+  *    `minb` (null bound = +∞, i.e. the set is complete), each with
+  *    its full live count, capped at k DISTINCT values: when a merge
+  *    overflows k distinct values, the (k+1)-th smallest becomes the
+  *    new bound and everything ≥ it is dropped — the invariant
+  *    "complete below the bound" is preserved because only values
+  *    at/above the new bound leave, and a non-empty set always
+  *    contains the true minimum regardless of its multiplicity.
+  *  - a DELETE whose value sits below the bound decrements exactly one
+  *    occurrence (completeness guarantees the count is positive —
+  *    enforced with a hard require, never silently absorbed); an
+  *    INSERT below the bound increments; traffic at/above the bound
+  *    is ignored, the fallback owns it.
   *  - the group min is the candidate head whenever the set is
   *    non-empty. If deletions empty the set while the group still has
   *    rows (> k minima deleted between rebuilds), the batch falls back
@@ -84,20 +89,37 @@ object IncrementalAggregate {
     * 1.7× on the q_incr_agg replay when it was unconditional). */
   final case class State(latest: DataFrame, agg: DataFrame, k: Int = 0)
 
+  /** One candidate entry: a live cent value and its LIVE OCCURRENCE
+    * COUNT. Candidates are (value, count) pairs — not expanded
+    * occurrence lists — because duplicate extremes are routine in real
+    * corpora (every replicated record shares its price): with expanded
+    * occurrences, k+ copies of the minimum make the "strictly below
+    * the bound" set unrepresentable (the cut lands ON the minimum and
+    * empties the set — found by the r13 scale sweep, whose k-copy data
+    * crashed the retraction path). With counts, k bounds DISTINCT
+    * values and any multiplicity rides the count. */
+  private[graft] final case class VC(v: Long, c: Long)
+
   /** One group's candidate state + this batch's value traffic, for the
     * touched-groups-only merge map. */
   private[graft] final case class Cand(
       g: String,
-      mins: Seq[Long], minb: Option[Long],
-      maxs: Seq[Long], maxb: Option[Long],
+      mins: Seq[VC], minb: Option[Long],
+      maxs: Seq[VC], maxb: Option[Long],
       dels: Seq[Long], ins: Seq[Long])
 
   private[graft] final case class CandState(
       g: String,
-      mins: Seq[Long], minb: Option[Long],
-      maxs: Seq[Long], maxb: Option[Long])
+      mins: Seq[VC], minb: Option[Long],
+      maxs: Seq[VC], maxb: Option[Long])
 
   private def emptyLongs: Column = array().cast(ArrayType(LongType, false))
+
+  private val vcType: ArrayType = ArrayType(StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  private def emptyVCs: Column = array().cast(vcType)
 
   def empty(spark: SparkSession, k: Int = 0): State = {
     import spark.implicits._
@@ -110,8 +132,8 @@ object IncrementalAggregate {
     val agg =
       if (k == 0) bare
       else bare.select(col("g"), col("cnt"), col("s"),
-        emptyLongs.as("mins"), lit(null).cast(LongType).as("minb"),
-        emptyLongs.as("maxs"), lit(null).cast(LongType).as("maxb"))
+        emptyVCs.as("mins"), lit(null).cast(LongType).as("minb"),
+        emptyVCs.as("maxs"), lit(null).cast(LongType).as("maxb"))
     State(latest, agg, k)
   }
 
@@ -165,36 +187,49 @@ object IncrementalAggregate {
         collect_list(when(!col("d"), col("v"))).as("ins"))
   }
 
-  /** Merge one side's candidate multiset under its exclusion bound.
+  /** Merge one side's candidate set under its exclusion bound. Counts
+    * carry occurrence multiplicity; `k` caps DISTINCT tracked values.
     * `lt` orders best-first (min side: <, max side: >); the bound
     * excludes at-or-past-bound values (None = unbounded/complete). */
-  private[graft] def mergeSide(cands: Seq[Long], bound: Option[Long],
+  private[graft] def mergeSide(cands: Seq[VC], bound: Option[Long],
       dels: Seq[Long], ins: Seq[Long], k: Int,
-      lt: (Long, Long) => Boolean): (Seq[Long], Option[Long]) = {
+      lt: (Long, Long) => Boolean): (Seq[VC], Option[Long]) = {
     def covered(v: Long): Boolean = bound.forall(b => lt(v, b))
-    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
-    cands.foreach(v => m.update(v, m.getOrElse(v, 0) + 1))
-    ins.iterator.filter(covered).foreach(v => m.update(v, m.getOrElse(v, 0) + 1))
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    cands.foreach(e => m.update(e.v, m.getOrElse(e.v, 0L) + e.c))
+    ins.iterator.filter(covered).foreach(v => m.update(v, m.getOrElse(v, 0L) + 1L))
     dels.iterator.filter(covered).foreach { v =>
-      val c = m.getOrElse(v, 0)
-      // completeness invariant: a live value below the bound IS here
+      val c = m.getOrElse(v, 0L)
+      // completeness invariant: a live value below the bound IS here,
+      // with its full live occurrence count
       require(c > 0, s"retraction of $v not present in candidate set")
-      if (c == 1) m.remove(v) else m.update(v, c - 1)
+      if (c == 1L) m.remove(v) else m.update(v, c - 1L)
     }
-    var merged = m.iterator
-      .flatMap { case (v, c) => Iterator.fill(c)(v) }.toIndexedSeq
-      .sortWith(lt)
+    var vals = m.keysIterator.toIndexedSeq.sortWith(lt)
     var nb = bound
-    if (merged.length > k) {
-      val cut = merged(k) // the (k+1)-th best becomes the new bound
+    if (vals.length > k) {
+      val cut = vals(k) // the (k+1)-th best DISTINCT value becomes the bound
       nb = Some(cut)
-      merged = merged.takeWhile(v => lt(v, cut))
+      vals = vals.takeWhile(v => lt(v, cut))
     }
-    (merged, nb)
+    (vals.map(v => VC(v, m(v))), nb)
   }
 
   private val ltMin: (Long, Long) => Boolean = _ < _
   private val ltMax: (Long, Long) => Boolean = _ > _
+
+  /** Rebuild one side from (value, live count) pairs: keep the k best
+    * distinct values with their counts; the (k+1)-th distinct value
+    * becomes the exclusion bound (same rule as [[mergeSide]]'s
+    * overflow). */
+  private[graft] def rebuildSide(
+      pairs: Seq[(Long, Long)], k: Int,
+      lt: (Long, Long) => Boolean): (Seq[VC], Option[Long]) = {
+    val sorted = pairs.sortWith((a, b) => lt(a._1, b._1))
+    if (sorted.length > k)
+      (sorted.take(k).map(p => VC(p._1, p._2)), Some(sorted(k)._1))
+    else (sorted.map(p => VC(p._1, p._2)), None)
+  }
 
   /** Fold one changelog batch into the state. Work ∝ batch size plus
     * the rollup merge (≤ |groups| rows); the latest-state upsert is
@@ -225,8 +260,8 @@ object IncrementalAggregate {
       .select(col("g"), col("mins"), col("minb"), col("maxs"), col("maxb"))
       .join(valueTraffic(j), Seq("g"), "full_outer")
       .select(col("g"),
-        coalesce(col("mins"), emptyLongs).as("mins"), col("minb"),
-        coalesce(col("maxs"), emptyLongs).as("maxs"), col("maxb"),
+        coalesce(col("mins"), emptyVCs).as("mins"), col("minb"),
+        coalesce(col("maxs"), emptyVCs).as("maxs"), col("maxb"),
         coalesce(col("dels"), emptyLongs).as("dels"),
         coalesce(col("ins"), emptyLongs).as("ins"))
       .as[Cand]
@@ -248,30 +283,42 @@ object IncrementalAggregate {
     val agg2 =
       if (under.isEmpty) pre
       else {
+        // MULTIPLICITY-AWARE rebuild: the candidate invariant counts
+        // occurrences, and TopKByScore's TreeSet collapses equal
+        // (score, id) pairs — correct for its LSH-candidate purpose,
+        // wrong here where id = the value itself and duplicate values
+        // are real (the r13 scale sweep's replicated data failed the
+        // retraction require exactly this way). So: reduce to
+        // per-(g, value) LIVE COUNTS first (map-side-combinable),
+        // top-(k+1) over DISTINCT values (dedup now harmless — the
+        // (k+1)-th occurrence always falls within the first k+1
+        // distinct values), join the counts back, and expand
+        // occurrences under the bound in a typed map (rebuildSide).
         val vc = cents(col("v"))
-        val rebuilt = newLatest
+        val byVal = newLatest
           .join(broadcast(under), Seq("g"), "left_semi")
           .select(col("g"), vc.as("vc"))
-          .groupBy("g")
+          .groupBy("g", "vc").agg(count(lit(1)).as("cnt"))
+          .graftCkptMem()
+        val top = byVal.groupBy("g")
           .agg(
             TopKByScore.topK(struct((-col("vc")).cast(DoubleType).as("score"),
               col("vc").as("id")), kk + 1).as("lo"),
             TopKByScore.topK(struct(col("vc").cast(DoubleType).as("score"),
               col("vc").as("id")), kk + 1).as("hi"))
-          .select(col("g"),
-            expr("transform(lo, x -> x.id)").as("lovs"),
-            expr("transform(hi, x -> x.id)").as("hivs"))
-          .select(col("g"),
-            when(size(col("lovs")) === kk + 1,
-              expr("filter(lovs, v -> v < element_at(lovs, -1))"))
-              .otherwise(col("lovs")).as("mins"),
-            when(size(col("lovs")) === kk + 1, element_at(col("lovs"), -1))
-              .otherwise(lit(null).cast(LongType)).as("minb"),
-            when(size(col("hivs")) === kk + 1,
-              expr("filter(hivs, v -> v > element_at(hivs, -1))"))
-              .otherwise(col("hivs")).as("maxs"),
-            when(size(col("hivs")) === kk + 1, element_at(col("hivs"), -1))
-              .otherwise(lit(null).cast(LongType)).as("maxb"))
+        def withCounts(arr: String) = top
+          .select(col("g"), explode(expr(s"transform($arr, x -> x.id)")).as("vc"))
+          .join(byVal, Seq("g", "vc"))
+          .groupBy("g")
+          .agg(collect_list(struct(col("vc"), col("cnt"))).as(arr + "cs"))
+        val rebuilt = withCounts("lo").join(withCounts("hi"), Seq("g"))
+          .as[(String, Seq[(Long, Long)], Seq[(Long, Long)])]
+          .map { case (g, lo, hi) =>
+            val (mn, mnb) = rebuildSide(lo, kk, ltMin)
+            val (mx, mxb) = rebuildSide(hi, kk, ltMax)
+            CandState(g, mn, mnb, mx, mxb)
+          }
+          .toDF()
         pre.join(broadcast(under), Seq("g"), "left_anti")
           .unionByName(pre.select("g", "cnt", "s").join(rebuilt, Seq("g")))
       }
@@ -285,8 +332,8 @@ object IncrementalAggregate {
     require(state.k > 0, "min/max rollup needs a candidate-tracking " +
       "state (empty(spark, k > 0)); k = 0 maintains count/sum only")
     state.agg.select(col("g"), col("cnt"), col("s"),
-      (element_at(col("mins"), 1) / 100.0).cast(valType).as("mn"),
-      (element_at(col("maxs"), 1) / 100.0).cast(valType).as("mx"))
+      (element_at(col("mins"), 1).getField("v") / 100.0).cast(valType).as("mn"),
+      (element_at(col("maxs"), 1).getField("v") / 100.0).cast(valType).as("mx"))
   }
 
   /** The from-scratch aggregate of the latest state — the invariant

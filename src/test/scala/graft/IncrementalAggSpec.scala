@@ -120,6 +120,39 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mmRows(st) == mmExpect(st))
   }
 
+  test("min/max: rebuild keeps duplicate-value multiplicity (r13 scale-sweep regression)") {
+    // The underflow rebuild must preserve OCCURRENCES, not distinct
+    // values: replicated corpora (and the scale sweep's k-copy data)
+    // make duplicate extremes routine. Old behavior: the
+    // value-deduplicating top-k rebuild recorded min=1.00 ONCE though
+    // three live keys carried it; the second post-rebuild retraction
+    // of a 1.00 key then failed the completeness require.
+    var st = empty(spark, k = 2)
+    st = applyBatch(st, changes(
+      (1L, 1L, "A", "1.00"), (2L, 2L, "A", "1.00"), (3L, 3L, "A", "1.00"),
+      (4L, 4L, "A", "2.00"), (5L, 5L, "A", "2.00"), (6L, 6L, "A", "3.00"),
+      (7L, 7L, "A", "0.50"), (8L, 8L, "A", "0.25"), (9L, 9L, "A", "0.10")))
+    // drain > k minima (0.10, 0.25, 0.50) → group-scoped rebuild over
+    // a latest state where the new minimum 1.00 lives on THREE keys
+    st = applyBatch(st, Seq(
+      (7L, 10L, null: String, null: String),
+      (8L, 11L, null: String, null: String),
+      (9L, 12L, null: String, null: String)).toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+    assert(mmRows(st) == Set(("A", 6L, "1.00", "3.00")))
+    // retract TWO of the three 1.00 occurrences across separate
+    // batches — each must find its occurrence in the rebuilt set
+    st = applyBatch(st, Seq((1L, 13L, null: String, null: String))
+      .toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+    assert(mmRows(st) == Set(("A", 5L, "1.00", "3.00")))
+    st = applyBatch(st, Seq((2L, 14L, null: String, null: String))
+      .toDF("k", "offset", "g", "v")
+      .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+    assert(mmRows(st) == Set(("A", 4L, "1.00", "3.00")))
+    assert(mmRows(st) == mmExpect(st))
+  }
+
   test("min/max: duplicate values retract one occurrence, ties survive") {
     var st = empty(spark, k = 2)
     st = applyBatch(st, changes(
