@@ -302,7 +302,8 @@ object Dedup {
       idCol: String,
       tauNum: Long,
       tauDen: Long,
-      denseUniverseMax: Long = ContainmentDenseUniverseMax): DataFrame = {
+      denseUniverseMax: Long = ContainmentDenseUniverseMax,
+      pairScanMaxDocs: Long = ContainmentPairScanMaxDocs): DataFrame = {
     val g = gramArrs0
       .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
       .graftCkptMem()
@@ -328,8 +329,24 @@ object Dedup {
     // the loop runs over distinct SETS, fanning doc ids back out after.
     if (denseUniverseMax > 0) {
       val universe = dfs.count()
-      if (universe <= denseUniverseMax)
-        return containmentDense(g, dfs, universe, tauNum, tauDen)
+      if (universe <= denseUniverseMax) {
+        // Second adaptivity axis, CORPUS size: the broadcast pair scan
+        // is O(n²) in the WHOLE corpus — unbeatable to ~4·10⁸ pairs
+        // (it never shuffles), but past the cutoff it pays quadratic
+        // cost even when the match structure is block-local (the r13
+        // scale sweep measured α = 1.40: 10× docs → 25× time, because
+        // 10 disjoint sub-corpora were scanned as one 100× pair
+        // space). Large dense corpora switch to the gram-connected-
+        // component BLOCKED scan (containmentDenseBlocked): the pair
+        // space collapses to Σ_b |block|² — the true match structure —
+        // while a one-dense-block corpus degrades gracefully to the
+        // same square, salted across tasks instead of broadcast.
+        val nDocs = g.select("id").distinct().count()
+        if (nDocs <= pairScanMaxDocs)
+          return containmentDense(g, dfs, universe, tauNum, tauDen)
+        else
+          return containmentDenseBlocked(g, dfs, universe, tauNum, tauDen)
+      }
     }
     val plen = (n: Column) =>
       (n - floor((n * tauNum + (tauDen - 1)) / tauDen) + 1).cast(IntegerType)
@@ -368,6 +385,12 @@ object Dedup {
     * (≤ 512 longs = 4 KB per doc bitmap). */
   val ContainmentDenseUniverseMax: Long = 1L << 15
 
+  /** Corpus sizes up to this use the broadcast all-pairs scan inside
+    * the dense-universe path (≤ 4·10⁸ popcounts, shuffle-free); larger
+    * corpora switch to prefix candidates + bitmap verify (see the
+    * decision comment in [[containmentPairs]]). */
+  val ContainmentPairScanMaxDocs: Long = 20000L
+
   /** Dense-universe containment: gram → dense id over the sorted
     * dictionary, each doc's gram set as a fixed-width bitset, ordered
     * pairs verified by popcount(AND) against the BROADCAST bitmap
@@ -392,6 +415,73 @@ object Dedup {
       col("bm").as("bma"))
     val b = docsBm.select(col("id").as("dst"), col("bm").as("bmb"))
     a.crossJoin(broadcast(b))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("n_src"),
+        BitmapExpr.bitmapAndCount(col("bma"), col("bmb")).as("n_shared"))
+      .where(col("n_shared") * tauDen >= col("n_src") * tauNum)
+      .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / col("n_src"), 6)
+          .as("containment"))
+  }
+
+  /** Dense-universe containment for LARGE corpora: CONNECTED-COMPONENT
+    * blocking over shared grams, then a salted within-component pair
+    * scan. Two docs can only match if they share a gram, so docs in
+    * different gram-connected components never pair — the pair space
+    * collapses from |corpus|² to Σ_b |block|², which is the TRUE match
+    * structure: linear growth when the corpus grows by adding
+    * communities (the common shape — new sources, new crawls, new
+    * languages), and gracefully the full square when the corpus really
+    * is one dense block (inherent: everything is then a candidate).
+    *
+    * Why not prefix-filtered candidates here: on a dense universe the
+    * "rarest" grams still have df in the hundreds, so prefix
+    * candidates ≈ all pairs MATERIALIZED (measured at 10× docs: 250M+
+    * candidate rows, 322 s then spill-OOM), strictly worse than
+    * scanning. The blocked scan never materializes pairs: the
+    * component-keyed self-join pipelines each joined row straight
+    * through popcount(AND) + threshold inside whole-stage codegen —
+    * shuffle volume is the two bitmap SIDES (linear), not the pair
+    * space. A salt column splits each component's scan S ways so one
+    * giant component cannot serialize into a single task.
+    *
+    * Components come from the doc↔gram bipartite graph: each gram
+    * edges its docs to the gram's min doc, and [[connectedComponents]]
+    * (O(log n) rounds) closes the transitive structure — cost linear
+    * in the exploded gram table. */
+  private def containmentDenseBlocked(g: DataFrame, dfs: DataFrame,
+      universe: Long, tauNum: Long, tauDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.BitmapExpr
+    val nWords = ((universe + 63) / 64).toInt
+    // single-partition window over the ≤32k-row dictionary only
+    val dict = dfs.select(col("gram"))
+      .withColumn("gid",
+        (row_number().over(Window.orderBy("gram")) - 1).cast(IntegerType))
+    val docsBm = g.join(broadcast(dict), "gram")
+      .groupBy("id")
+      .agg(collect_list(col("gid")).as("gids"))
+      .select(col("id"), size(col("gids")).cast(LongType).as("n"),
+        BitmapExpr.bitmapBuild(col("gids"), nWords).as("bm"))
+      .graftCkptMem()
+    // gram-sharing components: doc → its gram's min-doc representative
+    val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
+    val edges = g.join(gramRep, "gram")
+      .where(col("id") =!= col("rep"))
+      .select(col("id").as("doc_a"), col("rep").as("doc_b"))
+      .distinct()
+    val comp = connectedComponents(edges, "doc_a", "doc_b")
+      .select(col("id"), col("component"))
+    // docs absent from the edge graph share no gram with anyone —
+    // they can produce no pairs and drop out here by construction
+    val bmc = docsBm.join(comp, "id").graftCkptMem()
+    val s = math.max(4, g.sparkSession.sparkContext.defaultParallelism / 4)
+    val a = bmc.select(col("component"), pmod(col("id"), lit(s)).as("__salt"),
+      col("id").as("src"), col("n").as("n_src"), col("bm").as("bma"))
+    val b = bmc.select(col("component"),
+        explode(sequence(lit(0), lit(s - 1))).as("__salt"),
+        col("id").as("dst"), col("bm").as("bmb"))
+    a.join(b, Seq("component", "__salt"))
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("n_src"),
         BitmapExpr.bitmapAndCount(col("bma"), col("bmb")).as("n_shared"))

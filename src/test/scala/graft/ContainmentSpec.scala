@@ -70,4 +70,29 @@ class ContainmentSpec extends SparkSpec {
     assert(dense.nonEmpty)
     assert(dense == prefix, s"dense=$dense prefix=$prefix")
   }
+
+  test("large-corpus dense path (component-blocked scan) equals the pair scan") {
+    // The dense-universe branch splits by corpus size (the r13 scale
+    // sweep measured the blind pair scan at α = 1.40): above
+    // pairScanMaxDocs it must produce the SAME rows from the
+    // gram-connected-component blocked + salted scan.
+    val rnd = new scala.util.Random(23)
+    val base = Seq.fill(50)(
+      Seq.fill(60)(('a' + rnd.nextInt(5)).toChar).mkString)
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 5 == 2) base(i - 1).substring(0, 30) else t
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val arrs = TextAnalysis.gramArrays(rows, "doc_id", "text", 4)
+    def run(maxDocs: Long) =
+      Dedup.containmentPairs(arrs, "doc_id", 3, 4,
+          denseUniverseMax = Long.MaxValue, pairScanMaxDocs = maxDocs)
+        .select("src", "dst", "n_src", "n_shared", "containment")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val scan = run(Long.MaxValue) // force the all-pairs scan
+    val blocked = run(0L)         // force the component-blocked scan
+    assert(scan.nonEmpty)
+    assert(scan == blocked, s"scan=$scan blocked=$blocked")
+  }
 }
