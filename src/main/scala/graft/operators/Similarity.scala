@@ -154,7 +154,24 @@ object Similarity {
     * of at least one band become candidates via a bucket equijoin, and
     * only candidates pay an exact cosine. Recall is tunable
     * (more/narrower bands → higher recall, more candidates) and is
-    * measured against [[cosinePairs]] in SimilarityPlanSpec. */
+    * measured against [[cosinePairs]] in SimilarityPlanSpec.
+    *
+    * THRESHOLD-REGIME CONTRACT (measured, r13 scale sweep): banding is
+    * selective only for HIGH similarity thresholds. A band filters
+    * non-neighbors by (p(τ)/p(random))^rowsPerBand where
+    * p(θ) = 1 − θ/π per hyperplane bit and p(random) = 0.5 — at
+    * τ ≥ 0.8 (p ≈ 0.80) the per-bit gap compounds fast and candidates
+    * track true pairs, but at τ = 0.45 (p ≈ 0.65) no (bands,
+    * rowsPerBand) setting filters meaningfully: reaching 10³×
+    * selectivity would need ~27-bit bands whose recall is ~10⁻⁶.
+    * Measured at the default 8×4 (128 buckets total): candidates are
+    * ~n²/2.5 at every scale (1.6M/14M/161M for n = 2k/6k/20k — the
+    * fixed-resolution index saturates) — and on the sweep corpus TRUE
+    * pairs at τ = 0.45 are themselves quadratic (134/1.3k/15.6k), so
+    * Ω(output) is quadratic regardless of algorithm. Operational
+    * guidance: use this operator for near-dup thresholds (τ ≥ ~0.7),
+    * and the IVF/cell family ([[ivfTopK]], semDedup) or the blocked
+    * exact scan ([[cosinePairsBlocked]]) for low-threshold regimes. */
   def cosinePairsBanded(
       corpus: DataFrame,
       tau: Double,

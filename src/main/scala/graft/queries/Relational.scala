@@ -871,12 +871,20 @@ object Relational {
         .join(deg.select(col("node"), col("d").as("x")), Seq("node"))
         .join(deg.select(col("node").as("other"), col("d").as("y")),
           Seq("other"))
-      val n = count(lit(1))
-      val den1 = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
-      val den2 = n * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
-      p.agg(n.as("n_half_edges"),
-          round((n * sum(col("x") * col("y")) -
-            sum(col("x")) * sum(col("y"))).cast(DoubleType) /
+      // Moments in DECIMAL(20,0): n·Σx² overflows a Long from ~10⁷
+      // half-edges × degree ~10³ (hit by the r13 scale sweep at sf1 —
+      // ~4·10²⁰ vs 2⁶³≈9.2·10¹⁸; DuckDB's HUGEINT masked it in the
+      // oracle). Bounds: n ≤ 10¹⁸ rows is absurd, degree sums ≤ 10²⁰ —
+      // each moment fits DECIMAL(20,0), products fit DECIMAL(38,0)
+      // exactly, and the final r is the same correctly-rounded double.
+      val d20 = DecimalType(20, 0)
+      val n = count(lit(1)).cast(d20)
+      def s(c: org.apache.spark.sql.Column) = sum(c).cast(d20)
+      val den1 = n * s(col("x") * col("x")) - s(col("x")) * s(col("x"))
+      val den2 = n * s(col("y") * col("y")) - s(col("y")) * s(col("y"))
+      p.agg(count(lit(1)).as("n_half_edges"),
+          round((n * s(col("x") * col("y")) -
+            s(col("x")) * s(col("y"))).cast(DoubleType) /
             (sqrt(den1.cast(DoubleType)) * sqrt(den2.cast(DoubleType))), 9)
             .as("r"),
           den1.as("__d1"), den2.as("__d2"))
