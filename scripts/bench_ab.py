@@ -46,26 +46,41 @@ def run_head(query, sfdir, cpus):
     out = tempfile.mktemp(prefix="ab_head_", suffix=".tsv")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_CPUS=cpus,
                GRAFT_SHARD_QUERIES=query, GRAFT_SHARD_OUT=out)
-    subprocess.run(jvm_cmd(os.path.join(REPO, "target/scala-2.13/classes"))
-                   + ["graft.BenchShard"],
-                   env=env, stdout=subprocess.DEVNULL,
-                   stderr=subprocess.DEVNULL, timeout=900)
+    try:
+        subprocess.run(
+            jvm_cmd(os.path.join(REPO, "target/scala-2.13/classes"))
+            + ["graft.BenchShard"],
+            env=env, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, timeout=900)
+    except subprocess.TimeoutExpired:
+        print(f"  HEAD round timed out (>900s) for {query}", flush=True)
+        return None
     for line in open(out):
         f = line.rstrip().split("\t")
         if f[0] == "Q" and f[1] == query:
             return float(f[2])
-    sys.exit(f"HEAD run produced no result for {query}")
+    print(f"  HEAD run produced no result for {query}", flush=True)
+    return None
 
 
 def run_snapshot(snapdir, query, sfdir, cpus):
     out = tempfile.mktemp(prefix="ab_snap_", suffix=".json")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_CPUS=cpus,
                SPARK_GRAFT_ONLY=query, GRAFT_BENCH_OUT=out)
-    subprocess.run(jvm_cmd(os.path.join(snapdir, "target/scala-2.13/classes"))
-                   + ["graft.Bench"],
-                   env=env, cwd=snapdir, stdout=subprocess.DEVNULL,
-                   stderr=subprocess.DEVNULL, timeout=900)
-    return json.load(open(out))["queries"][query]
+    try:
+        subprocess.run(
+            jvm_cmd(os.path.join(snapdir, "target/scala-2.13/classes"))
+            + ["graft.Bench"],
+            env=env, cwd=snapdir, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, timeout=900)
+    except subprocess.TimeoutExpired:
+        print(f"  snapshot round timed out (>900s) for {query}", flush=True)
+        return None
+    try:
+        return json.load(open(out))["queries"][query]
+    except (FileNotFoundError, KeyError, json.JSONDecodeError):
+        print(f"  snapshot run produced no result for {query}", flush=True)
+        return None
 
 
 def main():
@@ -82,9 +97,16 @@ def main():
     for i in range(args.rounds):
         h = run_head(args.query, args.sfdir, args.cpus)
         s = run_snapshot(args.snapshot, args.query, args.sfdir, args.cpus)
-        head.append(h)
-        snap.append(s)
-        print(f"round {i + 1}: HEAD={h:.3f}s snapshot={s:.3f}s", flush=True)
+        if h is not None:
+            head.append(h)
+        if s is not None:
+            snap.append(s)
+        hs = "fail" if h is None else f"{h:.3f}s"
+        ss = "fail" if s is None else f"{s:.3f}s"
+        print(f"round {i + 1}: HEAD={hs} snapshot={ss}", flush=True)
+    if not head or not snap:
+        sys.exit("no completed rounds on one side; cannot compare "
+                 f"(HEAD={len(head)}, snapshot={len(snap)})")
 
     def desc(xs):
         return (f"min={min(xs):.3f} median={statistics.median(xs):.3f} "

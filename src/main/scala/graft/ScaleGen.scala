@@ -87,7 +87,11 @@ object ScaleGen {
     val caps: Map[String, Long] = capSpaces.groupBy(_._1).map {
       case (space, uses) =>
         val mx = uses.map { case (_, t, c) =>
-          load(t).agg(max(col(c))).head().getLong(0)
+          val row = load(t).agg(max(col(c).cast("long"))).head()
+          require(!row.isNullAt(0),
+            s"ScaleGen: cannot derive a key cap for $t.$c — table is " +
+              "empty (max is null); generate the base data first")
+          row.getLong(0)
         }.max
         space -> (mx + 1L)
     }

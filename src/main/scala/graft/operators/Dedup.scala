@@ -304,6 +304,13 @@ object Dedup {
       tauDen: Long,
       denseUniverseMax: Long = ContainmentDenseUniverseMax,
       pairScanMaxDocs: Long = ContainmentPairScanMaxDocs): DataFrame = {
+    // tau = 0 degenerates to "emit every ordered pair": the blocked
+    // dense path only pairs docs sharing >=1 gram (cross-component and
+    // isolated docs are dropped BY CONSTRUCTION), which equals the
+    // full scan iff the threshold requires at least one shared gram.
+    require(tauNum > 0 && tauDen > 0,
+      s"containment threshold must be positive (got $tauNum/$tauDen); " +
+        "tau = 0 would silently diverge between the dense branches")
     val g = gramArrs0
       .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
       .graftCkptMem()

@@ -879,12 +879,18 @@ object Relational {
       // exactly, and the final r is the same correctly-rounded double.
       val d20 = DecimalType(20, 0)
       val n = count(lit(1)).cast(d20)
-      def s(c: org.apache.spark.sql.Column) = sum(c).cast(d20)
-      val den1 = n * s(col("x") * col("x")) - s(col("x")) * s(col("x"))
-      val den2 = n * s(col("y") * col("y")) - s(col("y")) * s(col("y"))
+      // Cast operands BEFORE multiplying and summing so BOTH the
+      // per-row products and the accumulator are decimal: the r13 fix
+      // (sum(c).cast(d20)) still summed in Long and would ANSI-overflow
+      // at ~9.2·10¹⁸, well below the 10²⁰ moment bound above.
+      val xd = col("x").cast(d20)
+      val yd = col("y").cast(d20)
+      def s(c: org.apache.spark.sql.Column) = sum(c)
+      val den1 = n * s(xd * xd) - s(xd) * s(xd)
+      val den2 = n * s(yd * yd) - s(yd) * s(yd)
       p.agg(count(lit(1)).as("n_half_edges"),
-          round((n * s(col("x") * col("y")) -
-            s(col("x")) * s(col("y"))).cast(DoubleType) /
+          round((n * s(xd * yd) -
+            s(xd) * s(yd)).cast(DoubleType) /
             (sqrt(den1.cast(DoubleType)) * sqrt(den2.cast(DoubleType))), 9)
             .as("r"),
           den1.as("__d1"), den2.as("__d2"))

@@ -301,19 +301,24 @@ object Streams {
     // q_stream_dup_clusters is one-hop by contract — a doc landing in
     // two bucket epochs with different anchors still reports only the
     // min anchor, and the anchors stay separate clusters. This query
-    // adds the ONE-ROUND merge: such a doc witnesses an anchor↔anchor
-    // collision edge; a second stateful stage (keyed by the larger
-    // anchor, one fixed-width row per active anchor, horizon-evicted)
-    // folds edges into per-anchor representative pointers, and the
-    // final assignment remaps each hit's anchor through the pointer
-    // before the per-doc min. Edges travel between the two streaming
-    // stages as files — the offline stand-in for a topic, matching how
-    // a real deployment chains the jobs. Chains deeper than one hop
-    // converge over successive batches (pinned in StreamingDedupSpec);
-    // EXACT closure remains the batch CC pass (q_dup_clusters).
+    // adds the FULL in-horizon merge: such a doc witnesses an
+    // anchor↔anchor collision edge; a second stateful stage (keyed by
+    // the larger anchor, one fixed-width row per active anchor,
+    // horizon-evicted) folds edges into per-anchor representative
+    // pointers AND back-links, making the update stream
+    // connectivity-complete (anchorMerge consumer contract). The
+    // roll-up therefore resolves the pointer map to a FIXPOINT — a
+    // connectedComponents pass over the tiny (anchor, merged_into)
+    // graph — so a₃—a₂—a₁ chains collapse to a₁ within the horizon,
+    // matching what q_dup_clusters would say for in-horizon evidence.
+    // Edges travel between the two streaming stages as files — the
+    // offline stand-in for a topic, matching how a real deployment
+    // chains the jobs. Out-of-horizon closure remains the batch CC
+    // pass (q_dup_clusters). The oracle replays the same closure with
+    // a recursive min-reachability CTE over the edge set.
     "q_stream_dup_merge" -> QueryDef(
-      "streaming anchor-merge: one-round cluster closure over gap-epoch anchors",
-      s"""WITH ${Text.minhashBandsCtes},
+      "streaming anchor-merge: full in-horizon cluster closure over gap-epoch anchors",
+      s"""WITH RECURSIVE ${Text.minhashBandsCtes},
          |e AS (SELECT band, bh, doc_id,
          |        CASE WHEN lag(doc_id) OVER w IS NULL
          |               OR doc_id - lag(doc_id) OVER w > 200 THEN 1
@@ -330,10 +335,15 @@ object Streams {
          |lo AS (SELECT doc_id, min(anchor) AS lo FROM hits GROUP BY 1),
          |edges AS (SELECT DISTINCT l.lo, h.anchor AS hi
          |          FROM hits h JOIN lo l USING (doc_id) WHERE h.anchor > l.lo),
-         |mrg AS (SELECT hi AS anchor, min(lo) AS mn FROM edges GROUP BY 1),
+         |und AS (SELECT lo AS a, hi AS b FROM edges
+         |        UNION SELECT hi, lo FROM edges),
+         |reach AS (SELECT a AS node, a AS m FROM und
+         |          UNION
+         |          SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.m),
+         |rep AS (SELECT node, min(m) AS rep FROM reach GROUP BY 1),
          |fin AS (SELECT h.doc_id,
-         |          min(least(h.anchor, coalesce(m.mn, h.anchor))) AS cluster
-         |        FROM hits h LEFT JOIN mrg m ON m.anchor = h.anchor
+         |          min(least(h.anchor, coalesce(p.rep, h.anchor))) AS cluster
+         |        FROM hits h LEFT JOIN rep p ON p.node = h.anchor
          |        GROUP BY 1)
          |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster
          |FROM fin ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -363,12 +373,18 @@ object Streams {
         val updates = runStream(spark,
           StreamingDedup.anchorMerge(edgeStream, horizonMs = 200000L,
             watermarkDelay = "0 seconds").toDF(), OutputMode.Append())
-        // monotone improvements → final pointer is the per-anchor min
-        val mergeMap = updates.groupBy("anchor")
-          .agg(min(col("merged_into")).as("mn"))
-        hits.join(mergeMap, hits("dup_of") === mergeMap("anchor"), "left")
+        // FIXPOINT re-resolve (anchorMerge consumer contract): the
+        // update stream is connectivity-complete, so an undirected CC
+        // pass over the tiny (anchor, merged_into) graph IS the exact
+        // transitive closure of the witnessed edges — O(active
+        // anchors) work, O(log chain) rounds, never touches the docs.
+        val cc = graft.operators.Dedup.connectedComponents(
+          updates.select(col("anchor").as("ma"), col("merged_into").as("mb")),
+          "ma", "mb")
+        hits.join(cc, hits("dup_of") === cc("id"), "left")
           .select(col("doc_id"),
-            least(col("dup_of"), coalesce(col("mn"), col("dup_of"))).as("a"))
+            least(col("dup_of"), coalesce(col("component"), col("dup_of")))
+              .as("a"))
           .groupBy("doc_id").agg(min(col("a")).as("cluster"))
           .orderBy("doc_id")
       } finally {

@@ -266,14 +266,23 @@ object StreamingDedup {
     * last evidence + horizon, same session-gap contract as the
     * assignment stage.
     *
-    * ONE-ROUND semantics, by design: the pointer is min over DIRECT
-    * collision partners — a chain a₃→a₂→a₁ needs a₃-a₁ evidence (or a
-    * consumer-side re-resolve) to collapse fully in one pass. Each
-    * additional batch of evidence monotonically improves pointers
-    * (pinned in StreamingDedupSpec); EXACT closure remains the
-    * periodic batch CC pass (`q_dup_clusters`), unchanged. This is the
-    * standard streaming union-find compromise: bounded state, monotone
-    * convergence, offline exactness. */
+    * CONSUMER CONTRACT (closure): the update stream is
+    * CONNECTIVITY-COMPLETE — improving edges emit (anchor → newRep),
+    * and non-improving edges emit a BACK-LINK (lo → currentRep), so
+    * every folded edge (lo, hi) is witnessed by a pair chain through
+    * reps. An undirected connected-components pass over the emitted
+    * (anchor, merged_into) pairs — a TINY graph, O(active anchors),
+    * e.g. [[graft.operators.Dedup.connectedComponents]] — therefore
+    * yields the EXACT transitive closure of the witnessed edge set: a
+    * chain a₃—a₂—a₁ collapses to a₁ within the SAME batch its last
+    * edge arrives in (pinned in StreamingDedupSpec). A consumer that
+    * only wants the cheap one-hop answer can still roll up
+    * `min(merged_into) per anchor`; updates are append-only and never
+    * retracted either way (per-source-group pointers are monotone;
+    * back-link targets are whatever the component's best rep was at
+    * witness time, so the roll-up is min, not last). Out-of-horizon
+    * closure remains the periodic batch CC pass (`q_dup_clusters`) —
+    * bounded state now, offline exactness forever. */
   def anchorMerge(
       edges: DataFrame,
       horizonMs: Long,
@@ -313,6 +322,19 @@ object StreamingDedup {
         if (r.lo < rep) {
           rep = r.lo
           out += MergeUpdate(anchor, rep)
+        } else if (r.lo > rep) {
+          // BACK-LINK: the edge proves lo sits in THIS component, whose
+          // best-known representative rep is smaller than lo. Emitting
+          // (lo → rep) is what makes the update stream
+          // connectivity-complete: the pairs {(anchor, each improving
+          // lo)} alone lose members that never improved anything (edge
+          // (2,3) after (1,3) left 2 stranded), so a consumer could
+          // never recover the full component. With back-links, every
+          // folded edge (lo, hi) yields a pair chain lo—rep—…—hi, and
+          // an undirected closure over ALL updates equals the closure
+          // over the witnessed edge set — see the consumer contract in
+          // the scaladoc above.
+          out += MergeUpdate(r.lo, rep)
         }
       }
       state.update(MergeState(rep, lastMs))

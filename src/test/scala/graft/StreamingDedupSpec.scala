@@ -245,15 +245,19 @@ class StreamingDedupSpec extends SparkSpec {
 
       // batch 2: another witness bridges 9 with the even-older anchor
       // 2 → the pointer IMPROVES (new update), never retracts; a
-      // worse witness (7, 9) in the same batch emits nothing
+      // worse witness (7, 9) in the same batch emits a BACK-LINK
+      // (7 → 2): 7 improved nothing, but the edge proves 7 is in the
+      // component whose best rep is 2 — without it the update stream
+      // would lose 7 entirely (connectivity-completeness contract)
       stream.addData(Seq((2L, 9L, ts(30)), (7L, 9L, ts(31))))
       query.processAllAvailable()
-      assert(rows().toSet == Set((9L, 5L), (9L, 2L)), s"got ${rows()}")
+      assert(rows().toSet == Set((9L, 5L), (9L, 2L), (7L, 2L)),
+        s"got ${rows()}")
 
       // consumer roll-up (min per anchor) = final pointer
       val finalMap = rows().groupBy(_._1).map { case (a, us) =>
         a -> us.map(_._2).min }
-      assert(finalMap == Map(9L -> 2L))
+      assert(finalMap == Map(9L -> 2L, 7L -> 2L))
 
       // batch 3: quiet horizon passes (evidence clock jumps beyond
       // last(31s) + 60s) — the merge window closed, so a fresh
@@ -261,11 +265,61 @@ class StreamingDedupSpec extends SparkSpec {
       // even though 8 > the OLD window's representative 2
       stream.addData(Seq((8L, 9L, ts(600))))
       query.processAllAvailable()
-      assert(rows().toSet == Set((9L, 5L), (9L, 2L), (9L, 8L)),
+      assert(rows().toSet == Set((9L, 5L), (9L, 2L), (7L, 2L), (9L, 8L)),
         s"gap must reset the window, got ${rows()}")
     } finally {
       query.stop()
       spark.catalog.dropTempView("anchor_merge")
+    }
+  }
+
+  test("anchor merge: a 3-deep chain collapses to the root in ONE batch via the closure consumer") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(sec: Long) = new Timestamp((1000L + sec) * 1000L)
+
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingDedup.anchorMerge(
+      stream.toDF().toDF("lo", "hi", "tstamp"),
+      horizonMs = 60000L, watermarkDelay = "10 seconds").toDF()
+    val query = out.writeStream.format("memory").queryName("anchor_chain")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows(): Seq[(Long, Long)] = spark.table("anchor_chain")
+        .as[(Long, Long)].collect().toSeq
+
+      // Chain a₃—a₂—a₁ (30—20—10) arrives as edges keyed by DIFFERENT
+      // hi anchors in the SAME batch: (20,30) says 30~20, (10,20) says
+      // 20~10. Direct pointers alone leave 30 → 20 (not 10); the
+      // closure consumer must still collapse everything to 10 now,
+      // not over successive batches.
+      stream.addData(Seq((20L, 30L, ts(0)), (10L, 20L, ts(1))))
+      query.processAllAvailable()
+      assert(rows().toSet == Set((30L, 20L), (20L, 10L)), s"got ${rows()}")
+
+      // Fixpoint re-resolve = undirected CC over the update pairs —
+      // exactly what q_stream_dup_merge's roll-up runs.
+      val cc = graft.operators.Dedup.connectedComponents(
+        rows().toDF("ma", "mb"), "ma", "mb")
+        .as[(Long, Long)].collect().toMap
+      assert(cc(30L) == 10L && cc(20L) == 10L,
+        s"3-deep chain must close to the root in one batch, got $cc")
+
+      // The stranded-member shape (closure over back-links): edges
+      // (5,40) then (6,40) — 6 improves nothing, so only the
+      // back-link (6 → 5) can pull 6 into the component.
+      stream.addData(Seq((5L, 40L, ts(2)), (6L, 40L, ts(3))))
+      query.processAllAvailable()
+      val cc2 = graft.operators.Dedup.connectedComponents(
+        rows().toDF("ma", "mb"), "ma", "mb")
+        .as[(Long, Long)].collect().toMap
+      assert(cc2(40L) == 5L && cc2(6L) == 5L,
+        s"back-link must absorb the non-improving witness, got $cc2")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("anchor_chain")
     }
   }
 }
