@@ -205,6 +205,57 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Banding pays off only above this threshold (see the
+    * THRESHOLD-REGIME CONTRACT on [[cosinePairsBanded]]); below it the
+    * per-bit collision gap (p(τ) vs 0.5) cannot compound into real
+    * selectivity at any recall-viable band width. */
+  val NearDupBandedTauMin = 0.7
+
+  /** Above this threshold the per-bit gap is wide enough for 16-bit
+    * bands: p(0.9) ≈ 0.856, so a random pair collides in a given band
+    * with prob 2⁻¹⁶ while an exact duplicate always collides — the
+    * maximal-selectivity regime. */
+  val NearDupBandedNearExactTau = 0.9
+
+  /** Threshold-ROUTED near-duplicate pairs — the regime contract as an
+    * executable front door instead of scaladoc guidance (the r13 sweep
+    * measured the τ = 0.45 banded exemplar at α = 1.57 precisely
+    * because it ran the anti-regime; this router makes that
+    * misconfiguration impossible):
+    *
+    *  - τ < 0.7: [[cosinePairsBlocked]] — at low thresholds true pairs
+    *    are themselves Ω(n²) on any corpus dense enough to care, and no
+    *    (bands, rows) setting filters (reaching 10³× selectivity at
+    *    τ = 0.45 needs ~27-bit bands with ~10⁻⁶ recall), so the honest
+    *    plan is the exact block-pair equijoin: bounded tasks, no
+    *    CartesianProduct, no index to saturate.
+    *  - 0.7 ≤ τ < 0.9: [[cosinePairsBanded]] at 16 bands × 8 rows —
+    *    per-band random collision 2⁻⁸, candidates ≈ 16·n²/2·2⁻⁸ =
+    *    n²/32; recall at cos = τ is 1−(1−p(τ)⁸)¹⁶ ≥ 0.93 for τ ≥ 0.7
+    *    (p(0.7) ≈ 0.747 → 0.93; p(0.8) ≈ 0.795 → 0.98).
+    *  - τ ≥ 0.9: 8 bands × 16 rows — per-band random collision 2⁻¹⁶,
+    *    candidates ≈ 8·n²/2·2⁻¹⁶ = n²/16 384: four decades of pair
+    *    space gone before any verify. Exact/near-exact duplicates
+    *    (cos → 1, every hyperplane bit equal) are recalled with
+    *    probability 1; recall decays toward the τ boundary
+    *    (1−(1−p(0.9)¹⁶)⁸ ≈ 0.30 at cos exactly 0.9 — measured against
+    *    the exact pairs in SimilarityPlanSpec), the standard
+    *    selectivity/tail-recall trade of narrow bands. Callers needing
+    *    high recall AT the 0.9 boundary should query at the 16×8 tier
+    *    via [[cosinePairsBanded]] directly.
+    *
+    * Band resolution is fixed PER REGIME (not per corpus size) so the
+    * operator replays deterministically in the SQL oracle at every
+    * scale — the adaptive alternative (resolution from n) would make
+    * the result a function of corpus cardinality. */
+  def nearDupPairs(corpus: DataFrame, tau: Double, dim: Int): DataFrame =
+    if (tau >= NearDupBandedNearExactTau)
+      cosinePairsBanded(corpus, tau, dim, bands = 8, rowsPerBand = 16)
+    else if (tau >= NearDupBandedTauMin)
+      cosinePairsBanded(corpus, tau, dim, bands = 16, rowsPerBand = 8)
+    else
+      cosinePairsBlocked(corpus, tau)
+
   /** IVF (inverted-file) approximate top-k: assign every corpus vector
     * to its nearest of `nLists` centroids (one partition pass), then
     * search each probe only in the `nProbe` centroid cells nearest to

@@ -57,17 +57,50 @@ object Vectors {
       Similarity.cosinePairsBlocked(corpus, 0.45).orderBy("id_a", "id_b")
     },
 
-    // Banded-LSH candidates + exact-cosine verify — the sub-quadratic
-    // approximate near-dup path. The oracle replays the whole index in
-    // SQL (band keys from literal hyperplanes, bucket equijoin, exact
-    // verify), so approximation never diverges from the gate; recall
-    // vs the exact pairs is measured in SimilarityPlanSpec.
+    // Threshold-ROUTED near-dup pairs (Similarity.nearDupPairs): the
+    // r13 sweep adjudicated the old τ = 0.45 banded exemplar as
+    // running its own contract's anti-regime (α = 1.57 — banding
+    // cannot filter at low τ, and true pairs are Ω(n²) anyway), so the
+    // registry row now showcases the ROUTER: τ = 0.48 < 0.7 dispatches
+    // to the blocked exact block-pair equijoin — bounded tasks, no
+    // index to saturate — and the oracle is the plain exact SQL. The
+    // banded path is exercised in its OWN regime by
+    // q_embed_dup_banded_hi below.
     "q_embed_dup_lsh" -> QueryDef(
-      "embedding near-duplicate pairs via banded LSH + exact verify",
-      bandedOracleSql(bands = 8, rowsPerBand = 4, dim = 64, tau = 0.45)) { (spark, dir) =>
+      "embedding near-duplicate pairs, threshold-routed (low τ → blocked exact scan)",
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.48
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
       val corpus = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
-      Similarity.cosinePairsBanded(corpus, 0.45, dim = 64, bands = 8, rowsPerBand = 4)
-        .orderBy("id_a", "id_b")
+      Similarity.nearDupPairs(corpus, 0.48, dim = 64).orderBy("id_a", "id_b")
+    },
+
+    // Banded LSH in the regime its contract recommends (τ ≥ 0.9 → 8
+    // bands × 16 rows, per-band random collision 2⁻¹⁶): the synthetic
+    // embeddings have no cos ≥ 0.6 pairs, so the near-dup structure a
+    // real corpus would carry is derived deterministically from the
+    // table itself — every even vec_id contributes an exact duplicate
+    // at id + 10 000 000 (both engines build the same union). All
+    // qualifying pairs are those duplicates (cos = 1.0 agrees on every
+    // hyperplane bit → recall 1 by construction), candidates shrink by
+    // 2¹⁶ before any verify, and the oracle replays the full index in
+    // SQL so approximation still never diverges from the gate.
+    "q_embed_dup_banded_hi" -> QueryDef(
+      "banded-LSH near-exact duplicate pairs (τ = 0.9, selective 16-bit bands)",
+      bandedOracleSql(bands = 8, rowsPerBand = 16, dim = 64, tau = 0.9,
+        corpusCte =
+          """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |       UNION ALL
+            |       SELECT vec_id + 10000000, embedding::DOUBLE[]
+            |       FROM embeddings WHERE vec_id % 2 = 0""".stripMargin)) { (spark, dir) =>
+      val e = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      val corpus = e.unionByName(
+        e.where(col("nid") % 2 === 0)
+          .select((col("nid") + 10000000L).as("nid"), col("vec")))
+      Similarity.nearDupPairs(corpus, 0.9, dim = 64).orderBy("id_a", "id_b")
     },
 
     // IVF variant: centroid cells + nProbe search — the second
@@ -560,7 +593,9 @@ object Vectors {
     * literal hyperplanes (same [[Similarity.planeSign]] planes, same
     * rounded sign convention), bucket self-join, per-pair dedup, exact
     * cosine verify — the full index replayed in SQL. */
-  private def bandedOracleSql(bands: Int, rowsPerBand: Int, dim: Int, tau: Double): String = {
+  private def bandedOracleSql(bands: Int, rowsPerBand: Int, dim: Int, tau: Double,
+      corpusCte: String =
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     val keys = (0 until bands).map { m =>
       val bits = (0 until rowsPerBand).map { j =>
         val plane = (0 until dim)
@@ -570,7 +605,7 @@ object Vectors {
       }.mkString(" + ")
       s"(${m.toLong * (1L << rowsPerBand)} + $bits)"
     }.mkString(",\n       ")
-    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH d AS ($corpusCte),
        |e AS (SELECT vec_id, v, unnest([$keys]) AS bk FROM d),
        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |           any_value(a.v) AS va, any_value(b.v) AS vb

@@ -63,7 +63,7 @@ class SimilarityPlanSpec extends SparkSpec {
 
   test("pair queries plan as keyed joins: no cartesian, no nested loop") {
     withoutAqe {
-      for (name <- Seq("q_embed_dup", "q_embed_dup_lsh")) {
+      for (name <- Seq("q_embed_dup", "q_embed_dup_lsh", "q_embed_dup_banded_hi")) {
         val plan = concretePlan(Registry.all(name).build(spark, dir)).toString
         assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
@@ -168,6 +168,39 @@ class SimilarityPlanSpec extends SparkSpec {
     // must still find a solid fraction. Real near-dups (cos ≥ 0.8)
     // band-match with probability ~1.
     assert(recall >= 0.4, s"banded recall $recall (${banded.size}/${exact.size})")
+  }
+
+  test("nearDupPairs routes by threshold regime and keeps exactness per regime") {
+    // low τ → the blocked exact scan, bit-for-bit
+    val routedLow = Similarity.nearDupPairs(corpus, 0.45, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.cosinePairsBlocked(corpus, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(routedLow == blocked && routedLow.nonEmpty,
+      "τ < 0.7 must dispatch to the exact blocked scan")
+
+    // near-exact regime: planted exact duplicates (identical vector →
+    // identical band bits) are recalled with probability 1 through the
+    // 8×16 selective tier, and the exact verify admits nothing else
+    // from this corpus (no true pairs ≥ 0.9 besides the plants)
+    val planted = corpus.unionByName(
+      corpus.where(col("nid") % 2 === 0)
+        .select((col("nid") + 10000000L).as("nid"), col("vec")))
+    val hi = Similarity.nearDupPairs(planted, 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = corpus.where(col("nid") % 2 === 0)
+      .select(col("nid")).as[Long].collect()
+      .map(i => (i, i + 10000000L, 1.0)).toSet
+    assert(hi.toSet == expected && expected.nonEmpty,
+      s"high-τ routing must recall every planted duplicate: got ${hi.length}, " +
+        s"want ${expected.size}")
+
+    // the mid tier (0.7 ≤ τ < 0.9) uses the wider 16×8 bands and also
+    // has recall 1 on exact duplicates
+    val mid = Similarity.nearDupPairs(planted, 0.7, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.map(p => (p._1, p._2)).subsetOf(mid),
+      "mid-τ routing must keep the planted duplicates")
   }
 
   test("PQ: codebook vectors self-encode at distance 0; corpus never broadcasts") {
