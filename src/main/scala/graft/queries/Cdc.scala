@@ -38,6 +38,72 @@ object Cdc {
       |      FROM events) t
       |WHERE rn = 1""".stripMargin
 
+  /** Shared min/max-retraction replay for q_incr_minmax and
+    * q_incr_minmax_durable — identical changelog waves, identical
+    * rollup; only the LATEST-state persistence differs (memory
+    * localCheckpoint vs bucketed-parquet delta generations). The r13
+    * sweep attributed q_incr_minmax's sf0.3→sf1 step to the memory
+    * backend's O(state) per-batch snapshot rewrite; the durable
+    * variant exists so that attribution is a measured A/B (same query,
+    * same data, backends swapped), not a sentence. */
+  private def minmaxReplay(spark: SparkSession, dir: String,
+      backend: graft.streaming.StateBackend): DataFrame = {
+    import graft.streaming.IncrementalAggregate
+    val dec = DecimalType(18, 2)
+    val base = t(spark, dir)("orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("g"),
+      col("o_totalprice").cast(dec).as("v"))
+    val loW = Window.partitionBy("g").orderBy(col("v"), col("k"))
+    val hiW = Window.partitionBy("g").orderBy(col("v").desc, col("k"))
+    val ranked = Ckpt.mem(base
+      .withColumn("rn_lo", row_number().over(loW))
+      .withColumn("rn_hi", row_number().over(hiW)))
+    val nullTomb = (rows: DataFrame, off: Column) => rows.select(
+      col("k"), off.as("offset"),
+      lit(null).cast(StringType).as("g"), lit(null).cast(dec).as("v"))
+    val inserts = (0 until 2).map(i =>
+      base.where(pmod(col("k"), lit(2)) === i)
+        .select(col("k"), (col("k") * 10 + i).as("offset"), col("g"), col("v")))
+    val tombLo = nullTomb(ranked.where(col("rn_lo") <= 12), col("k") * 10 + 2)
+    val tombHi = nullTomb(ranked.where(col("rn_hi") <= 3 && col("rn_lo") > 12),
+      col("k") * 10 + 3)
+    val reprice = ranked.where(col("rn_lo") > 12 && col("rn_hi") > 3 &&
+        col("k") % 23 === 0)
+      .select(col("k"), (col("k") * 10 + 4).as("offset"), col("g"),
+        (col("v") * 3).cast(dec).as("v"))
+    val finalState = (inserts :+ tombLo :+ tombHi :+ reprice)
+      .foldLeft(IncrementalAggregate.empty(spark, k = 8)) { (s, b) =>
+        val r = IncrementalAggregate.applyBatch(s, b, backend)
+        backend.gc() // between batches, as the engine does
+        r
+      }
+    IncrementalAggregate.rollup(finalState)
+      .select(col("g"), col("cnt"),
+        col("s").cast(DoubleType).as("total"),
+        col("mn").cast(DoubleType).as("mn"),
+        col("mx").cast(DoubleType).as("mx"))
+      .orderBy("g")
+  }
+
+  private val minmaxOracleSql =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS g,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+      |del_lo AS (SELECT k FROM (
+      |    SELECT k, row_number() OVER (PARTITION BY g ORDER BY v, k) AS rn
+      |    FROM base) WHERE rn <= 12),
+      |del_hi AS (SELECT k FROM (
+      |    SELECT k, row_number() OVER (PARTITION BY g ORDER BY v DESC, k) AS rn
+      |    FROM base) WHERE rn <= 3),
+      |del AS (SELECT k FROM del_lo UNION SELECT k FROM del_hi),
+      |fin AS (SELECT k, g,
+      |         CASE WHEN k % 23 = 0 THEN CAST(v * 3 AS DECIMAL(18,2)) ELSE v END AS v
+      |       FROM base WHERE k NOT IN (SELECT k FROM del))
+      |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(v) AS DOUBLE) AS total,
+      |       CAST(min(v) AS DOUBLE) AS mn,
+      |       CAST(max(v) AS DOUBLE) AS mx
+      |FROM fin GROUP BY g ORDER BY g""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Q-LATEST: latest-per-key compaction of a keyed change stream.
@@ -306,55 +372,29 @@ object Cdc {
     // from-scratch exactly, extremes included.
     "q_incr_minmax" -> QueryDef(
       "incrementally maintained min/max under extreme-deleting retraction",
-      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS g,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
-        |del_lo AS (SELECT k FROM (
-        |    SELECT k, row_number() OVER (PARTITION BY g ORDER BY v, k) AS rn
-        |    FROM base) WHERE rn <= 12),
-        |del_hi AS (SELECT k FROM (
-        |    SELECT k, row_number() OVER (PARTITION BY g ORDER BY v DESC, k) AS rn
-        |    FROM base) WHERE rn <= 3),
-        |del AS (SELECT k FROM del_lo UNION SELECT k FROM del_hi),
-        |fin AS (SELECT k, g,
-        |         CASE WHEN k % 23 = 0 THEN CAST(v * 3 AS DECIMAL(18,2)) ELSE v END AS v
-        |       FROM base WHERE k NOT IN (SELECT k FROM del))
-        |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
-        |       CAST(sum(v) AS DOUBLE) AS total,
-        |       CAST(min(v) AS DOUBLE) AS mn,
-        |       CAST(max(v) AS DOUBLE) AS mx
-        |FROM fin GROUP BY g ORDER BY g""".stripMargin) { (spark, dir) =>
-      import graft.streaming.IncrementalAggregate
-      val dec = DecimalType(18, 2)
-      val base = t(spark, dir)("orders").select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("g"),
-        col("o_totalprice").cast(dec).as("v"))
-      val loW = Window.partitionBy("g").orderBy(col("v"), col("k"))
-      val hiW = Window.partitionBy("g").orderBy(col("v").desc, col("k"))
-      val ranked = Ckpt.mem(base
-        .withColumn("rn_lo", row_number().over(loW))
-        .withColumn("rn_hi", row_number().over(hiW)))
-      val nullTomb = (rows: DataFrame, off: Column) => rows.select(
-        col("k"), off.as("offset"),
-        lit(null).cast(StringType).as("g"), lit(null).cast(dec).as("v"))
-      val inserts = (0 until 2).map(i =>
-        base.where(pmod(col("k"), lit(2)) === i)
-          .select(col("k"), (col("k") * 10 + i).as("offset"), col("g"), col("v")))
-      val tombLo = nullTomb(ranked.where(col("rn_lo") <= 12), col("k") * 10 + 2)
-      val tombHi = nullTomb(ranked.where(col("rn_hi") <= 3 && col("rn_lo") > 12),
-        col("k") * 10 + 3)
-      val reprice = ranked.where(col("rn_lo") > 12 && col("rn_hi") > 3 &&
-          col("k") % 23 === 0)
-        .select(col("k"), (col("k") * 10 + 4).as("offset"), col("g"),
-          (col("v") * 3).cast(dec).as("v"))
-      val finalState = (inserts :+ tombLo :+ tombHi :+ reprice)
-        .foldLeft(IncrementalAggregate.empty(spark, k = 8))(
-          IncrementalAggregate.applyBatch)
-      IncrementalAggregate.rollup(finalState)
-        .select(col("g"), col("cnt"),
-          col("s").cast(DoubleType).as("total"),
-          col("mn").cast(DoubleType).as("mn"),
-          col("mx").cast(DoubleType).as("mx"))
-        .orderBy("g")
+      minmaxOracleSql) { (spark, dir) =>
+      minmaxReplay(spark, dir, graft.streaming.StateBackend.Memory)
+    },
+
+    // The SAME min/max replay with the latest state on the DURABLE
+    // bucketed-parquet backend (delta generations, compactEvery = 8 so
+    // the whole 5-batch replay after the first persist rides the
+    // O(delta) path — no mid-replay compaction). Paired with
+    // q_incr_minmax this is the measured A/B for the r13 sweep's
+    // sf0.3→sf1 step attribution: the memory backend re-snapshots the
+    // FULL latest state every batch (O(state)); the durable path
+    // writes only each batch's change set. Same oracle — durability
+    // must be invisible in the result.
+    "q_incr_minmax_durable" -> QueryDef(
+      "min/max retraction replay with latest state on durable delta generations",
+      minmaxOracleSql) { (spark, dir) =>
+      val stateRoot = "file://" +
+        java.nio.file.Files.createTempDirectory("graft_q_incr_minmax_dur")
+      val b = new BucketedParquetBackend(spark, stateRoot,
+        buckets = 8, compactEvery = 8)
+      val out = Ckpt.mem(minmaxReplay(spark, dir, b))
+      b.deleteAll()
+      out
     },
 
     // Sessionization: session_window with a 30-minute gap — the

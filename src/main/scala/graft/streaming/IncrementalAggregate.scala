@@ -236,7 +236,22 @@ object IncrementalAggregate {
     * the same anti-join + union fold the engine's snapshot tables use.
     * The candidate merge runs as a typed map over the rollup join —
     * per-row work is bounded by k + that group's batch traffic. */
-  def applyBatch(state: State, changes: DataFrame): State = {
+  def applyBatch(state: State, changes: DataFrame): State =
+    applyBatch(state, changes, StateBackend.Memory)
+
+  /** [[applyBatch]] with the LATEST-state table persisted through an
+    * explicit [[StateBackend]]. The memory backend re-materializes the
+    * full latest frame every batch (localCheckpoint — O(state)/batch
+    * by design, fine for bench envelopes); a durable backend receives
+    * the batch's change set as a persist delta — `rows` = the
+    * compacted non-tombstones, `keys` = every compacted key — so its
+    * write cost is O(delta) (generation-chained, bucket-aligned:
+    * [[BucketedParquetBackend]]), the deployment shape for 100×
+    * state. The rollup/candidate table stays on the memory path
+    * either way: it is ≤ |groups| rows, rollup-table-sized, not
+    * state-sized. */
+  def applyBatch(state: State, changes: DataFrame,
+      backend: StateBackend): State = {
     val spark = changes.sparkSession
     import spark.implicits._
     val kk = state.k
@@ -250,10 +265,12 @@ object IncrementalAggregate {
         (coalesce(col("s"), lit(0).cast(sumType)) +
           coalesce(col("dv"), lit(0).cast(sumType))).cast(sumType).as("s"))
       .where(col("cnt") > 0)
-    val newLatest = state.latest.join(cc.select("k"), Seq("k"), "left_anti")
-      .unionByName(cc.where(col("g_new").isNotNull)
-        .select(col("k"), col("g_new").as("g"), col("v_new").as("v")))
-      .graftCkptMem()
+    val rows = cc.where(col("g_new").isNotNull)
+      .select(col("k"), col("g_new").as("g"), col("v_new").as("v"))
+    val newLatest = backend.persist("ivm_agg_latest",
+      state.latest.join(cc.select("k"), Seq("k"), "left_anti")
+        .unionByName(rows),
+      delta = Some((rows, cc.select("k"))))
     if (kk == 0) // count/sum-only rollup: no candidate work at all
       return State(newLatest, mergedAgg.graftCkptMem(), kk)
     val mergedCand = state.agg

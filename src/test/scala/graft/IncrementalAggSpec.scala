@@ -180,4 +180,43 @@ class IncrementalAggSpec extends SparkSpec {
       .select("g").as[String].collect().toSet
     assert(touched == Set("B", "D"), s"delta touched $touched")
   }
+
+  test("durable backend: same rollup as memory, and batches 2+ ride the DELTA path") {
+    val root = java.nio.file.Files.createTempDirectory("graft_agg_dur")
+    val backend = new graft.streaming.BucketedParquetBackend(
+      spark, "file://" + root, buckets = 4, compactEvery = 8)
+    try {
+      val batches = Seq(
+        changes((1L, 1L, "A", "1.00"), (2L, 2L, "A", "2.00"),
+          (3L, 3L, "B", "3.00"), (4L, 4L, "B", "9.00")),
+        changes((5L, 5L, "A", "0.50"), (2L, 6L, "B", "7.00")),
+        Seq((4L, 7L, null: String, null: String))
+          .toDF("k", "offset", "g", "v")
+          .select(col("k"), col("offset"), col("g"), col("v").cast(dec).as("v")))
+      var mem = empty(spark, k = 2)
+      var dur = empty(spark, k = 2)
+      batches.foreach { b =>
+        mem = applyBatch(mem, b)
+        dur = applyBatch(dur, b, backend)
+      }
+      assert(mmRows(dur) == mmRows(mem), "backends must agree exactly")
+      assert(mmRows(dur) == mmExpect(dur))
+      // the latest-state chain on disk must be g1 FULL + g2,g3 DELTA —
+      // proof the durable path wrote O(delta), not a snapshot per batch
+      val gens = new java.io.File(root.toFile, "ivm_agg_latest")
+        .listFiles().map(_.getName).sorted.toSeq
+      assert(gens == Seq("g1", "g2", "g3"), s"generations: $gens")
+      def kind(g: String) = {
+        val m = new java.io.File(root.toFile, s"ivm_agg_latest/$g/_MANIFEST")
+        val src = scala.io.Source.fromFile(m)
+        try { if (src.mkString.contains("delta")) "delta" else "full" }
+        finally src.close()
+      }
+      assert(kind("g1") == "full" && kind("g2") == "delta" &&
+        kind("g3") == "delta",
+        s"chain kinds: ${gens.map(g => g -> kind(g))}")
+    } finally {
+      backend.deleteAll()
+    }
+  }
 }
