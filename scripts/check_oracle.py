@@ -31,7 +31,9 @@ tables = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 for t in tables:
     p = f"{sfdir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # ScaleGen output: a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))

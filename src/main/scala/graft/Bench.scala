@@ -43,17 +43,39 @@ object BenchCore {
       s"leaked state tables after release: ${leakedTables.mkString(",")}")
   }
 
-  /** All query names in the canonical bench order: sorted, with the
-    * q_stream_* family LAST — each streaming pipeline spins up a
-    * checkpointed state-store runtime whose setup/teardown and GC
-    * footprint measurably bleeds into whatever runs next in a shared
-    * JVM (see BENCH_AB_r10.md). */
+  /** All query names in the canonical bench order: the PINNED manifest
+    * order (`bench_order.txt`, frozen at the r13 registry) first, then
+    * any newer names alphabetically — with the q_stream_* family LAST
+    * either way (each streaming pipeline spins up a checkpointed
+    * state-store runtime whose setup/teardown and GC footprint
+    * measurably bleeds into whatever runs next in a shared JVM, see
+    * BENCH_AB_r10.md).
+    *
+    * WHY a manifest and not plain sort: shards are fixed-size groups
+    * over this sequence, so a plain sort lets one mid-alphabet
+    * addition shift EVERY later query's session position (and push
+    * shard boundaries), which is exactly the position tax the sharded
+    * protocol exists to pin (r11/r12's ±40% same-code swings). With
+    * the manifest, adding queries appends them after the frozen order
+    * within their family — existing positions never move, and the
+    * round-over-round pair stays comparable. Names that leave the
+    * registry simply drop out; the manifest need not be edited. */
   def orderedNames(only: Option[Set[String]]): Seq[String] = {
     val all = SparkEntry.queries.keys.toSeq
+    val manifest = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_ORDER", "bench_order.txt"))
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readAllLines(p)
+          .toArray(Array.empty[String]).toSeq.map(_.trim).filter(_.nonEmpty)
+      else Seq.empty[String]
+    }
+    val pos = manifest.zipWithIndex.toMap
     (only match {
       case Some(names) => all.filter(names)
       case None => all
-    }).sortBy(n => (n.startsWith("q_stream_"), n))
+    }).sortBy(n =>
+      (n.startsWith("q_stream_"), pos.getOrElse(n, Int.MaxValue), n))
   }
 
   case class SessionResult(
