@@ -566,8 +566,21 @@ object Similarity {
   /** Per-band bucket keys for [[cosinePairsBanded]]: band `m` uses
     * planes m·rowsPerBand … m·rowsPerBand+rowsPerBand-1 and its key
     * embeds the band index, so buckets from different bands never
-    * collide. */
+    * collide. Computed by the fused codegen expression
+    * ([[graft.functions.LshBandKeysExpr]]) — the composed column form
+    * below is numerically identical but pays bands×rowsPerBand
+    * interpreted `aggregate(zip_with(...))` dot products per row (128
+    * array allocations/row at the 8×16 tier — it dominated the r14
+    * sweep's q_embed_dup_banded_hi times before the fusion). */
   def lshBandKeys(vec: Column, dim: Int, bands: Int, rowsPerBand: Int): Column =
+    graft.functions.LshBandKeysExpr.bandKeys(
+      vec, dim, bands, rowsPerBand, planeSign)
+
+  /** The reference column-composed form of [[lshBandKeys]] — kept for
+    * the parity property in SimilarityPlanSpec (the fused expression
+    * must reproduce it bit-for-bit, rounding convention included). */
+  private[graft] def lshBandKeysColumns(
+      vec: Column, dim: Int, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { m =>
       val bits = (0 until rowsPerBand).map { j =>
         val plane = array((0 until dim).map(d =>

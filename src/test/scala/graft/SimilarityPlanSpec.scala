@@ -170,6 +170,44 @@ class SimilarityPlanSpec extends SparkSpec {
     assert(recall >= 0.4, s"banded recall $recall (${banded.size}/${exact.size})")
   }
 
+  test("fused LSH band keys reproduce the column-composed form bit-for-bit") {
+    for ((b, r) <- Seq((8, 4), (16, 8), (8, 16))) {
+      val fused = corpus
+        .select(col("nid"), Similarity.lshBandKeys(col("vec"), 64, b, r).as("k"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+      val composed = corpus
+        .select(col("nid"),
+          Similarity.lshBandKeysColumns(col("vec"), 64, b, r).as("k"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+      assert(fused == composed, s"band-key mismatch at ${b}x$r")
+    }
+    // the on-a-plane rounding boundary (|dot| <= 1e-6, where the fused
+    // expression switches to exact BigDecimal): -5e-7 rounds HALF_UP
+    // away from zero to -1e-6 (bit 0), -4e-7 rounds to -0.0 (bit 1,
+    // since -0.0 >= 0) — both engines and both forms must agree
+    val edge = Seq((1L, Seq(-5e-7)), (2L, Seq(-4e-7)), (3L, Seq(5e-7)))
+      .toDF("nid", "vec")
+    def keys1(c: org.apache.spark.sql.Column) =
+      edge.select(col("nid"), c.as("k"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Long](1).head).toMap
+    val f1 = keys1(Similarity.lshBandKeys(col("vec"), 1, 1, 1))
+    val c1 = keys1(Similarity.lshBandKeysColumns(col("vec"), 1, 1, 1))
+    assert(f1 == c1, s"plane-boundary divergence: $f1 vs $c1")
+    // expectation from the DEFINING convention (Spark round =
+    // BigDecimal.valueOf(double) — the SHORTEST-DECIMAL form — at
+    // scale 6, HALF_UP; the exact-binary `new BigDecimal(double)`
+    // differs for 5e-7 and was this test's first real catch):
+    val sign0 = Similarity.planeSign(0, 0)
+    val expect = Map(1L -> -5e-7, 2L -> -4e-7, 3L -> 5e-7).map {
+      case (k, v) =>
+        val dot = v * sign0
+        val r = java.math.BigDecimal.valueOf(dot)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        k -> (if (r >= 0) 1L else 0L)
+    }
+    assert(f1 == expect, s"got $f1, want $expect (plane sign $sign0)")
+  }
+
   test("nearDupPairs routes by threshold regime and keeps exactness per regime") {
     // low τ → the blocked exact scan, bit-for-bit
     val routedLow = Similarity.nearDupPairs(corpus, 0.45, dim = 64)
