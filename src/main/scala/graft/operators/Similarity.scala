@@ -544,10 +544,27 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component d of plane m is
-    * ±1 by the parity of a xorshift of (m * dim + d). */
+    * ±1 by bit 0 of a splitmix64-style avalanche mix of (m, d).
+    *
+    * WHY the multiply mix (r14 sweep catch): the original
+    * xorshift-of-affine-input had no avalanche — xorshift is
+    * GF(2)-LINEAR, so each output bit was a fixed XOR of input bits
+    * and the sign was effectively linear in (m, d). Consequence:
+    * consecutive planes were near-exact NEGATIONS (1-2/64 component
+    * agreement), so a "16-bit" band carried ~2 effective bits — at
+    * sf1 (30k vectors) the 8×16 tier concentrated 266M candidate
+    * pairs in the two alternating-bit buckets 0x5555/0xAAAA instead
+    * of the ~65k a real 2¹⁶ bucket space gives, and the r13 "banding
+    * saturates at every resolution" measurement was partly THIS
+    * degeneracy, not banding fundamentals. splitmix64's two
+    * multiply-xorshift rounds are the standard finalizer with
+    * measured avalanche; consecutive planes now agree on ~32/64
+    * components (independent), pinned in SimilarityPlanSpec. */
   def planeSign(m: Int, d: Int): Double = {
-    var x = (m.toLong * 1048573L + d.toLong * 31L + 1013904223L)
-    x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+    var x = m.toLong * 8191L + d.toLong + 0x9E3779B97F4A7C15L
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
     if ((x & 1L) == 0L) 1.0 else -1.0
   }
 

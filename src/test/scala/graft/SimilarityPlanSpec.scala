@@ -170,6 +170,26 @@ class SimilarityPlanSpec extends SparkSpec {
     assert(recall >= 0.4, s"banded recall $recall (${banded.size}/${exact.size})")
   }
 
+  test("hyperplanes are pairwise independent (no GF(2)-linear degeneracy)") {
+    // r14 sweep catch: the original xorshift planeSign was linear in
+    // (m, d) — consecutive planes agreed on 1-2/64 components (near
+    // negations), collapsing every 16-bit band to ~2 effective bits
+    // and concentrating 266M sf1 candidate pairs in two buckets. Any
+    // future "simplification" of the mixer that reintroduces structure
+    // must fail here: consecutive-plane agreement stays in the
+    // binomial(64, 1/2) range, and no plane is constant or balanced
+    // to an extreme.
+    for (p <- 0 until 127) {
+      val a = (0 until 64).map(d => Similarity.planeSign(p, d))
+      val b = (0 until 64).map(d => Similarity.planeSign(p + 1, d))
+      val agree = a.zip(b).count { case (x, y) => x == y }
+      assert(agree >= 16 && agree <= 48,
+        s"planes $p,${p + 1} agree on $agree/64 — correlated hyperplanes")
+      val pos = a.count(_ > 0)
+      assert(pos >= 16 && pos <= 48, s"plane $p is unbalanced: $pos/64 positive")
+    }
+  }
+
   test("fused LSH band keys reproduce the column-composed form bit-for-bit") {
     for ((b, r) <- Seq((8, 4), (16, 8), (8, 16))) {
       val fused = corpus
