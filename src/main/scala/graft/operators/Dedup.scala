@@ -336,6 +336,24 @@ object Dedup {
     // the loop runs over distinct SETS, fanning doc ids back out after.
     if (denseUniverseMax > 0) {
       val universe = dfs.count()
+      if (universe > denseUniverseMax) {
+        // DENSITY probe (r14 sweep catch at sf3): the universe crossed
+        // the bitmap cap for the first time and the operator fell
+        // through to prefix filtering — which its own analysis says
+        // detonates when no gram is rare. Whether prefix filtering can
+        // work is a property of the DF DISTRIBUTION, not the universe
+        // size: a doc's prefix grams are its rarest, so if even the
+        // 10th-percentile gram frequency is high, every candidate list
+        // is huge and the "filter" materializes ~all pairs. One tiny
+        // aggregate over the U-row df table decides; dense corpora
+        // with big universes go to the sorted-array blocked scan
+        // (same component blocking, representation that scales with
+        // |set| instead of U).
+        val p10df = dfs.stat
+          .approxQuantile("df", Array(0.1), 0.001).head
+        if (p10df > ContainmentPrefixRareDfMax)
+          return containmentDenseBlockedArrays(g, dfs, tauNum, tauDen)
+      }
       if (universe <= denseUniverseMax) {
         // Second adaptivity axis, CORPUS size: the broadcast pair scan
         // is O(n²) in the WHOLE corpus — unbeatable to ~4·10⁸ pairs
@@ -397,6 +415,15 @@ object Dedup {
     * corpora switch to prefix candidates + bitmap verify (see the
     * decision comment in [[containmentPairs]]). */
   val ContainmentPairScanMaxDocs: Long = 20000L
+
+  /** Prefix filtering is routed to only when the 10th-percentile
+    * document frequency is at or below this: a doc's prefix grams are
+    * its RAREST, so p10(df) bounds the typical per-prefix-gram
+    * candidate fan-out. Above it no gram is rare — the corpus is
+    * dense regardless of universe size, and the blocked scans own it
+    * (r14: the sf3 corpus measured p10(df) ≈ 39 at U = 52k and the
+    * prefix path died; real sparse corpora measure p10(df) = 1). */
+  val ContainmentPrefixRareDfMax: Double = 8.0
 
   /** Dense-universe containment: gram → dense id over the sorted
     * dictionary, each doc's gram set as a fixed-width bitset, ordered
@@ -492,6 +519,62 @@ object Dedup {
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("n_src"),
         BitmapExpr.bitmapAndCount(col("bma"), col("bmb")).as("n_shared"))
+      .where(col("n_shared") * tauDen >= col("n_src") * tauNum)
+      .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / col("n_src"), 6)
+          .as("containment"))
+  }
+
+  /** Dense-universe containment for LARGE corpora whose gram universe
+    * ALSO outgrew the bitmap representation (U > denseUniverseMax, so
+    * a U-bit map per doc is no longer the compact form): identical
+    * gram-connected-component blocking + salted within-component scan
+    * as [[containmentDenseBlocked]], but the per-doc payload is the
+    * SORTED gram-id array (4·|set| bytes — for |set| ≪ U far smaller
+    * than the bitmap) and the intersection is a linear merge
+    * ([[graft.functions.SortedIntersectExpr]]). Same output, same
+    * Σ_b |block|² pair space, no representation cliff as U grows.
+    *
+    * This tier exists because of an r14 sweep catch: at sf3 the gram
+    * universe (52k) crossed the bitmap cap for the FIRST time and the
+    * operator fell through to prefix filtering — the path its own
+    * scaladoc documents as detonating on dense corpora (no gram is
+    * rare ⇒ candidates ≈ all pairs, materialized) — and died after
+    * ~300 s of spill. Representation must degrade to arrays, never to
+    * prefix, when the corpus is dense (see the routing in
+    * [[containmentPairs]]). */
+  private def containmentDenseBlockedArrays(g: DataFrame, dfs: DataFrame,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SortedIntersectExpr
+    val dict = dfs.select(col("gram"))
+      .withColumn("gid",
+        (row_number().over(Window.orderBy("gram")) - 1).cast(IntegerType))
+    val docsArr = g.join(broadcast(dict), "gram")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      .select(col("id"), size(col("gids")).cast(LongType).as("n"),
+        col("gids"))
+      .graftCkptMem()
+    val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
+    val edges = g.join(gramRep, "gram")
+      .where(col("id") =!= col("rep"))
+      .select(col("id").as("doc_a"), col("rep").as("doc_b"))
+      .distinct()
+    val comp = connectedComponents(edges, "doc_a", "doc_b")
+      .select(col("id"), col("component"))
+    val bmc = docsArr.join(comp, "id").graftCkptMem()
+    val s = math.max(4, g.sparkSession.sparkContext.defaultParallelism / 4)
+    val a = bmc.select(col("component"), pmod(col("id"), lit(s)).as("__salt"),
+      col("id").as("src"), col("n").as("n_src"), col("gids").as("ga"))
+    val b = bmc.select(col("component"),
+        explode(sequence(lit(0), lit(s - 1))).as("__salt"),
+        col("id").as("dst"), col("gids").as("gb"))
+    a.join(b, Seq("component", "__salt"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("n_src"),
+        SortedIntersectExpr.sortedIntersectCount(col("ga"), col("gb"))
+          .as("n_shared"))
       .where(col("n_shared") * tauDen >= col("n_src") * tauNum)
       .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
         round(col("n_shared").cast(DoubleType) / col("n_src"), 6)

@@ -95,4 +95,34 @@ class ContainmentSpec extends SparkSpec {
     assert(scan.nonEmpty)
     assert(scan == blocked, s"scan=$scan blocked=$blocked")
   }
+
+  test("big-universe dense corpus routes to the sorted-array blocked scan, same rows") {
+    // r14 sweep catch at sf3: a dense corpus whose gram universe
+    // outgrew the bitmap cap fell through to prefix filtering and
+    // died. With a universe cap below this corpus's universe and no
+    // rare grams (p10(df) high), the router must pick the
+    // sorted-array blocked scan — and produce exactly the bitmap
+    // path's rows.
+    val rnd = new scala.util.Random(31)
+    val base = Seq.fill(60)(
+      Seq.fill(60)(('a' + rnd.nextInt(4)).toChar).mkString)
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 5 == 2) base(i - 1).substring(0, 30) else t
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val arrs = TextAnalysis.gramArrays(rows, "doc_id", "text", 4)
+    // 4-symbol alphabet, 4-grams: universe ≤ 256 and every gram is
+    // frequent (p10(df) ≫ 8) — cap at 16 to simulate sf3's crossing
+    val arrays = Dedup.containmentPairs(arrs, "doc_id", 3, 4,
+        denseUniverseMax = 16L)
+      .select("src", "dst", "n_src", "n_shared", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val bitmap = Dedup.containmentPairs(arrs, "doc_id", 3, 4,
+        denseUniverseMax = Long.MaxValue)
+      .select("src", "dst", "n_src", "n_shared", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(bitmap.nonEmpty)
+    assert(arrays == bitmap, s"arrays=$arrays bitmap=$bitmap")
+  }
 }
