@@ -303,7 +303,8 @@ object Dedup {
       tauNum: Long,
       tauDen: Long,
       denseUniverseMax: Long = ContainmentDenseUniverseMax,
-      pairScanMaxDocs: Long = ContainmentPairScanMaxDocs): DataFrame = {
+      pairScanMaxDocs: Long = ContainmentPairScanMaxDocs,
+      blockPairBudget: Long = ContainmentBlockPairBudget): DataFrame = {
     // tau = 0 degenerates to "emit every ordered pair": the blocked
     // dense path only pairs docs sharing >=1 gram (cross-component and
     // isolated docs are dropped BY CONSTRUCTION), which equals the
@@ -336,41 +337,57 @@ object Dedup {
     // the loop runs over distinct SETS, fanning doc ids back out after.
     if (denseUniverseMax > 0) {
       val universe = dfs.count()
-      if (universe > denseUniverseMax) {
-        // DENSITY probe (r14 sweep catch at sf3): the universe crossed
-        // the bitmap cap for the first time and the operator fell
-        // through to prefix filtering — which its own analysis says
-        // detonates when no gram is rare. Whether prefix filtering can
-        // work is a property of the DF DISTRIBUTION, not the universe
-        // size: a doc's prefix grams are its rarest, so if even the
-        // 10th-percentile gram frequency is high, every candidate list
-        // is huge and the "filter" materializes ~all pairs. One tiny
-        // aggregate over the U-row df table decides; dense corpora
-        // with big universes go to the sorted-array blocked scan
-        // (same component blocking, representation that scales with
-        // |set| instead of U).
-        val p10df = dfs.stat
-          .approxQuantile("df", Array(0.1), 0.001).head
-        if (p10df > ContainmentPrefixRareDfMax)
-          return containmentDenseBlockedArrays(g, dfs, tauNum, tauDen)
-      }
-      if (universe <= denseUniverseMax) {
+      // DENSITY probe (r14 sweep catch at sf3): whether prefix
+      // filtering can work is a property of the DF DISTRIBUTION, not
+      // the universe size — a doc's prefix grams are its rarest, so if
+      // even the 10th-percentile gram frequency is high, no gram is
+      // rare and the corpus is DENSE at any universe. One tiny
+      // aggregate over the U-row df table decides. (The old router
+      // keyed the dense/sparse split on universe size alone; the sf3
+      // corpus crossed the bitmap cap and fell into the prefix path,
+      // which this same analysis says detonates there.)
+      val denseCorpus = universe <= denseUniverseMax ||
+        dfs.stat.approxQuantile("df", Array(0.1), 0.001).head >
+          ContainmentPrefixRareDfMax
+      if (denseCorpus) {
         // Second adaptivity axis, CORPUS size: the broadcast pair scan
         // is O(n²) in the WHOLE corpus — unbeatable to ~4·10⁸ pairs
         // (it never shuffles), but past the cutoff it pays quadratic
         // cost even when the match structure is block-local (the r13
         // scale sweep measured α = 1.40: 10× docs → 25× time, because
         // 10 disjoint sub-corpora were scanned as one 100× pair
-        // space). Large dense corpora switch to the gram-connected-
-        // component BLOCKED scan (containmentDenseBlocked): the pair
-        // space collapses to Σ_b |block|² — the true match structure —
-        // while a one-dense-block corpus degrades gracefully to the
-        // same square, salted across tasks instead of broadcast.
+        // space).
         val nDocs = g.select("id").distinct().count()
-        if (nDocs <= pairScanMaxDocs)
+        if (universe <= denseUniverseMax && nDocs <= pairScanMaxDocs)
           return containmentDense(g, dfs, universe, tauNum, tauDen)
-        else
-          return containmentDenseBlocked(g, dfs, universe, tauNum, tauDen)
+        // Third axis, COMPONENT structure: the blocked scans collapse
+        // the pair space to Σ_b |block|² — the true match structure
+        // when the corpus is a union of gram-disjoint communities. But
+        // that structure is an EMPIRICAL property, not a law: the r14
+        // sf3 corpus entangled its sub-corpora (every gram string
+        // recurred across alphabet rotations), the components merged
+        // into one giant block, and Σ|block|² degenerated to corpus²
+        // (2.25·10¹⁰ pair checks — the "blocked" scan timed out).
+        // So MEASURE Σ|block|² (one aggregate over the component
+        // sizes) and only block when it is budgeted; above the budget,
+        // giant components go to the prefix-candidate + streamed
+        // array-verify fallback, whose complete candidate stream is
+        // Σ_prefix df ≪ Σ|block|² exactly when components are dense.
+        val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
+        val compEdges = g.join(gramRep, "gram")
+          .where(col("id") =!= col("rep"))
+          .select(col("id").as("doc_a"), col("rep").as("doc_b"))
+          .distinct()
+        val comp = connectedComponents(compEdges, "doc_a", "doc_b")
+          .select(col("id"), col("component")).graftCkptMem()
+        val sumSq = comp.groupBy("component").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("s")).head().getLong(0)
+        if (sumSq <= blockPairBudget)
+          return if (universe <= denseUniverseMax)
+            containmentDenseBlocked(g, dfs, universe, tauNum, tauDen, comp)
+          else
+            containmentDenseBlockedArrays(g, dfs, tauNum, tauDen, comp)
+        return containmentDensePrefixVerify(g, dfs, tauNum, tauDen)
       }
     }
     val plen = (n: Column) =>
@@ -424,6 +441,15 @@ object Dedup {
     * (r14: the sf3 corpus measured p10(df) ≈ 39 at U = 52k and the
     * prefix path died; real sparse corpora measure p10(df) = 1). */
   val ContainmentPrefixRareDfMax: Double = 8.0
+
+  /** The blocked scans run only while Σ_b |block|² stays at or under
+    * this budget (~2·10⁹ pair checks — a minute of one 32-core node;
+    * scale the constant with cluster cores if needed). Beyond it the
+    * component structure has effectively collapsed (a giant block's
+    * Σ|block|² approaches corpus²) and the router uses
+    * [[containmentDensePrefixVerify]], whose work tracks
+    * Σ_prefix-grams df instead. */
+  val ContainmentBlockPairBudget: Long = 2L << 30
 
   /** Dense-universe containment: gram → dense id over the sorted
     * dictionary, each doc's gram set as a fixed-width bitset, ordered
@@ -484,7 +510,8 @@ object Dedup {
     * (O(log n) rounds) closes the transitive structure — cost linear
     * in the exploded gram table. */
   private def containmentDenseBlocked(g: DataFrame, dfs: DataFrame,
-      universe: Long, tauNum: Long, tauDen: Long): DataFrame = {
+      universe: Long, tauNum: Long, tauDen: Long,
+      comp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.BitmapExpr
     val nWords = ((universe + 63) / 64).toInt
@@ -498,16 +525,10 @@ object Dedup {
       .select(col("id"), size(col("gids")).cast(LongType).as("n"),
         BitmapExpr.bitmapBuild(col("gids"), nWords).as("bm"))
       .graftCkptMem()
-    // gram-sharing components: doc → its gram's min-doc representative
-    val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
-    val edges = g.join(gramRep, "gram")
-      .where(col("id") =!= col("rep"))
-      .select(col("id").as("doc_a"), col("rep").as("doc_b"))
-      .distinct()
-    val comp = connectedComponents(edges, "doc_a", "doc_b")
-      .select(col("id"), col("component"))
-    // docs absent from the edge graph share no gram with anyone —
+    // docs absent from the component map share no gram with anyone —
     // they can produce no pairs and drop out here by construction
+    // (comp comes pre-computed from the router, which also budgeted
+    // Σ|block|² before choosing this path)
     val bmc = docsBm.join(comp, "id").graftCkptMem()
     val s = math.max(4, g.sparkSession.sparkContext.defaultParallelism / 4)
     val a = bmc.select(col("component"), pmod(col("id"), lit(s)).as("__salt"),
@@ -544,7 +565,7 @@ object Dedup {
     * prefix, when the corpus is dense (see the routing in
     * [[containmentPairs]]). */
   private def containmentDenseBlockedArrays(g: DataFrame, dfs: DataFrame,
-      tauNum: Long, tauDen: Long): DataFrame = {
+      tauNum: Long, tauDen: Long, comp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.SortedIntersectExpr
     val dict = dfs.select(col("gram"))
@@ -556,13 +577,6 @@ object Dedup {
       .select(col("id"), size(col("gids")).cast(LongType).as("n"),
         col("gids"))
       .graftCkptMem()
-    val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
-    val edges = g.join(gramRep, "gram")
-      .where(col("id") =!= col("rep"))
-      .select(col("id").as("doc_a"), col("rep").as("doc_b"))
-      .distinct()
-    val comp = connectedComponents(edges, "doc_a", "doc_b")
-      .select(col("id"), col("component"))
     val bmc = docsArr.join(comp, "id").graftCkptMem()
     val s = math.max(4, g.sparkSession.sparkContext.defaultParallelism / 4)
     val a = bmc.select(col("component"), pmod(col("id"), lit(s)).as("__salt"),
@@ -579,6 +593,76 @@ object Dedup {
       .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
         round(col("n_shared").cast(DoubleType) / col("n_src"), 6)
           .as("containment"))
+  }
+
+  /** Dense-corpus containment when even the COMPONENT structure has
+    * collapsed (one giant gram-connected block, Σ|block|² ≈ corpus² —
+    * the r14 sf3 corpus, whose alphabet-rotated sub-corpora entangled
+    * through recurring gram strings): prefix CANDIDATES with a
+    * STREAMED array-merge verify.
+    *
+    * Completeness (pigeonhole): a pair at containment ≥ τ misses at
+    * most ⌊(1−τ)·n_src⌋ of src's grams, so at least one of src's
+    * ⌊(1−τ)·n_src⌋+1 RAREST grams (df asc) is shared — the candidate
+    * equijoin on those prefix grams finds every qualifying pair.
+    *
+    * Why this survives where both earlier prefix attempts died: the
+    * old sparse-path verify exploded (doc, gram) rows per candidate
+    * (measured 3.8 B rows at sf0.1-dense); here the candidate stream
+    * NEVER materializes — the prefix⋈posting join's output flows in
+    * the same stage through two BROADCAST lookups of the per-doc
+    * sorted-gid arrays and a codegen merge intersect
+    * ([[graft.functions.SortedIntersectExpr]]), and only τ-survivors
+    * (output-sized) reach the final distinct. Work is
+    * Σ_prefix-grams df (~2·10⁹ streamed checks at sf3, vs 2.25·10¹⁰
+    * blocked pair checks), shuffle is the gram-keyed candidate join's
+    * two linear sides.
+    *
+    * Memory contract: the per-doc array table broadcasts
+    * (4·|set| bytes/doc — ~180 MB for 150k docs × 200 grams). On a
+    * cluster corpus beyond broadcast size, replace the two broadcast
+    * lookups with a bucketed join on the candidate stream's src/dst —
+    * the candidate volume is the same; only the lookup transport
+    * changes. */
+  private def containmentDensePrefixVerify(g: DataFrame, dfs: DataFrame,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SortedIntersectExpr
+    val dict = dfs.select(col("gram"))
+      .withColumn("gid",
+        (row_number().over(Window.orderBy("gram")) - 1).cast(IntegerType))
+    val docsArr = g.join(broadcast(dict), "gram")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+      .select(col("id"), size(col("gids")).cast(LongType).as("n"),
+        col("gids"))
+      .graftCkptMem()
+    val w = Window.partitionBy("id").orderBy(col("df"), col("gram"))
+    val prefix = g.join(dfs, "gram")
+      .withColumn("rn", row_number().over(w))
+      .join(docsArr.select(col("id"), col("n")), "id")
+      .where(col("rn") <=
+        col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
+      .select(col("id").as("src"), col("gram"))
+      .graftCkptMem()
+    val aSide = docsArr.select(col("id").as("src"), col("n").as("n_src"),
+      col("gids").as("ga"))
+    val bSide = docsArr.select(col("id").as("dst"), col("gids").as("gb"))
+    prefix.join(g.select(col("id").as("dst"), col("gram")), "gram")
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .join(broadcast(aSide), "src")
+      .join(broadcast(bSide), "dst")
+      .select(col("src"), col("dst"), col("n_src"),
+        SortedIntersectExpr.sortedIntersectCount(col("ga"), col("gb"))
+          .as("n_shared"))
+      .where(col("n_shared") * tauDen >= col("n_src") * tauNum)
+      .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / col("n_src"), 6)
+          .as("containment"))
+      // a pair survives once per shared prefix gram — all its rows are
+      // identical, and only τ-survivors (output-sized) reach here
+      .distinct()
   }
 
   private[operators] def jaccardVerify(

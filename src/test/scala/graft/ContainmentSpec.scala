@@ -124,5 +124,15 @@ class ContainmentSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(bitmap.nonEmpty)
     assert(arrays == bitmap, s"arrays=$arrays bitmap=$bitmap")
+
+    // collapsed component structure (r14: one giant gram-entangled
+    // block, Σ|block|² ≈ corpus²): a zero pair budget forces the
+    // prefix-candidate + streamed-array-verify fallback — same rows
+    val prefixVerify = Dedup.containmentPairs(arrs, "doc_id", 3, 4,
+        denseUniverseMax = 16L, blockPairBudget = 0L)
+      .select("src", "dst", "n_src", "n_shared", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(prefixVerify == bitmap,
+      s"prefixVerify=$prefixVerify bitmap=$bitmap")
   }
 }
