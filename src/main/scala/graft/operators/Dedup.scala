@@ -378,11 +378,12 @@ object Dedup {
           .where(col("id") =!= col("rep"))
           .select(col("id").as("doc_a"), col("rep").as("doc_b"))
           .distinct()
-        // no ckpt: connectedComponents truncates its own lineage per
-        // round, so the two consumers (sumSq here, the block join in
-        // the chosen scan) re-run only the final cheap projection
+        // ckpt'd: comp is doc-count-sized (tiny) and has TWO consumers
+        // (the sumSq probe and the chosen scan's block join) — without
+        // the checkpoint each consumer re-runs the CC final round's
+        // join, measured ~25% slower at sf1
         val comp = connectedComponents(compEdges, "doc_a", "doc_b")
-          .select(col("id"), col("component"))
+          .select(col("id"), col("component")).graftCkptMem()
         val sumSq = comp.groupBy("component").agg(count(lit(1)).as("c"))
           .agg(sum(col("c") * col("c")).as("s")).head().getLong(0)
         if (sumSq <= blockPairBudget)
