@@ -63,12 +63,30 @@ object BenchCore {
   def orderedNames(only: Option[Set[String]]): Seq[String] = {
     val all = SparkEntry.queries.keys.toSeq
     val manifest = {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_BENCH_ORDER", "bench_order.txt"))
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readAllLines(p)
-          .toArray(Array.empty[String]).toSeq.map(_.trim).filter(_.nonEmpty)
-      else Seq.empty[String]
+      import java.nio.file.{Files, Path, Paths}
+      // Resolve against the cwd AND the repo root (classes dir is
+      // target/scala-2.13/classes → three levels up): running
+      // Bench/BenchShard from another directory must not silently
+      // un-pin every query's session position.
+      val fromClasses: Option[Path] =
+        try {
+          val cs = getClass.getProtectionDomain.getCodeSource
+          Option(cs).map(c => Paths.get(c.getLocation.toURI)
+            .resolve("../../..").normalize().resolve("bench_order.txt"))
+        } catch { case _: Exception => None }
+      val candidates = sys.env.get("GRAFT_BENCH_ORDER").map(Paths.get(_))
+        .toSeq ++ Seq(Paths.get("bench_order.txt")) ++ fromClasses.toSeq
+      candidates.find(Files.exists(_)) match {
+        case Some(p) =>
+          Files.readAllLines(p)
+            .toArray(Array.empty[String]).toSeq.map(_.trim).filter(_.nonEmpty)
+        case None =>
+          System.err.println(
+            "WARNING: bench_order.txt not found (cwd or repo root) and " +
+              "GRAFT_BENCH_ORDER unset — session order falls back to " +
+              "alphabetical; round-over-round timings are NOT comparable")
+          Seq.empty[String]
+      }
     }
     val pos = manifest.zipWithIndex.toMap
     (only match {
@@ -160,11 +178,98 @@ object BenchCore {
     SessionResult(results, passes.toSeq, errors.reverse)
   }
 
+  /** Host-drift canary: three FIXED synthetic probes (CPU-bound hash
+    * fold, shuffle-bound wide aggregation, a structured-streaming
+    * availableNow pipeline through the state store) timed best-of-2
+    * in a fresh session. They deliberately touch NO graft operator
+    * and NO corpus table, so their round-over-round and
+    * start-vs-end-of-run deltas measure the HOST (CPU contention,
+    * thermal/cgroup throttling, page cache), never a code change —
+    * the r13/r14 verdicts both had >1.2× per-query movers that were
+    * almost certainly host drift but could not be separated from
+    * regression without a full A/B. [[Bench]] runs the set in a
+    * fresh child JVM before the first shard and again after the last
+    * and emits both triples in the JSON line. */
+  val canaryNames = Seq("__canary_cpu", "__canary_shuffle", "__canary_stream")
+
+  def canaryProbe(spark: SparkSession, name: String): Unit = name match {
+    case "__canary_cpu" =>
+      // pure codegen hashing — no shuffle, no IO; sized ~1 s on 32
+      // cores so drift reads above per-run noise. head() (NOT
+      // count()): an outer count lets column pruning strip the hash
+      // from the aggregate and the probe measures nothing.
+      spark.range(1L << 30)
+        .selectExpr("xxhash64(id, id + 7, id * 31) AS h")
+        .selectExpr("bit_xor(h) AS s").head() // xor: no ANSI overflow
+    case "__canary_shuffle" =>
+      // 32M rows into 4M groups — exchange-dominated (the wide key
+      // space keeps map-side combine from collapsing it)
+      spark.range(1L << 25)
+        .selectExpr("id % 4194304 AS k", "id AS v")
+        .groupBy("k").sum("v")
+        .selectExpr("count(*) AS c", "sum(`sum(v)`) AS s").head()
+    case "__canary_stream" =>
+      // one availableNow micro-batch through the HDFS-backed state
+      // store and a streaming aggregation — times the streaming
+      // runtime's setup + commit path
+      val dir = java.nio.file.Files.createTempDirectory("graft_canary_stream")
+      try {
+        val in = dir.resolve("in").toString
+        spark.range(1L << 20).selectExpr("id", "id % 1024 AS k")
+          .write.mode("overwrite").parquet(in)
+        val q = spark.readStream
+          .schema("id LONG, k LONG").parquet(in)
+          .groupBy("k").count()
+          .writeStream.format("noop").outputMode("complete")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Exception => () })
+      }
+    case other => throw new IllegalArgumentException(s"unknown canary $other")
+  }
+
+  /** Time the canary set (best-of-2, blocking release between passes —
+    * the main protocol) in a fresh session; returns (name, seconds). */
+  def canarySession(cpus: String): Seq[(String, Double)] = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 18).selectExpr("id % 97 as k")
+      .groupBy("k").count().count() // shuffle/codegen warm-up
+    val out = canaryNames.map { n =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        canaryProbe(spark, n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        release(spark)
+        dt
+      }
+      n -> math.min(once(), once())
+    }
+    spark.stop()
+    out
+  }
+
   def jmap(m: Iterable[(String, String)]): String =
     m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
 
-  /** The driver-contract JSON line. */
-  def jsonLine(r: SessionResult, sfDir: String, shards: Int): String = {
+  /** The driver-contract JSON line. `canary`, when present, carries
+    * the start-of-run and end-of-run host-drift probe triples plus
+    * their end/start ratios — cite these before reading any
+    * round-over-round mover as a regression. */
+  def jsonLine(r: SessionResult, sfDir: String, shards: Int,
+      canary: Option[(Seq[(String, Double)], Seq[(String, Double)])] = None)
+      : String = {
     val qs = jmap(r.results.map { case (k, v) => k -> v.toString })
     val passJson = jmap(r.passes.collect { case (k, ts) if ts.length > 1 =>
       k -> ts.mkString("[", ",", "]")
@@ -172,7 +277,16 @@ object BenchCore {
     val errJson = r.errors
       .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
     val total = r.results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir","shards":$shards}"""
+    val canaryJson = canary.map { case (start, end) =>
+      val s = start.toMap
+      val ratios = end.collect { case (k, te) if s.get(k).exists(_ > 0) =>
+        k -> f"${te / s(k)}%.3f" }
+      ",\"canary\":" + jmap(Seq(
+        "start" -> jmap(start.map { case (k, v) => k -> v.toString }),
+        "end" -> jmap(end.map { case (k, v) => k -> v.toString }),
+        "ratio" -> jmap(ratios)))
+    }.getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir","shards":$shards$canaryJson}"""
   }
 
   // ---- machine-readable shard handoff (TSV, not JSON: the parent
@@ -205,8 +319,17 @@ object BenchShard {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val names = sys.env("GRAFT_SHARD_QUERIES").split(",").map(_.trim).toSeq
     val out = sys.env("GRAFT_SHARD_OUT")
+    if (sys.env.get("GRAFT_SHARD_CANARY").contains("1")) {
+      // host-drift canary mode: fixed synthetic probes, TSV handoff
+      val rows = BenchCore.canarySession(cpus)
+        .map { case (n, t) => s"Q\t$n\t$t\n" }.mkString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), rows,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      sys.exit(0)
+    }
+    val names = sys.env("GRAFT_SHARD_QUERIES").split(",").map(_.trim).toSeq
     // handoff rows append incrementally — a watchdog kill keeps
     // everything measured so far
     val r = BenchCore.runSession(sfDir, cpus, names, tsvOut = Some(out))
@@ -240,6 +363,8 @@ object Bench {
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    if (names == BenchCore.canaryNames)
+      pb.environment().put("GRAFT_SHARD_CANARY", "1")
     pb.environment().put("GRAFT_SHARD_QUERIES", names.mkString(","))
     pb.environment().put("GRAFT_SHARD_OUT", out.toString)
     val log = java.nio.file.Files.createTempFile(s"graft_shard_$idx", ".log")
@@ -296,6 +421,21 @@ object Bench {
     val (batch, stream) = names.partition(!_.startsWith("q_stream_"))
     val shards: Seq[Seq[String]] =
       (batch.grouped(shardSize) ++ stream.grouped(shardSize)).toSeq
+    // Host-drift canary (fixed synthetic probes in their own fresh
+    // child JVMs, see BenchCore.canaryNames): once before the first
+    // shard, once after the last, so the JSON line carries the run's
+    // own drift measurement. Skipped for filtered runs (A/B tooling
+    // has its own alternation protocol) and the non-sharded escape.
+    val wantCanary = sharded && only.isEmpty && names.nonEmpty
+    def canaryRun(tag: String): Seq[(String, Double)] =
+      runShardInChild(BenchCore.canaryNames, sfDir, cpus, -1) match {
+        case Some(r) => r.results
+        case None =>
+          System.err.println(s"[bench] $tag canary child failed; " +
+            "running in-process")
+          BenchCore.canarySession(cpus)
+      }
+    val canaryStart = if (wantCanary) Some(canaryRun("start")) else None
     val merged: BenchCore.SessionResult =
       if (!sharded || names.isEmpty) {
         val r = BenchCore.runSession(sfDir, cpus, names)
@@ -308,8 +448,10 @@ object Bench {
           parts.flatMap(_.results), parts.flatMap(_.passes),
           parts.flatMap(_.errors).toList)
       }
+    val canaryEnd = if (wantCanary) Some(canaryRun("end")) else None
     val line = BenchCore.jsonLine(merged, sfDir,
-      if (sharded) shards.size else 1)
+      if (sharded) shards.size else 1,
+      canaryStart.zip(canaryEnd))
     println(line)
     // The driver's BENCH_rN.json retains only an output TAIL — persist
     // the full table verbatim (overwritten per run) so round-over-round

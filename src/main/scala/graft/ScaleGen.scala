@@ -66,8 +66,23 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, kStr) = args
+    val (inDir, outDir, kStr) = (args(0), args(1), args(2))
     val k = kStr.toInt
+    // Optional 4th arg `fresh`: GROWING-universe document rewrite.
+    // The default alphabet ROTATION keeps the character-5-gram
+    // universe bounded (≤ 26× the base — the r14 sf3 corpus measured
+    // 52k), which models a bounded-vocabulary corpus: per-gram df
+    // grows with k and the corpus gets denser forever. Real text
+    // grows its vocabulary WITH the data. `fresh` models that class:
+    // copy i maps [a-zA-Z0-9] 1:1 onto 62 copy-private CJK codepoints
+    // (BMP, single UTF-16 unit in Spark = single codepoint in DuckDB,
+    // so char-level substring/length agree everywhere), so copies are
+    // gram-DISJOINT — the universe grows ∝ k while every copy's
+    // internal df distribution, doc lengths, token boundaries, and
+    // duplicate structure stay EXACTLY the base corpus's. This is the
+    // corpus class the containment prefix fallback exists for; the
+    // scale sweep measures its Σ-prefix-df ∝ n claim on it.
+    val fresh = args.length > 3 && args(3) == "fresh"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -114,7 +129,12 @@ object ScaleGen {
         }
         if (t == "documents" && i > 0) {
           val from = alpha + upper + digit
-          val to = rot(alpha, i) + rot(upper, i) + rot(digit, i)
+          val to =
+            if (fresh)
+              (0 until from.length)
+                .map(j => (0x4E00 + (i - 1) * from.length + j).toChar)
+                .mkString
+            else rot(alpha, i) + rot(upper, i) + rot(digit, i)
           c = c.withColumn("text", translate(col("text"), from, to))
         }
         if (t == "embeddings" && i > 0) {

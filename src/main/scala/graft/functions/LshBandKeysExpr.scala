@@ -54,6 +54,13 @@ case class LshBandKeysExpr(child: Expression, dim: Int, bands: Int,
   @inline private def planeNonNeg(dot: Double): Boolean =
     if (dot > 1e-6) true
     else if (dot < -1e-6) false
+    // NaN fails BOTH sign tests and would reach BigDecimal.valueOf
+    // (NumberFormatException). The composed form's Spark round()
+    // passes NaN through and Spark SQL orders NaN ABOVE every other
+    // double, so `round(NaN, 6) >= 0` is TRUE — parity demands the
+    // bit set. (±Infinity never reaches here: it decides at the sign
+    // tests, same as the composed form's comparison.)
+    else if (java.lang.Double.isNaN(dot)) true
     // BigDecimal.valueOf (the double's SHORTEST-DECIMAL form — what
     // Spark's Round uses), NOT new BigDecimal (the exact binary
     // expansion): for 5e-7 the two differ on which side of the
@@ -118,9 +125,10 @@ case class LshBandKeysExpr(child: Expression, dim: Int, bands: Int,
          |      $acc += ($s[$base + $d] > 0) ? $x : -$x;
          |    }
          |    boolean $nonneg = ($acc > 1e-6) ? true : (($acc < -1e-6) ? false :
+         |      (Double.isNaN($acc) ? true :
          |      java.math.BigDecimal.valueOf($acc)
          |        .setScale(6, java.math.RoundingMode.HALF_UP)
-         |        .doubleValue() >= 0);
+         |        .doubleValue() >= 0));
          |    if ($nonneg) $bits |= (1L << $j);
          |  }
          |  $keys[$m] = ((long) $m) * (1L << $rowsPerBand) + $bits;

@@ -384,8 +384,11 @@ object Dedup {
         // join, measured ~25% slower at sf1
         val comp = connectedComponents(compEdges, "doc_a", "doc_b")
           .select(col("id"), col("component")).graftCkptMem()
+        // coalesce: an edgeless corpus (no two docs share a gram)
+        // leaves comp empty and sum-over-zero-rows yields null
         val sumSq = comp.groupBy("component").agg(count(lit(1)).as("c"))
-          .agg(sum(col("c") * col("c")).as("s")).head().getLong(0)
+          .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("s"))
+          .head().getLong(0)
         if (sumSq <= blockPairBudget)
           return if (universe <= denseUniverseMax)
             containmentDenseBlocked(g, dfs, universe, tauNum, tauDen, comp)
@@ -454,6 +457,14 @@ object Dedup {
     * [[containmentDensePrefixVerify]], whose work tracks
     * Σ_prefix-grams df instead. */
   val ContainmentBlockPairBudget: Long = 2L << 30
+
+  /** The prefix-verify fallback broadcasts its per-doc sorted-gid
+    * table only while the measured payload (4 B per gid + row
+    * overhead) stays at or under this — comfortably inside Spark's
+    * 8 GB broadcast hard limit with headroom for the driver copy.
+    * Above it both lookups run as shuffle joins on the candidate
+    * stream (graceful degrade, not an envelope crash). */
+  val ContainmentBroadcastMaxBytes: Long = 1L << 30
 
   /** Dense-universe containment: gram → dense id over the sorted
     * dictionary, each doc's gram set as a fixed-width bitset, ordered
@@ -623,11 +634,14 @@ object Dedup {
     * two linear sides.
     *
     * Memory contract: the per-doc array table broadcasts
-    * (4·|set| bytes/doc — ~180 MB for 150k docs × 200 grams). On a
-    * cluster corpus beyond broadcast size, replace the two broadcast
-    * lookups with a bucketed join on the candidate stream's src/dst —
-    * the candidate volume is the same; only the lookup transport
-    * changes. */
+    * (4·|set| bytes/doc — ~180 MB for 150k docs × 200 grams) — but
+    * only while its MEASURED size (Σ|set| from the checkpointed
+    * docsArr, one cheap probe under this operator's documented eager
+    * contract) stays under [[ContainmentBroadcastMaxBytes]]. Beyond
+    * the envelope the hints are dropped and the two lookups run as
+    * shuffle joins on the candidate stream's src/dst — the candidate
+    * volume is the same; only the lookup transport changes (the
+    * graceful degrade this scaladoc used to merely promise). */
   private def containmentDensePrefixVerify(g: DataFrame, dfs: DataFrame,
       tauNum: Long, tauDen: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -652,11 +666,19 @@ object Dedup {
     val aSide = docsArr.select(col("id").as("src"), col("n").as("n_src"),
       col("gids").as("ga"))
     val bSide = docsArr.select(col("id").as("dst"), col("gids").as("gb"))
+    // measured gate: 4 B/gid + ~32 B/doc row overhead; over the
+    // envelope the lookups degrade to shuffle joins instead of a
+    // hard broadcast failure
+    val probe = docsArr.agg(coalesce(sum(col("n")), lit(0L)),
+      count(lit(1))).head()
+    val estBytes = probe.getLong(0) * 4L + probe.getLong(1) * 32L
+    val hint = (df: DataFrame) =>
+      if (estBytes <= ContainmentBroadcastMaxBytes) broadcast(df) else df
     prefix.join(g.select(col("id").as("dst"), col("gram")), "gram")
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
-      .join(broadcast(aSide), "src")
-      .join(broadcast(bSide), "dst")
+      .join(hint(aSide), "src")
+      .join(hint(bSide), "dst")
       .select(col("src"), col("dst"), col("n_src"),
         SortedIntersectExpr.sortedIntersectCount(col("ga"), col("gb"))
           .as("n_shared"))

@@ -392,9 +392,11 @@ object Cdc {
         java.nio.file.Files.createTempDirectory("graft_q_incr_minmax_dur")
       val b = new BucketedParquetBackend(spark, stateRoot,
         buckets = 8, compactEvery = 8)
-      val out = Ckpt.mem(minmaxReplay(spark, dir, b))
-      b.deleteAll()
-      out
+      // finally: a mid-replay failure must not leak the temp state
+      // root or the session's graft_state_* catalog tables (which
+      // would also trip the leak-check gate confusingly)
+      try Ckpt.mem(minmaxReplay(spark, dir, b))
+      finally b.deleteAll()
     },
 
     // Sessionization: session_window with a 30-minute gap — the

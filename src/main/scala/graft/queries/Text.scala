@@ -55,6 +55,22 @@ object Text {
       |  FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text)-3, 2))) AS g
       |        FROM documents))""".stripMargin
 
+  /** Shared by q_containment and q_containment_fallback — the naive
+    * all-ordered-pairs intersection scan every routed path must
+    * reproduce exactly. */
+  private val containmentOracleSql =
+    s"""WITH $gramsCte,
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+       |i AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+       |        CAST(count(*) AS BIGINT) AS n_shared
+       |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT src, dst, sa.n AS n_src, n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / sa.n, 6) AS containment
+       |FROM i JOIN s sa ON src = sa.doc_id
+       |WHERE n_shared * 5 >= sa.n * 4
+       |ORDER BY src, dst""".stripMargin
+
   /** Generated MinHash oracle pieces (same constants as Dedup.perms). */
   private val sigSelects: String = Dedup.perms.zipWithIndex.map {
     case ((a, b), i) => s"min(($a * h + $b) % ${Dedup.P}) AS s$i"
@@ -1131,20 +1147,30 @@ object Text {
     // completeness is value-checked, the q_fuzzy_join pattern.
     "q_containment" -> QueryDef(
       "ordered containment pairs (gram subset >= 0.8) — quote detection",
-      s"""WITH $gramsCte,
-         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
-         |i AS (SELECT a.doc_id AS src, b.doc_id AS dst,
-         |        CAST(count(*) AS BIGINT) AS n_shared
-         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
-         |      GROUP BY 1, 2)
-         |SELECT src, dst, sa.n AS n_src, n_shared,
-         |  round(CAST(n_shared AS DOUBLE) / sa.n, 6) AS containment
-         |FROM i JOIN s sa ON src = sa.doc_id
-         |WHERE n_shared * 5 >= sa.n * 4
-         |ORDER BY src, dst""".stripMargin) { (spark, dir) =>
+      containmentOracleSql) { (spark, dir) =>
       graft.operators.Dedup.containmentPairs(
           TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5),
           "doc_id", 4, 5)
+        .orderBy("src", "dst")
+    },
+
+    // The containment ROUTER's last-resort path, value-gated on its
+    // own: pairScanMaxDocs = 0 and blockPairBudget = 0 force every
+    // dense corpus through containmentDensePrefixVerify (prefix
+    // candidates + streamed sorted-array verify — the regime the
+    // router reserves for giant entangled components, r14's sf3).
+    // Same oracle as q_containment: the path choice must be invisible
+    // in the values. This row is also the scale sweep's instrument
+    // for the r14 watch — it pins the fallback's exponent in ISOLATED
+    // regimes (fixed-universe replicas vs the fresh-vocab growing
+    // universe, ScaleGen `fresh`), where the routed q_containment
+    // can only measure regime mixtures.
+    "q_containment_fallback" -> QueryDef(
+      "containment via the forced prefix-candidate + streamed-verify fallback",
+      containmentOracleSql) { (spark, dir) =>
+      graft.operators.Dedup.containmentPairs(
+          TextAnalysis.gramArrays(docs(spark, dir), "doc_id", "text", 5),
+          "doc_id", 4, 5, pairScanMaxDocs = 0, blockPairBudget = 0)
         .orderBy("src", "dst")
     },
 

@@ -103,6 +103,36 @@ object Vectors {
       Similarity.nearDupPairs(corpus, 0.9, dim = 64).orderBy("id_a", "id_b")
     },
 
+    // The router's MIDDLE tier (0.7 ≤ τ < 0.9 → 16 bands × 8 rows),
+    // value-gated like its siblings: the derived near-dup structure is
+    // each even vector's SIGN vector (elementwise ±1.0) at id + 10⁷ —
+    // cos(v, sign(v)) = Σ|v_i| / (‖v‖·√dim) concentrates around
+    // E|x|·√dim/‖v‖ ≈ 0.80 on this corpus (measured range
+    // 0.704–0.874), exactly the regime the tier owns; τ = 0.75 keeps
+    // the exact verify doing real filtering (planted pairs below 0.75
+    // are candidates that must be REJECTED identically in both
+    // engines). The oracle replays the full 16×8 index in SQL, so
+    // banding recall (≥ 0.93 per the tier contract) can never diverge
+    // the gate: both engines see the same candidates, same verify.
+    "q_embed_dup_banded_mid" -> QueryDef(
+      "banded-LSH near-dup pairs (τ = 0.75, the router's 16×8 middle tier)",
+      bandedOracleSql(bands = 16, rowsPerBand = 8, dim = 64, tau = 0.75,
+        corpusCte =
+          """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |       UNION ALL
+            |       SELECT vec_id + 10000000,
+            |         list_transform(embedding::DOUBLE[],
+            |           x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END)
+            |       FROM embeddings WHERE vec_id % 2 = 0""".stripMargin)) { (spark, dir) =>
+      val e = emb(spark, dir).select(col("vec_id").as("nid"), col("vec"))
+      val corpus = e.unionByName(
+        e.where(col("nid") % 2 === 0)
+          .select((col("nid") + 10000000L).as("nid"),
+            transform(col("vec"),
+              x => when(x >= 0, lit(1.0)).otherwise(lit(-1.0))).as("vec")))
+      Similarity.nearDupPairs(corpus, 0.75, dim = 64).orderBy("id_a", "id_b")
+    },
+
     // IVF variant: centroid cells + nProbe search — the second
     // approximate scale path. The oracle replicates the whole index
     // deterministically in SQL: centroids are the hash-sampled seed set

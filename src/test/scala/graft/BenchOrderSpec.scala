@@ -40,4 +40,22 @@ class BenchOrderSpec extends AnyFunSuite {
           s"a new name was interleaved into the frozen order (stream=$stream)")
     }
   }
+
+  test("drift canary triples render in the bench JSON line with ratios") {
+    val r = BenchCore.SessionResult(
+      Seq("q_a" -> 1.0), Seq("q_a" -> List(1.0)), Nil)
+    val start = Seq("__canary_cpu" -> 0.8, "__canary_shuffle" -> 3.0,
+      "__canary_stream" -> 2.5)
+    val end = Seq("__canary_cpu" -> 1.0, "__canary_shuffle" -> 3.0,
+      "__canary_stream" -> 2.5)
+    val line = BenchCore.jsonLine(r, "/x", 1, Some((start, end)))
+    assert(line.contains("\"canary\":{\"start\":{"))
+    assert(line.contains("\"__canary_cpu\":0.8"))
+    assert(line.contains("\"ratio\":{\"__canary_cpu\":1.250"))
+    // no canary → no key, and the line stays the driver-contract shape
+    val bare = BenchCore.jsonLine(r, "/x", 1, None)
+    assert(!bare.contains("canary") && bare.contains("\"metric\":\"total\""))
+    // canary names never collide with the registry
+    assert(BenchCore.canaryNames.forall(n => !SparkEntry.queries.contains(n)))
+  }
 }

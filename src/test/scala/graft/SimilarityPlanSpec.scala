@@ -226,6 +226,22 @@ class SimilarityPlanSpec extends SparkSpec {
         k -> (if (r >= 0) 1L else 0L)
     }
     assert(f1 == expect, s"got $f1, want $expect (plane sign $sign0)")
+
+    // non-finite inputs: NaN fails both sign tests, so the fused form
+    // must NOT fall into BigDecimal.valueOf (NumberFormatException) —
+    // it mirrors the composed form, where Spark's round() passes NaN
+    // through and SQL double ordering puts NaN ABOVE zero (bit set).
+    // ±Infinity decides at the sign tests in both forms.
+    val nonFinite = Seq(
+      (1L, Seq(Double.NaN)),
+      (2L, Seq(Double.PositiveInfinity)),
+      (3L, Seq(Double.NegativeInfinity))).toDF("nid", "vec")
+    def keysNf(c: org.apache.spark.sql.Column) =
+      nonFinite.select(col("nid"), c.as("k"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Long](1).head).toMap
+    val fNf = keysNf(Similarity.lshBandKeys(col("vec"), 1, 1, 1))
+    val cNf = keysNf(Similarity.lshBandKeysColumns(col("vec"), 1, 1, 1))
+    assert(fNf == cNf, s"non-finite parity divergence: $fNf vs $cNf")
   }
 
   test("nearDupPairs routes by threshold regime and keeps exactness per regime") {
