@@ -197,13 +197,40 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // The two vector lookups must NEVER become sort-merge joins: the
+    // candidate stream is the quadratic-ish side, and after the first
+    // lookup each row carries a dim-sized vector — an SMJ then SORTS
+    // that wide stream by id_b (r15 sweep catch: at sf3 the 16×8 tier
+    // had ~3·10⁸ candidates × ~540 B ≈ 160 GB of sort input, spilled
+    // the disk to death; the hi tier's 2⁻¹⁶ bands had simply never
+    // produced enough candidates to expose it). The vector table is
+    // the LINEAR side (n·dim doubles): broadcast it while a measured
+    // estimate fits the envelope — then the candidate stream never
+    // shuffles at all — and beyond it force a shuffled-hash join,
+    // which streams the wide rows through one exchange pass with no
+    // sort (linear I/O, the honest cluster-scale degrade). One eager
+    // count probe, same contract as the containment router's probes.
+    val vecBytes = corpus.count() * (8L + 8L * dim + 32L)
+    val lookup = (df: DataFrame) =>
+      if (vecBytes <= BandedVerifyBroadcastMaxBytes) broadcast(df)
+      else df.hint("shuffle_hash")
     cand
-      .join(corpus.select(col("nid").as("id_a"), col("vec").as("__va")), "id_a")
-      .join(corpus.select(col("nid").as("id_b"), col("vec").as("__vb")), "id_b")
+      .join(lookup(corpus.select(col("nid").as("id_a"), col("vec").as("__va"))),
+        "id_a")
+      .join(lookup(corpus.select(col("nid").as("id_b"), col("vec").as("__vb"))),
+        "id_b")
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .where(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** The banded verify broadcasts its vector table only while the
+    * measured payload (8 B/double · dim + row overhead, from one
+    * count probe) stays at or under this; beyond it the lookups run
+    * as shuffled-hash joins — sort-free by construction, because the
+    * one plan shape this operator can never afford is a sort of the
+    * post-lookup wide candidate stream. */
+  val BandedVerifyBroadcastMaxBytes: Long = 1L << 30
 
   /** Banding pays off only above this threshold (see the
     * THRESHOLD-REGIME CONTRACT on [[cosinePairsBanded]]); below it the

@@ -244,6 +244,28 @@ class SimilarityPlanSpec extends SparkSpec {
     assert(fNf == cNf, s"non-finite parity divergence: $fNf vs $cNf")
   }
 
+  test("banded verify lookups never sort-merge the wide candidate stream") {
+    // The r15 sf3 catch: the post-lookup candidate rows carry a
+    // dim-sized vector each — an SMJ sorts that wide stream (~160 GB
+    // of sort input at sf3 for the 16×8 tier) and dies by disk. The
+    // vector-table lookups must plan as broadcast-hash (small corpus,
+    // this test) or shuffled-hash (past the envelope), NEVER
+    // sort-merge. AQE off so the static plan is the proof.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    withoutAqe {
+      val p = concretePlan(
+        Similarity.cosinePairsBanded(corpus, 0.75, 64, 16, 8))
+      val smjOnVec = p.collect {
+        case j: SortMergeJoinExec
+            if j.output.exists(_.name.startsWith("__v")) => j
+      }
+      assert(smjOnVec.isEmpty,
+        s"vector lookup planned as sort-merge:\n$p")
+      assert(p.collect { case b: BroadcastExchangeExec => b }.size >= 2,
+        "small-corpus verify should broadcast both vector lookups")
+    }
+  }
+
   test("nearDupPairs routes by threshold regime and keeps exactness per regime") {
     // low τ → the blocked exact scan, bit-for-bit
     val routedLow = Similarity.nearDupPairs(corpus, 0.45, dim = 64)
