@@ -667,13 +667,18 @@ object Dedup {
       col("gids").as("ga"))
     val bSide = docsArr.select(col("id").as("dst"), col("gids").as("gb"))
     // measured gate: 4 B/gid + ~32 B/doc row overhead; over the
-    // envelope the lookups degrade to shuffle joins instead of a
-    // hard broadcast failure
+    // envelope the lookups degrade to SHUFFLED-HASH joins instead of
+    // a hard broadcast failure. Hash, never sort-merge: after the
+    // first lookup every candidate row carries a sorted-gid ARRAY
+    // (~4·|set| B), and an SMJ would sort that wide stream — the
+    // same plan shape that killed the banded verify at sf3
+    // (Similarity.cosinePairsBanded, r15).
     val probe = docsArr.agg(coalesce(sum(col("n")), lit(0L)),
       count(lit(1))).head()
     val estBytes = probe.getLong(0) * 4L + probe.getLong(1) * 32L
     val hint = (df: DataFrame) =>
-      if (estBytes <= ContainmentBroadcastMaxBytes) broadcast(df) else df
+      if (estBytes <= ContainmentBroadcastMaxBytes) broadcast(df)
+      else df.hint("shuffle_hash")
     prefix.join(g.select(col("id").as("dst"), col("gram")), "gram")
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
