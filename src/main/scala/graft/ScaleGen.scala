@@ -91,6 +91,15 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, inDir, outDir, k, fresh)
+    spark.stop()
+  }
+
+  /** Generation body, session supplied by the caller (main or specs —
+    * main stops its own session; ScaleGenSpec must not lose the
+    * shared test session). */
+  def run(spark: SparkSession, inDir: String, outDir: String, k: Int,
+      fresh: Boolean): Unit = {
     new java.io.File(outDir).mkdirs()
 
     def load(t: String): DataFrame = graft.core.Tables.load(spark, inDir, t)
@@ -152,6 +161,5 @@ object ScaleGen {
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scalegen] $t x$k -> $outDir/$t.parquet")
     }
-    spark.stop()
   }
 }
