@@ -71,8 +71,19 @@ object BenchCore {
       val fromClasses: Option[Path] =
         try {
           val cs = getClass.getProtectionDomain.getCodeSource
-          Option(cs).map(c => Paths.get(c.getLocation.toURI)
-            .resolve("../../..").normalize().resolve("bench_order.txt"))
+          Option(cs).map { c =>
+            val p = Paths.get(c.getLocation.toURI)
+            // classes dir (target/scala-2.13/classes) is three dir
+            // levels below the repo root; a JAR (target/scala-2.13/x
+            // .jar) is a regular FILE whose parent sits only two dir
+            // levels below — start from the parent and climb two, or
+            // the jar path itself eats a level and the manifest is
+            // silently missed (un-pinning session order).
+            val (base, up) =
+              if (Files.isRegularFile(p)) (p.getParent, "../..")
+              else (p, "../../..")
+            base.resolve(up).normalize().resolve("bench_order.txt")
+          }
         } catch { case _: Exception => None }
       val candidates = sys.env.get("GRAFT_BENCH_ORDER").map(Paths.get(_))
         .toSeq ++ Seq(Paths.get("bench_order.txt")) ++ fromClasses.toSeq
@@ -279,8 +290,12 @@ object BenchCore {
     val total = r.results.map(_._2).filter(_ >= 0).sum
     val canaryJson = canary.map { case (start, end) =>
       val s = start.toMap
+      // Locale.ROOT explicitly: the f"" interpolator is locale-
+      // sensitive, and a comma-decimal default locale (de_DE) would
+      // render 1,250 and corrupt the driver-contract JSON line.
       val ratios = end.collect { case (k, te) if s.get(k).exists(_ > 0) =>
-        k -> f"${te / s(k)}%.3f" }
+        k -> String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(te / s(k))) }
       ",\"canary\":" + jmap(Seq(
         "start" -> jmap(start.map { case (k, v) => k -> v.toString }),
         "end" -> jmap(end.map { case (k, v) => k -> v.toString }),

@@ -100,6 +100,17 @@ object ScaleGen {
     * shared test session). */
   def run(spark: SparkSession, inDir: String, outDir: String, k: Int,
       fresh: Boolean): Unit = {
+    // fresh mode's copy-private alphabets are 62 consecutive BMP
+    // codepoints per copy starting at U+4E00; past U+D800 lies the
+    // UTF-16 surrogate range (lone surrogates = corrupt strings that
+    // silently break the single-codepoint/length-parity invariant the
+    // mode depends on), and Char wraps past 2^16. Fail loudly instead
+    // of generating a corrupt corpus.
+    if (fresh)
+      require(0x4E00L + k.toLong * 62 <= 0xD800L,
+        s"ScaleGen fresh mode supports at most ${(0xD800 - 0x4E00) / 62} " +
+          s"copies before the copy-private alphabet would enter the UTF-16 " +
+          s"surrogate range; got k=$k")
     new java.io.File(outDir).mkdirs()
 
     def load(t: String): DataFrame = graft.core.Tables.load(spark, inDir, t)
