@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TopKByScore
 import graft.core.Ckpt.CkptOps
+import graft.core.Spread.SpreadOps
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -181,8 +182,14 @@ object Similarity {
     // The band-key index carries ONLY (nid, bandKey) — never the
     // vector. Materialize it once (it is n×bands rows of two longs) so
     // the self-join's two sides don't each recompute the
-    // bands×rowsPerBand hyperplane dot products per row.
-    val keys = corpus
+    // bands×rowsPerBand hyperplane dot products per row. The signature
+    // projection is bands·rowsPerBand·dim multiply-adds PER ROW (the
+    // OR-amplified mid tier runs 2 400 planes), so a narrow scan must
+    // spread before it — conditional, a no-op on wide cluster-scale
+    // scans (Spread scaladoc); the partition probe rides the
+    // operator's documented eager contract, like the count probe
+    // below.
+    val keys = corpus.select(col("nid"), col("vec")).graftSpread()
       .select(col("nid"),
         explode(lshBandKeys(col("vec"), dim, bands, rowsPerBand)).as("__bk"))
       .graftCkptMem()
@@ -208,9 +215,12 @@ object Similarity {
     // estimate fits the envelope — then the candidate stream never
     // shuffles at all — and beyond it force a shuffled-hash join,
     // which streams the wide rows through one exchange pass with no
-    // sort (linear I/O, the honest cluster-scale degrade). One eager
-    // count probe, same contract as the containment router's probes.
-    val vecBytes = corpus.count() * (8L + 8L * dim + 32L)
+    // sort (linear I/O, the honest cluster-scale degrade). The corpus
+    // size comes off the already-materialized keys table (exactly
+    // n·bands rows — explode of a non-null length-`bands` array), so
+    // the probe never recomputes the caller's un-checkpointed lineage
+    // (the eager-probe contract shared with the containment router).
+    val vecBytes = (keys.count() / bands) * (8L + 8L * dim + 32L)
     val lookup = (df: DataFrame) =>
       if (vecBytes <= BandedVerifyBroadcastMaxBytes) broadcast(df)
       else df.hint("shuffle_hash")
@@ -244,6 +254,50 @@ object Similarity {
     * maximal-selectivity regime. */
   val NearDupBandedNearExactTau = 0.9
 
+  /** Per-hyperplane collision probability of a pair at cosine `tau`
+    * under random-hyperplane hashing: p(τ) = 1 − θ/π with
+    * θ = acos(τ) (Goemans–Williamson / Charikar SimHash). */
+  def bandCollisionProb(tau: Double): Double =
+    1.0 - math.acos(tau) / math.Pi
+
+  /** Closed-form banded-LSH recall at cosine exactly `tau`:
+    * 1 − (1 − p(τ)^rows)^bands — the probability that a pair at the
+    * threshold agrees on ALL rows of at least one band. Spec-pinned in
+    * SimilarityPlanSpec (the router's tier parameters are DERIVED from
+    * this formula, so the pin is the recall contract itself). */
+  def bandedRecall(tau: Double, rowsPerBand: Int, bands: Int): Double = {
+    val p = bandCollisionProb(tau)
+    1.0 - math.pow(1.0 - math.pow(p, rowsPerBand), bands)
+  }
+
+  /** The mid tier's band width: 16 hyperplane rows per band/table, the
+    * same ~2⁻¹⁶ per-table random-pair selectivity as the near-exact
+    * tier — four decades of pair space gone before any verify. */
+  val MidTierRowsPerBand = 16
+
+  /** The mid tier's recall floor AT the queried threshold; the table
+    * count is derived from it (see [[midTierTables]]). The retired
+    * fixed 16×8 config's recall floor was 0.80 (at the τ = 0.7
+    * boundary; 0.88 at τ = 0.75 — above τ ≈ 0.77 it over-delivered
+    * recall at 2⁷× the candidate cost), so the rework raises the
+    * floor to 0.9 everywhere in the regime while cutting random-pair
+    * candidate mass by ~2⁷/L (≈ 25× at τ = 0.75). */
+  val MidTierTargetRecall = 0.9
+
+  /** OR-amplification table count for the mid tier: the least L with
+    * recall(τ, 16, L) = 1 − (1 − p(τ)¹⁶)^L ≥ [[MidTierTargetRecall]],
+    * i.e. L = ⌈ln(1 − target) / ln(1 − p(τ)¹⁶)⌉. Pure function of the
+    * QUERY threshold — never of the data — so the parameterization
+    * replays deterministically in the SQL oracle at every corpus
+    * size (τ = 0.75 → L = 150; τ = 0.7 → 245; τ = 0.89 → 31). */
+  def midTierTables(tau: Double): Int = {
+    require(tau >= NearDupBandedTauMin && tau < NearDupBandedNearExactTau,
+      s"midTierTables is the 0.7 ≤ τ < 0.9 regime's parameterization; got $tau")
+    val pr = math.pow(bandCollisionProb(tau), MidTierRowsPerBand)
+    math.max(1, math.ceil(
+      math.log(1.0 - MidTierTargetRecall) / math.log1p(-pr)).toInt)
+  }
+
   /** Threshold-ROUTED near-duplicate pairs — the regime contract as an
     * executable front door instead of scaladoc guidance (the r13 sweep
     * measured the τ = 0.45 banded exemplar at α = 1.57 precisely
@@ -256,10 +310,21 @@ object Similarity {
     *    τ = 0.45 needs ~27-bit bands with ~10⁻⁶ recall), so the honest
     *    plan is the exact block-pair equijoin: bounded tasks, no
     *    CartesianProduct, no index to saturate.
-    *  - 0.7 ≤ τ < 0.9: [[cosinePairsBanded]] at 16 bands × 8 rows —
-    *    per-band random collision 2⁻⁸, candidates ≈ 16·n²/2·2⁻⁸ =
-    *    n²/32; recall at cos = τ is 1−(1−p(τ)⁸)¹⁶ ≥ 0.93 for τ ≥ 0.7
-    *    (p(0.7) ≈ 0.747 → 0.93; p(0.8) ≈ 0.795 → 0.98).
+    *  - 0.7 ≤ τ < 0.9: [[cosinePairsBanded]] at L OR-amplified tables
+    *    of 16 rows each, L = [[midTierTables]](τ) — the least L whose
+    *    closed-form recall 1−(1−p(τ)¹⁶)^L clears
+    *    [[MidTierTargetRecall]] (τ = 0.75 → L = 150, recall ≥ 0.9 AT
+    *    the threshold and → 1 above it). Random-pair candidate mass is
+    *    ≈ L·n²/2·2⁻¹⁶ — versus the pre-r16 fixed 16×8 tier's
+    *    16·n²/2·2⁻⁸, a ~2⁷/L ≈ 25× cut at τ = 0.75 AND a strictly
+    *    higher recall floor (the 16×8 tier's actual boundary recall
+    *    was 0.88 at τ = 0.75 by the same formula). The narrow-band
+    *    quadratic term still exists but its coefficient now sits four
+    *    decades down: hashing cost (n·L·16·dim, linear) dominates
+    *    until n ≈ 2·16·dim·2¹⁶ ≈ 10⁸ vectors per partition-group —
+    *    the r15 wave-4 catch (16·n²/2⁹ candidate mass dominating at
+    *    sf3, top-decade α 1.72) is gone by construction, not by doc
+    *    note.
     *  - τ ≥ 0.9: 8 bands × 16 rows — per-band random collision 2⁻¹⁶,
     *    candidates ≈ 8·n²/2·2⁻¹⁶ = n²/16 384: four decades of pair
     *    space gone before any verify. Exact/near-exact duplicates
@@ -268,18 +333,20 @@ object Similarity {
     *    (1−(1−p(0.9)¹⁶)⁸ ≈ 0.30 at cos exactly 0.9 — measured against
     *    the exact pairs in SimilarityPlanSpec), the standard
     *    selectivity/tail-recall trade of narrow bands. Callers needing
-    *    high recall AT the 0.9 boundary should query at the 16×8 tier
-    *    via [[cosinePairsBanded]] directly.
+    *    high recall AT the 0.9 boundary should query just below it
+    *    (τ = 0.89 → 31 OR-amplified tables, recall ≥ 0.9).
     *
-    * Band resolution is fixed PER REGIME (not per corpus size) so the
-    * operator replays deterministically in the SQL oracle at every
-    * scale — the adaptive alternative (resolution from n) would make
-    * the result a function of corpus cardinality. */
+    * Band resolution is a pure function of the QUERY (τ and the pinned
+    * recall target), never of the data, so the operator replays
+    * deterministically in the SQL oracle at every scale — the adaptive
+    * alternative (resolution from n) would make the result a function
+    * of corpus cardinality. */
   def nearDupPairs(corpus: DataFrame, tau: Double, dim: Int): DataFrame =
     if (tau >= NearDupBandedNearExactTau)
       cosinePairsBanded(corpus, tau, dim, bands = 8, rowsPerBand = 16)
     else if (tau >= NearDupBandedTauMin)
-      cosinePairsBanded(corpus, tau, dim, bands = 16, rowsPerBand = 8)
+      cosinePairsBanded(corpus, tau, dim,
+        bands = midTierTables(tau), rowsPerBand = MidTierRowsPerBand)
     else
       cosinePairsBlocked(corpus, tau)
 

@@ -103,20 +103,24 @@ object Vectors {
       Similarity.nearDupPairs(corpus, 0.9, dim = 64).orderBy("id_a", "id_b")
     },
 
-    // The router's MIDDLE tier (0.7 ≤ τ < 0.9 → 16 bands × 8 rows),
-    // value-gated like its siblings: the derived near-dup structure is
+    // The router's MIDDLE tier (0.7 ≤ τ < 0.9 → L OR-amplified tables
+    // × 16 rows, L = Similarity.midTierTables(τ) from the closed-form
+    // recall contract; τ = 0.75 → L = 150), value-gated like its
+    // siblings: the derived near-dup structure is
     // each even vector's SIGN vector (elementwise ±1.0) at id + 10⁷ —
     // cos(v, sign(v)) = Σ|v_i| / (‖v‖·√dim) concentrates around
     // E|x|·√dim/‖v‖ ≈ 0.80 on this corpus (measured range
     // 0.704–0.874), exactly the regime the tier owns; τ = 0.75 keeps
     // the exact verify doing real filtering (planted pairs below 0.75
     // are candidates that must be REJECTED identically in both
-    // engines). The oracle replays the full 16×8 index in SQL, so
-    // banding recall (≥ 0.93 per the tier contract) can never diverge
-    // the gate: both engines see the same candidates, same verify.
+    // engines). The oracle replays the full 150-table index in SQL, so
+    // banding recall (≥ 0.9 at the threshold per the derived-L
+    // contract) can never diverge the gate: both engines see the same
+    // candidates, same verify.
     "q_embed_dup_banded_mid" -> QueryDef(
-      "banded-LSH near-dup pairs (τ = 0.75, the router's 16×8 middle tier)",
-      bandedOracleSql(bands = 16, rowsPerBand = 8, dim = 64, tau = 0.75,
+      "banded-LSH near-dup pairs (τ = 0.75, recall-derived 150×16 mid tier)",
+      bandedOracleSql(bands = Similarity.midTierTables(0.75),
+        rowsPerBand = Similarity.MidTierRowsPerBand, dim = 64, tau = 0.75,
         corpusCte =
           """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             |       UNION ALL
