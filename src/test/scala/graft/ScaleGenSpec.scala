@@ -84,4 +84,18 @@ class ScaleGenSpec extends SparkSpec {
     assert(universe(copy1) == universe(base),
       "a rotated copy must mirror the base gram structure exactly")
   }
+
+  test("fresh mode refuses copy counts that would enter the surrogate range") {
+    // 62 codepoints per copy from U+4E00; U+D800 opens the UTF-16
+    // surrogate block — k = 569 is the last safe copy count, 570 the
+    // first that would emit lone surrogates (corrupt strings, silent
+    // length-parity breakage). The bound must fail LOUDLY.
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.run(spark, inDir,
+        java.nio.file.Files.createTempDirectory("graft_sg_overflow").toString,
+        k = 570, fresh = true)
+    }
+    assert(e.getMessage.contains("surrogate"))
+    assert(0x4E00L + 569L * 62 <= 0xD800L) // 569 stays in range
+  }
 }
