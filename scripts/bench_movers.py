@@ -26,6 +26,16 @@ this script turns that instrument into the adjudicator:
 The canary-normalized verdict replaces the hand A/B for the long
 tail; ESCALATE rows are the short list that still deserves one.
 
+A second adjudication lever when the host is unquiet (large or
+drifting canary ratios): run the official bench TWICE at the same
+HEAD and feed the pair to this script — the resulting "movers" are
+same-code by construction, so that report IS the session's noise
+floor, and any cross-round escalate that reproduces inside it (or
+whose code path the round's git diff never touched) is drift, not
+regression (see BENCH_MOVERS_r16.md's addendum for a worked
+example: within-run canary drift of ±0.3 put 22 same-code queries
+in the escalate band).
+
 Inputs are driver-contract JSON lines (bench_results.json — one line:
 {"metric":"total",...,"queries":{...},"canary":{...}}). The driver's
 BENCH_rN.json wrapper (which retains only an output TAIL) is accepted

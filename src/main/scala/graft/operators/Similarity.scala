@@ -183,13 +183,21 @@ object Similarity {
     // vector. Materialize it once (it is n×bands rows of two longs) so
     // the self-join's two sides don't each recompute the
     // bands×rowsPerBand hyperplane dot products per row. The signature
-    // projection is bands·rowsPerBand·dim multiply-adds PER ROW (the
-    // OR-amplified mid tier runs 2 400 planes), so a narrow scan must
-    // spread before it — conditional, a no-op on wide cluster-scale
-    // scans (Spread scaladoc); the partition probe rides the
-    // operator's documented eager contract, like the count probe
-    // below.
-    val keys = corpus.select(col("nid"), col("vec")).graftSpread()
+    // projection is bands·rowsPerBand·dim multiply-adds PER ROW, so
+    // when that per-row cost is heavy (the OR-amplified mid tier runs
+    // 2 400 planes) a narrow scan must spread before it — conditional
+    // twice over: only past [[SignatureSpreadMinPlanes]] (at the
+    // 128-plane fixed tiers hashing is ~8 k flops/row and an exchange
+    // buys nothing it could amortize), and
+    // only when the scan is narrower than the session parallelism
+    // (no-op on wide cluster-scale scans, Spread scaladoc). The
+    // partition probe rides the operator's documented eager contract,
+    // like the count probe below.
+    val src0 = corpus.select(col("nid"), col("vec"))
+    val src =
+      if (bands * rowsPerBand >= SignatureSpreadMinPlanes) src0.graftSpread()
+      else src0
+    val keys = src
       .select(col("nid"),
         explode(lshBandKeys(col("vec"), dim, bands, rowsPerBand)).as("__bk"))
       .graftCkptMem()
@@ -233,6 +241,14 @@ object Similarity {
       .where(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Below this many hyperplanes (bands·rowsPerBand) the signature
+    * stage is too cheap for a pre-hash spread to pay for its exchange
+    * (~8 k flops/row at the 128-plane fixed tiers — exchange overhead
+    * territory), while the 2 400-plane OR-amplified mid tier measures
+    * the spread at 4.0 s → 1.8 s on a one-split sf0.1 scan. 256
+    * splits the two regimes. */
+  val SignatureSpreadMinPlanes = 256
 
   /** The banded verify broadcasts its vector table only while the
     * measured payload (8 B/double · dim + row overhead, from one
