@@ -87,7 +87,10 @@ def parse_run(path):
         times = {k: float(v) for k, v in obj["queries"].items()
                  if isinstance(v, (int, float)) and float(v) > 0}
         canary = _canary_means(obj.get("canary"))
-        return times, canary
+        # order = bench execution order (the queries map is emitted in
+        # shard-merge order); shard_host = per-shard pure-JVM probe
+        # brackets, present since r16
+        return times, canary, obj.get("shard_host"), list(obj["queries"])
     if "tail" in obj:  # driver BENCH_rN.json wrapper: recover from tail
         tail = obj["tail"]
         times = {}
@@ -122,7 +125,7 @@ def parse_run(path):
               f"{len(times)} query times from pass fragments; sub-second "
               "queries (single-pass, no fragment) may be missing",
               file=sys.stderr)
-        return times, canary
+        return times, canary, None, None
     sys.exit(f"{path}: neither a driver-contract line nor a BENCH_rN wrapper")
 
 
@@ -151,8 +154,8 @@ def main():
     ap.add_argument("--new-label", default="new")
     args = ap.parse_args()
 
-    t_old, c_old = parse_run(args.old)
-    t_new, c_new = parse_run(args.new)
+    t_old, c_old, sh_old, _ord_old = parse_run(args.old)
+    t_new, c_new, sh_new, ord_new = parse_run(args.new)
     common = sorted(set(t_old) & set(t_new))
     if not common:
         sys.exit("no common queries between the two runs")
@@ -171,11 +174,50 @@ def main():
         host_note = ("no canary in both runs — host factor 1.0, HOST DRIFT "
                      "verdicts unavailable (every mover escalates)")
 
+    # Per-shard host factors (since r16 the bench brackets every shard
+    # child with a pure-JVM probe): a query normalizes by ITS OWN
+    # shard's factor when both runs probed the same shard (matched by
+    # index AND first/last query names — the pinned manifest keeps
+    # shard composition stable across rounds), else by the run-mean
+    # factor. This is what the run-mean canary cannot do: correct for
+    # host drift WITHIN a run.
+    ranges = []  # (firstPos, lastPos, factor) in new-run order
+    if sh_old and sh_new and ord_new:
+        qpos = {q: i for i, q in enumerate(ord_new)}
+
+        def probe_mean(e):
+            vals = [float(e[k]) for k in ("start", "end") if k in e]
+            return sum(vals) / len(vals) if vals else None
+        for eo in sh_old:
+            en = next((x for x in sh_new
+                       if x.get("shard") == eo.get("shard")), None)
+            if (not en or en.get("first") != eo.get("first")
+                    or en.get("last") != eo.get("last")):
+                continue
+            fo, fn = probe_mean(eo), probe_mean(en)
+            if fo and fn and en["first"] in qpos and en["last"] in qpos:
+                ranges.append((qpos[en["first"]], qpos[en["last"]], fn / fo))
+        if ranges:
+            host_note += (f"; per-shard probe factors for {len(ranges)} "
+                          "matched shards: "
+                          + ", ".join(f"{f:.3f}" for _, _, f in ranges))
+
+        def factor_for(q):
+            i = qpos.get(q)
+            if i is not None:
+                for a, b, f in ranges:
+                    if a <= i <= b:
+                        return f
+            return host
+    else:
+        def factor_for(q):
+            return host
+
     thr = args.threshold
     rows = []
     for q in common:
         r = t_new[q] / t_old[q]
-        rn = r / host
+        rn = r / factor_for(q)
         if max(r, 1 / r) <= thr:
             continue
         if max(rn, 1 / rn) <= thr:
@@ -191,7 +233,7 @@ def main():
     rows.sort(key=lambda x: -max(x[4], 1 / x[4]))
 
     gm = geomean([t_new[q] / t_old[q] for q in common])
-    gm_n = gm / host if gm else None
+    gm_n = geomean([t_new[q] / t_old[q] / factor_for(q) for q in common])
     lines = [
         f"# Bench movers: {args.old_label} -> {args.new_label}",
         "",

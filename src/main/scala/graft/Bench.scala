@@ -110,7 +110,45 @@ object BenchCore {
   case class SessionResult(
       results: Seq[(String, Double)],
       passes: Seq[(String, List[Double])],
-      errors: List[(String, String)])
+      errors: List[(String, String)],
+      host: List[(String, Double)] = Nil)
+
+  /** Pure-JVM multithreaded hash-fold host probe (best-of-2, ~0.5 s a
+    * pass on 32 idle cores, NO Spark involvement): each shard child
+    * times it immediately at JVM start and again after the session
+    * stops, so every query carries a host-speed reading from ITS OWN
+    * shard's time window. WHY: the r16 movers analysis found the
+    * start/end whole-run canary under-corrects when the host drifts
+    * WITHIN a run (cpu probe 0.91 s at start vs 0.75 s at end put the
+    * early shards ~1.2× off the run-mean normalizer) —
+    * per-shard probes let bench_movers.py normalize each query by its
+    * own shard's host factor instead of the run mean. */
+  def hostProbe(): Double = {
+    def once(): Double = {
+      val threads = Runtime.getRuntime.availableProcessors()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val tasks = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var x = 0x9E3779B97F4A7C15L + t
+            var acc = 0L
+            var i = 0
+            while (i < (1 << 26)) {
+              x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+              x ^= x >>> 27; acc ^= x
+              i += 1
+            }
+            acc
+          }
+        })
+      }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
 
   /** One timing session over `names` in the given order: fresh
     * SparkSession, warm-up (parquet footers, codegen, shuffle
@@ -277,9 +315,14 @@ object BenchCore {
   /** The driver-contract JSON line. `canary`, when present, carries
     * the start-of-run and end-of-run host-drift probe triples plus
     * their end/start ratios — cite these before reading any
-    * round-over-round mover as a regression. */
+    * round-over-round mover as a regression. `shardHost` adds the
+    * per-shard pure-JVM probe brackets ([[hostProbe]]): one entry per
+    * shard with its first/last query names, so bench_movers.py can
+    * normalize each query by ITS OWN shard's host factor (the
+    * run-mean canary under-corrects within-run drift). */
   def jsonLine(r: SessionResult, sfDir: String, shards: Int,
-      canary: Option[(Seq[(String, Double)], Seq[(String, Double)])] = None)
+      canary: Option[(Seq[(String, Double)], Seq[(String, Double)])] = None,
+      shardHost: Seq[(Int, String, String, Map[String, Double])] = Nil)
       : String = {
     val qs = jmap(r.results.map { case (k, v) => k -> v.toString })
     val passJson = jmap(r.passes.collect { case (k, ts) if ts.length > 1 =>
@@ -301,7 +344,15 @@ object BenchCore {
         "end" -> jmap(end.map { case (k, v) => k -> v.toString }),
         "ratio" -> jmap(ratios)))
     }.getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir","shards":$shards$canaryJson}"""
+    val shardHostJson =
+      if (shardHost.isEmpty) ""
+      else ",\"shard_host\":" + shardHost.map {
+        case (i, first, last, probes) =>
+          jmap(Seq("shard" -> i.toString,
+            "first" -> s""""$first"""", "last" -> s""""$last"""") ++
+            probes.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
+      }.mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"sf":"$sfDir","shards":$shards$canaryJson$shardHostJson}"""
   }
 
   // ---- machine-readable shard handoff (TSV, not JSON: the parent
@@ -314,15 +365,17 @@ object BenchCore {
     val rs = Seq.newBuilder[(String, Double)]
     val ps = Seq.newBuilder[(String, List[Double])]
     var es = List.empty[(String, String)]
+    var hs = List.empty[(String, Double)]
     lines.foreach { l =>
       l.split("\t", 3) match {
         case Array("Q", n, t) => rs += n -> t.toDouble
         case Array("P", n, ts) => ps += n -> ts.split(",").map(_.toDouble).toList
         case Array("E", n, m) => es ::= n -> new String(b64.decode(m), "UTF-8")
+        case Array("H", tag, t) => hs ::= tag -> t.toDouble
         case _ => ()
       }
     }
-    SessionResult(rs.result(), ps.result(), es.reverse)
+    SessionResult(rs.result(), ps.result(), es.reverse, hs.reverse)
   }
 }
 
@@ -345,9 +398,19 @@ object BenchShard {
       sys.exit(0)
     }
     val names = sys.env("GRAFT_SHARD_QUERIES").split(",").map(_.trim).toSeq
+    def writeHost(tag: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"H\t$tag\t${BenchCore.hostProbe()}\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    // per-shard host probes bracket the session (BenchCore.hostProbe
+    // scaladoc) — pure JVM, before the SparkSession exists and after
+    // it stops
+    writeHost("start")
     // handoff rows append incrementally — a watchdog kill keeps
     // everything measured so far
     val r = BenchCore.runSession(sfDir, cpus, names, tsvOut = Some(out))
+    writeHost("end")
     sys.exit(if (r.errors.nonEmpty) 1 else 0)
   }
 }
@@ -419,7 +482,8 @@ object Bench {
       BenchCore.SessionResult(
         fromChild.results ++ rest.results,
         fromChild.passes ++ rest.passes,
-        fromChild.errors ++ rest.errors)
+        fromChild.errors ++ rest.errors,
+        fromChild.host)
     }
   }
 
@@ -451,6 +515,7 @@ object Bench {
           BenchCore.canarySession(cpus)
       }
     val canaryStart = if (wantCanary) Some(canaryRun("start")) else None
+    var shardHost = Seq.empty[(Int, String, String, Map[String, Double])]
     val merged: BenchCore.SessionResult =
       if (!sharded || names.isEmpty) {
         val r = BenchCore.runSession(sfDir, cpus, names)
@@ -459,6 +524,10 @@ object Bench {
         val parts = shards.zipWithIndex.map { case (s, i) =>
           runShardComplete(s, sfDir, cpus, i)
         }
+        shardHost = parts.zipWithIndex.collect {
+          case (p, i) if p.host.nonEmpty && shards(i).nonEmpty =>
+            (i, shards(i).head, shards(i).last, p.host.toMap)
+        }
         BenchCore.SessionResult(
           parts.flatMap(_.results), parts.flatMap(_.passes),
           parts.flatMap(_.errors).toList)
@@ -466,7 +535,7 @@ object Bench {
     val canaryEnd = if (wantCanary) Some(canaryRun("end")) else None
     val line = BenchCore.jsonLine(merged, sfDir,
       if (sharded) shards.size else 1,
-      canaryStart.zip(canaryEnd))
+      canaryStart.zip(canaryEnd), shardHost)
     println(line)
     // The driver's BENCH_rN.json retains only an output TAIL — persist
     // the full table verbatim (overwritten per run) so round-over-round
