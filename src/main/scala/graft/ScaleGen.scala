@@ -31,7 +31,15 @@ import org.apache.spark.sql.functions._
   *  - **Embeddings**: each copy rotates the vector k positions
   *    (norm- and within-copy-geometry-preserving, cross-copy cosine
   *    pseudo-random), so ANN/semdedup cell structure replicates per
-  *    copy instead of collapsing into k-plicate points.
+  *    copy instead of collapsing into k-plicate points. CAVEAT: the
+  *    rotation wraps at the vector dimension (64 on the driver's
+  *    corpus), so for k > dim copies i and i+dim carry IDENTICAL
+  *    vectors at different ids — cross-copy exact-duplicate pairs
+  *    grow Θ(k²/dim) from the REPLICATION, poisoning any
+  *    embedding-dedup exponent measured there. Document/warn rather
+  *    than silently generate; embedding sweeps should stay at
+  *    k ≤ dim (document sweeps are unaffected — their fresh/rotation
+  *    rewrites never wrap).
   *  - **events.ts** stays as-is (copies add volume per time window —
   *    linear density growth, the realistic stream-scale model); ids
   *    offset so per-user/per-event state scales in KEY COUNT, not in
@@ -142,6 +150,12 @@ object ScaleGen {
         if (t == "embeddings")
           base.select(size(col("embedding"))).head().getInt(0)
         else 0
+      if (t == "embeddings" && k > dim)
+        System.err.println(
+          s"[scalegen] WARNING: k=$k exceeds embedding dim=$dim — the " +
+            "rotation wraps, so copies i and i+dim hold identical vectors " +
+            "(cross-copy exact-dup pairs ~ k^2/dim from replication alone); " +
+            "do not fit embedding-dedup exponents on this output")
       val copies = (0 until k).map { i =>
         var c = base
         offsets(t).foreach { case (colName, space) =>

@@ -58,4 +58,25 @@ class BenchOrderSpec extends AnyFunSuite {
     // canary names never collide with the registry
     assert(BenchCore.canaryNames.forall(n => !SparkEntry.queries.contains(n)))
   }
+
+  test("per-shard host probes render as shard_host entries; TSV round-trips H rows") {
+    val r = BenchCore.SessionResult(
+      Seq("q_a" -> 1.0, "q_b" -> 2.0), Seq("q_a" -> List(1.0)), Nil)
+    val sh = Seq((0, "q_a", "q_b", Map("start" -> 0.5, "end" -> 0.6)))
+    val line = BenchCore.jsonLine(r, "/x", 1, None, sh)
+    assert(line.contains("\"shard_host\":[{\"shard\":0,\"first\":\"q_a\"," +
+      "\"last\":\"q_b\",\"end\":0.6,\"start\":0.5}]"))
+    // absent → key absent (old consumers see the identical line)
+    assert(!BenchCore.jsonLine(r, "/x", 1, None).contains("shard_host"))
+
+    // readTsv picks up the H bracket rows a shard child writes
+    val p = java.nio.file.Files.createTempFile("graft_bench_h", ".tsv")
+    java.nio.file.Files.writeString(p,
+      "H\tstart\t0.51\nQ\tq_a\t1.25\nH\tend\t0.49\n")
+    val parsed = BenchCore.readTsv(p.toString)
+    assert(parsed.results == Seq("q_a" -> 1.25))
+    assert(parsed.host == List("start" -> 0.51, "end" -> 0.49))
+    // the probe itself runs and returns a positive wall time
+    assert(BenchCore.hostProbe() > 0.0)
+  }
 }
