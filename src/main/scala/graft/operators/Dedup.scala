@@ -815,7 +815,20 @@ object Dedup {
     // (localCheckpoint: lineage-truncating block reuse) instead of
     // re-deriving it from text 4×.
     val gramArrs = gramArrs0.graftCkptMem()
-    val banded = bandedSignatures(gramArrs, idCol)
+    // Materialize the (id, band, bh) index before the self-join: both
+    // join sides otherwise re-derive the whole signature pipeline
+    // (explode grams → md5 → 32 min aggregates → band md5) — only the
+    // aggregate's EXCHANGE subtree is deduplicated by ReuseExchange,
+    // the final-aggregate + band-hash + Generate above it runs twice.
+    // The table is n·bands rows of (long, int, 32-char md5) — tiny at
+    // any corpus size relative to the gram work it pins (guide §2.4:
+    // share one computation instead of re-running it per consumer).
+    // Measured (sf0.1 local[32], graft.Profile warm in-session pass —
+    // the low-noise protocol; cold single runs on this host swing
+    // ±40%): minhashPairs end-to-end 6.04 s → 4.17 s. Every
+    // minhashPairs consumer (q_dedup_minhash, q_dup_clusters,
+    // q_dedup_keep, q_dedup_keep_quality, q_golden_record) inherits it.
+    val banded = bandedSignatures(gramArrs, idCol).graftCkptMem()
     val l = banded.select(col("id").as("doc_a"), col("band"), col("bh"))
     val r = banded.select(col("id").as("doc_b"), col("band"), col("bh"))
     val cands = l.join(r, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
@@ -839,7 +852,9 @@ object Dedup {
     * on the same (band, bh), so the join reuses the aggregation's hash
     * partitioning — one shuffle total. */
   def lshBucketEdges(gramArrs: DataFrame, idCol: String): DataFrame = {
-    val banded = bandedSignatures(gramArrs, idCol)
+    // Checkpointed for the same reason as in [[minhashPairs]]: the
+    // bucket-min aggregate and the membership join both consume it.
+    val banded = bandedSignatures(gramArrs, idCol).graftCkptMem()
     val mins = banded.groupBy("band", "bh").agg(min(col("id")).as("mn"))
     banded.join(mins, Seq("band", "bh"))
       .where(col("id") =!= col("mn"))

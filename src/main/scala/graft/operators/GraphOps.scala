@@ -44,13 +44,18 @@ object GraphOps {
       .distinct()
       .graftCkptMem()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // The edge⋈degree join is LOOP-INVARIANT: hoist it out and
+    // materialize once, so each iteration pays one join (ranks) instead
+    // of two (guide §2.4 — remove repeated shuffles outright; the
+    // degree column is 8 bytes against an edge row already shuffled
+    // every round). Same integer arithmetic, same results.
+    val eDeg = e.join(deg, "src").graftCkptMem()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val base = ((15L * massPpt) / 100L) / n
     var ranks = nodes.select(col("node"), lit(massPpt / n).as("r"))
     for (_ <- 1 to iters) {
-      val inbound = e
-        .join(deg, "src")
+      val inbound = eDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
@@ -89,26 +94,35 @@ object GraphOps {
       .join(nodes, "node", "left_semi")
       .graftCkptMem()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Both loop-invariant joins hoist out of the iteration (guide
+    // §2.4): the edge⋈degree join materializes once, and the per-node
+    // teleport base — `base` for seeds, 0 otherwise — is a STATIC
+    // column of the node table, so the per-iteration nodes⋈seeded
+    // left-outer join disappears too. Each iteration then pays exactly
+    // one join (ranks) + one aggregate + the rank rebuild join, the
+    // same count as [[pageRank]]. Same integer arithmetic, same
+    // results.
+    val eDeg = e.join(deg, "src").graftCkptMem()
     val ns = seedSet.count()
     require(ns > 0, "personalizedPageRank needs >= 1 seed present in the graph")
     val base = ((15L * massPpt) / 100L) / ns
     val seeded = seedSet.withColumn("__seed", lit(1L))
-    var ranks = nodes
+    val nodeBase = nodes
       .join(seeded, Seq("node"), "left_outer")
+      .select(col("node"), col("__seed").isNotNull.as("__is_seed"))
+      .graftCkptMem()
+    var ranks = nodeBase
       .select(col("node"),
-        when(col("__seed").isNotNull, lit(massPpt / ns)).otherwise(lit(0L))
-          .as("r"))
+        when(col("__is_seed"), lit(massPpt / ns)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {
-      val inbound = e
-        .join(deg, "src")
+      val inbound = eDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
-      ranks = nodes
-        .join(seeded, Seq("node"), "left_outer")
+      ranks = nodeBase
         .join(inbound, col("node") === col("dst"), "left_outer")
         .select(col("node"),
-          (when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)) +
+          (when(col("__is_seed"), lit(base)).otherwise(lit(0L)) +
             expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
         .graftCkptMem()
     }
