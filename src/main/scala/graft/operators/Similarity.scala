@@ -806,17 +806,28 @@ object Similarity {
       array(cb(c).slice(s * sub, (s + 1) * sub).map(lit): _*)
     def darr(s: Int): Column = array((0 until nCodes).map(c =>
       round(l2sq(slice(col("vec"), s * sub + 1, sub), cwLit(s, c)), 6)): _*)
-    val encoded = (0 until m).foldLeft(
-      corpus.select(col("nid"), col("vec"))) { (df, s) =>
-        df.withColumn(s"__c$s", array_position(darr(s), array_min(darr(s))))
-      }.drop("vec")
+    // Corpus encoding through the fused codegen expression
+    // ([[graft.functions.PqEncodeExpr]]): the composed
+    // array_position(darr, array_min(darr)) form paid m·nCodes
+    // interpreted HOF distance folds (+ a slice allocation each) per
+    // corpus row and inlined the codebook literals m·nCodes times into
+    // the plan (206 KB of plan text — planning + codegen cost on every
+    // run; plans/r16/q_ann_pq_*.txt). Values are bit-identical
+    // (parity pinned in SimilarityPlanSpec); the probe side below
+    // keeps the composed form — it runs on |probes| rows and its
+    // distance TABLES (not argmins) are what ADC consumes.
+    val encoded = corpus
+      .select(col("nid"),
+        graft.functions.PqEncodeExpr.codes(col("vec"), dim, m, cb)
+          .as("__codes"))
     val tables = (0 until m).foldLeft(
       probes.select(col("qid"), col("vec"))) { (df, s) =>
         df.withColumn(s"__dt$s", darr(s))
       }.drop("vec")
     val dec = DecimalType(30, 6)
     val adist = (0 until m).map(s =>
-      element_at(col(s"__dt$s"), col(s"__c$s").cast(IntegerType)).cast(dec))
+      element_at(col(s"__dt$s"),
+        element_at(col("__codes"), s + 1).cast(IntegerType)).cast(dec))
       .reduce(_ + _)
     val cand = encoded.crossJoin(broadcast(tables))
       .where(col("qid") =!= col("nid"))

@@ -2003,12 +2003,20 @@ object Cdc {
         |p3s AS (SELECT p3.state, p3.p FROM p3 JOIN st USING (state))
         |SELECT state, CAST(p AS BIGINT) AS p_ppt FROM p3s
         |ORDER BY state""".stripMargin) { (spark, dir) =>
+      // Checkpoint the count matrix: it is |types|² rows, but WITHOUT
+      // the checkpoint every reference below (m, states, k, and each
+      // unrolled iteration's semi-join) re-plans and re-runs the
+      // corpus-wide lag window behind Temporal.transitions — the
+      // before-plan had 156 Exchanges / 40 joins, all multiplying one
+      // tiny matrix derivation (guide §2.4; plan pinned in
+      // plans/r16/q_markov_stationary_*.txt).
       val trans = Temporal.transitions(t(spark, dir)("events"),
           "user_id", "ts", "event_id", "event_type")
         .select(col("from_state"), col("to_state"), col("cnt"))
-      val tot = trans.groupBy("from_state").agg(sum(col("cnt")).as("t"))
-      val m = trans.join(tot, Seq("from_state"))
-      val states = trans.select(col("from_state").as("state")).distinct()
+      val transCp = Ckpt.mem(trans)
+      val tot = transCp.groupBy("from_state").agg(sum(col("cnt")).as("t"))
+      val m = transCp.join(tot, Seq("from_state"))
+      val states = transCp.select(col("from_state").as("state")).distinct()
       val k = states.agg(count(lit(1)).as("k"))
       var pi = states.crossJoin(k)
         .select(col("state"), expr("1000000000000L div k").as("p"))

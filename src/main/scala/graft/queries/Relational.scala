@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{QueryDef, Relation, Tables}
+import graft.core.Ckpt.CkptOps
 import graft.functions.CanonicalKey.canonicalPk
 import graft.operators.{Denormalize, Filters}
 
@@ -864,8 +865,13 @@ object Relational {
         .select(col("l_suppkey").as("u"),
           (col("o_custkey") + 1000000L).as("v"))
         .distinct()
+      // Materialize the half-edge list once: it feeds the degree
+      // aggregate AND both sides of the degree-pair join — without the
+      // checkpoint each consumer re-runs the lineitem⋈orders distinct
+      // (the before-plan carried 17 Exchanges; guide §2.4).
       val ends = m.select(col("u").as("node"), col("v").as("other"))
         .unionByName(m.select(col("v").as("node"), col("u").as("other")))
+        .graftCkptMem()
       val deg = ends.groupBy("node").agg(count(lit(1)).as("d"))
       val p = ends
         .join(deg.select(col("node"), col("d").as("x")), Seq("node"))

@@ -1249,15 +1249,26 @@ object Text {
       val te = d.where(expr("doc_id % 5 = 0"))
       val trt = tr.graftSpread().select(col("source").as("c"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
+      // ct is vocabulary-sized and read THREE times (class totals, the
+      // test-side score join, and — via the derivation below — the
+      // vocab size); un-checkpointed, each consumer re-ran the train
+      // tokenize pass (the before-plan had 26 Exchanges for one
+      // logical pipeline — guide §2.4). vv = distinct terms derives
+      // from ct (every (c, term) group exists in trt, so distinct
+      // terms are identical) instead of re-tokenizing the train split.
       val ct = trt.groupBy("c", "term").agg(count(lit(1)).as("cnt"))
+        .graftCkptMem()
       val cstat = ct.groupBy("c").agg(sum(col("cnt")).as("tok"))
       val nd = tr.groupBy(col("source").as("c"))
         .agg(count(lit(1)).as("ndc"))
       val ntr = tr.agg(count(lit(1)).as("n"))
-      val vv = trt.agg(countDistinct(col("term")).as("v"))
+      val vv = ct.agg(countDistinct(col("term")).as("v"))
+      // test-side tf feeds both the doc-length rollup and the score
+      // join — one tokenize pass, not two
       val tf = te.graftSpread().select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .graftCkptMem()
       val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val sums = tf.join(ct, Seq("term"))
         .groupBy("doc_id", "c")

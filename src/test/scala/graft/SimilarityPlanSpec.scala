@@ -244,6 +244,35 @@ class SimilarityPlanSpec extends SparkSpec {
     assert(fNf == cNf, s"non-finite parity divergence: $fNf vs $cNf")
   }
 
+  test("fused PQ encoding reproduces the composed argmin form bit-for-bit") {
+    // pqTopK's corpus encoding runs through PqEncodeExpr (one codegen
+    // pass); the composed array_position(darr, array_min(darr)) form
+    // it replaced — and which the generated SQL oracle still replays —
+    // must agree on every (vector, subspace) code, rounding convention
+    // and first-min tie rule included.
+    val dim = 64; val m = 8; val nCodes = 16; val sub = dim / m
+    val cb: Array[Seq[Double]] = corpus.orderBy(
+        pmod(pmod(col("nid").cast("long"), lit(1L << 31)) * 1327217885L,
+          lit(1L << 31)), col("nid"))
+      .limit(nCodes)
+      .select(col("nid").cast("long"), col("vec")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def cwLit(s: Int, c: Int) =
+      array(cb(c).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    def darr(s: Int) = array((0 until nCodes).map(c =>
+      round(l2sq(slice(col("vec"), s * sub + 1, sub), cwLit(s, c)), 6)): _*)
+    val composed = corpus.select(col("nid") +: (0 until m).map(s =>
+        array_position(darr(s), array_min(darr(s))).as(s"c$s")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to m).map(r.getLong)).toMap
+    val fused = corpus.select(col("nid"),
+        graft.functions.PqEncodeExpr.codes(col("vec"), dim, m, cb).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(fused == composed, "PQ code divergence between fused and composed")
+  }
+
   test("banded verify lookups never sort-merge the wide candidate stream") {
     // The r15 sf3 catch: the post-lookup candidate rows carry a
     // dim-sized vector each — an SMJ sorts that wide stream (~160 GB
