@@ -184,7 +184,10 @@ object Dedup {
       gramArrs0: DataFrame, // (id, grams array) — TextAnalysis.gramArrays
       idCol: String,
       tauNum: Long,
-      tauDen: Long): DataFrame = {
+      tauDen: Long,
+      denseUniverseMax: Long = ContainmentDenseUniverseMax,
+      pairScanMaxDocs: Long = ContainmentPairScanMaxDocs,
+      blockPairBudget: Long = ContainmentBlockPairBudget): DataFrame = {
     // Materialize the EXPLODED gram set once (dfs, prefix derivation,
     // verify). Checkpointing the compact array form and lazily
     // re-exploding was measured 6× SLOWER (68s vs 11s at sf0.1): every
@@ -194,6 +197,43 @@ object Dedup {
       .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
       .graftCkptMem()
     val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .graftCkptMem()
+    // DENSE-UNIVERSE route — the containment router's adjudicated
+    // pattern (see [[containmentPairs]]) applied to symmetric Jaccard,
+    // decided by the same ONE driver scalar (dictionary size — layout
+    // metadata, not data) under the operator's eager contract. On a
+    // bounded vocabulary no gram is rare, so the prefix argument
+    // collapses: candidates approach all-pairs MATERIALIZED through
+    // the gh-keyed self-join + 5.8M-group count aggregate (measured
+    // 4.5 s of q_dedup_ngram's 8.1 s at sf0.1, where U = 2 041), while
+    // the same pair space as bitmaps is popcount(AND) inside
+    // whole-stage codegen with zero shuffle (broadcast tier) or
+    // component-blocked linear shuffle (Σ|block|² budget tier, one
+    // giant-component corpus ⇒ honest fallback to the prefix path).
+    // τ = 0 never routes: the dense scans pair ALL docs, the prefix
+    // path only docs sharing ≥ 1 gram — at τ > 0 both sets coincide.
+    // Cross-path value equality is pinned in DedupSpec and the routed
+    // query stays oracle-gated (the oracle replays plain exact SQL).
+    val universe = if (denseUniverseMax > 0 && tauNum > 0) dfs.count() else 0L
+    if (denseUniverseMax > 0 && tauNum > 0 && universe <= denseUniverseMax) {
+      val nDocs = g.select("id").distinct().count()
+      if (nDocs <= pairScanMaxDocs)
+        return jaccardDense(g, dfs, universe, tauNum, tauDen, None)
+      val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
+      val compEdges = g.join(gramRep, "gram")
+        .where(col("id") =!= col("rep"))
+        .select(col("id").as("doc_a"), col("rep").as("doc_b"))
+        .distinct()
+      val comp = connectedComponents(compEdges, "doc_a", "doc_b")
+        .select(col("id"), col("component")).graftCkptMem()
+      val sumSq = comp.groupBy("component").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("s"))
+        .head().getLong(0)
+      if (sumSq <= blockPairBudget)
+        return jaccardDense(g, dfs, universe, tauNum, tauDen, Some(comp))
+      // dense but component structure collapsed past the budget: the
+      // prefix path below is the existing (documented) behavior
+    }
     // Per-doc prefix in ONE keyed aggregation: collect (df, gram),
     // sort by the global (df, gram) order, slice to the prefix length
     // n - ceil(tau*n) + 1 (ceil(a/b) = (a + b - 1) div b). This
@@ -428,6 +468,65 @@ object Dedup {
       .select(col("src"), col("dst"), col("n_src"), col("n_shared"),
         round(col("n_shared").cast(DoubleType) / col("n_src"), 6)
           .as("containment"))
+  }
+
+  /** Bitmap pair scan for DENSE-universe exact Jaccard — the
+    * [[ngramJaccardPairs]] router's fast tiers, mirroring
+    * [[containmentDense]]/[[containmentDenseBlocked]] with the
+    * symmetric size filter and the J ≥ τ integer test. `comp = None`
+    * is the broadcast all-pairs tier (≤ pairScanMaxDocs: the bitmap
+    * table broadcasts, the scan never shuffles); `Some(comp)` is the
+    * gram-connected-component blocked tier (pair space Σ_b |block|²,
+    * salted so a giant block cannot serialize into one task). The
+    * jaccard value is the verify path's exact expression
+    * (i / (na + nb − i) in double), so routed output is bit-identical
+    * to the prefix+verify path. */
+  private def jaccardDense(g: DataFrame, dfs: DataFrame, universe: Long,
+      tauNum: Long, tauDen: Long, comp: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.BitmapExpr
+    val nWords = ((universe + 63) / 64).toInt
+    // single-partition window over the ≤32k-row dictionary only
+    val dict = dfs.select(col("gram"))
+      .withColumn("gid",
+        (row_number().over(Window.orderBy("gram")) - 1).cast(IntegerType))
+    val docsBm = g.join(broadcast(dict), "gram")
+      .groupBy("id")
+      .agg(collect_list(col("gid")).as("gids"))
+      .select(col("id"), size(col("gids")).cast(LongType).as("n"),
+        BitmapExpr.bitmapBuild(col("gids"), nWords).as("bm"))
+      .graftCkptMem()
+    // symmetric size filter first (J ≥ τ ⇒ τ·na ≤ nb ∧ τ·nb ≤ na):
+    // integer-cheap, prunes before any popcount
+    val sizeOk = col("nb") * tauDen >= col("na") * tauNum &&
+      col("na") * tauDen >= col("nb") * tauNum
+    val scanned = comp match {
+      case None =>
+        val a = docsBm.select(col("id").as("doc_a"), col("n").as("na"),
+          col("bm").as("bma"))
+        val b = docsBm.select(col("id").as("doc_b"), col("n").as("nb"),
+          col("bm").as("bmb"))
+        a.crossJoin(broadcast(b))
+          .where(col("doc_a") < col("doc_b") && sizeOk)
+      case Some(c) =>
+        val bmc = docsBm.join(c, "id").graftCkptMem()
+        val s = math.max(4, g.sparkSession.sparkContext.defaultParallelism / 4)
+        val a = bmc.select(col("component"),
+          pmod(col("id"), lit(s)).as("__salt"),
+          col("id").as("doc_a"), col("n").as("na"), col("bm").as("bma"))
+        val b = bmc.select(col("component"),
+          explode(sequence(lit(0), lit(s - 1))).as("__salt"),
+          col("id").as("doc_b"), col("n").as("nb"), col("bm").as("bmb"))
+        a.join(b, Seq("component", "__salt"))
+          .where(col("doc_a") < col("doc_b") && sizeOk)
+    }
+    scanned
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        BitmapExpr.bitmapAndCount(col("bma"), col("bmb")).as("i"))
+      .where(col("i") * tauDen >= (col("na") + col("nb") - col("i")) * tauNum)
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Dictionary sizes up to this use the bitmap containment path

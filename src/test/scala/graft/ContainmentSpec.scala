@@ -135,4 +135,30 @@ class ContainmentSpec extends SparkSpec {
     assert(prefixVerify == bitmap,
       s"prefixVerify=$prefixVerify bitmap=$bitmap")
   }
+
+  test("Jaccard dense tiers equal the prefix-filter path (full rows)") {
+    // ngramJaccardPairs' dense-universe router (r16): both bitmap
+    // tiers — broadcast pair scan and component-blocked salted scan —
+    // must reproduce the prefix+verify path's rows EXACTLY, jaccard
+    // double included (same i / (na + nb − i) expression).
+    val rnd = new scala.util.Random(17)
+    val base = Seq.fill(40)(
+      Seq.fill(60)(('a' + rnd.nextInt(5)).toChar).mkString)
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 4 == 1) base(i - 1).substring(0, 45) + t.substring(45) else t
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val arrs = TextAnalysis.gramArrays(rows, "doc_id", "text", 4)
+    def run(denseMax: Long, maxDocs: Long) =
+      Dedup.ngramJaccardPairs(arrs, "doc_id", 2, 5,
+          denseUniverseMax = denseMax, pairScanMaxDocs = maxDocs)
+        .as[(Long, Long, Double)].collect().toSet
+    val prefix = run(0L, Long.MaxValue)            // force prefix path
+    val scan = run(Long.MaxValue, Long.MaxValue)   // broadcast pair scan
+    val blocked = run(Long.MaxValue, 0L)           // component-blocked scan
+    assert(scan.nonEmpty, "fixture must plant qualifying pairs")
+    assert(scan == prefix, s"scan=$scan prefix=$prefix")
+    assert(blocked == prefix, s"blocked=$blocked prefix=$prefix")
+  }
 }
