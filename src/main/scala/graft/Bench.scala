@@ -179,6 +179,10 @@ object BenchCore {
       .groupBy("k").count().count()
     var errors = List.empty[(String, String)]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Label the measurement's jobs (guide §1.5) so any UI/eventlog
+      // inspection maps jobs back to the query being timed. Thread-local
+      // and free; cleared with the release below.
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -188,6 +192,7 @@ object BenchCore {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       release(spark)
       if (ok) dt else -dt
     }

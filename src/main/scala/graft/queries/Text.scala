@@ -2347,7 +2347,11 @@ object Text {
         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM g JOIN d USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // materialize the exploded gram set once: the df aggregate and
+      // the join probe both consume it — the identical measured
+      // pattern (and comment) as q_dup_coverage above
       val g = TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5)
+        .graftCkptMem()
       val dfreq = g.groupBy("gram").agg(count(lit(1)).as("__df"))
       g.join(dfreq, "gram")
         .groupBy("doc_id")
