@@ -197,7 +197,6 @@ object Dedup {
       .select(col(idCol).as("id"), explode(col("grams")).as("gram"))
       .graftCkptMem()
     val dfs = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .graftCkptMem()
     // DENSE-UNIVERSE route — the containment router's adjudicated
     // pattern (see [[containmentPairs]]) applied to symmetric Jaccard,
     // decided by the same ONE driver scalar (dictionary size — layout
@@ -214,25 +213,46 @@ object Dedup {
     // path only docs sharing ≥ 1 gram — at τ > 0 both sets coincide.
     // Cross-path value equality is pinned in DedupSpec and the routed
     // query stays oracle-gated (the oracle replays plain exact SQL).
-    val universe = if (denseUniverseMax > 0 && tauNum > 0) dfs.count() else 0L
-    if (denseUniverseMax > 0 && tauNum > 0 && universe <= denseUniverseMax) {
-      val nDocs = g.select("id").distinct().count()
-      if (nDocs <= pairScanMaxDocs)
-        return jaccardDense(g, dfs, universe, tauNum, tauDen, None)
-      val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
-      val compEdges = g.join(gramRep, "gram")
-        .where(col("id") =!= col("rep"))
-        .select(col("id").as("doc_a"), col("rep").as("doc_b"))
-        .distinct()
-      val comp = connectedComponents(compEdges, "doc_a", "doc_b")
-        .select(col("id"), col("component")).graftCkptMem()
-      val sumSq = comp.groupBy("component").agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("s"))
-        .head().getLong(0)
-      if (sumSq <= blockPairBudget)
-        return jaccardDense(g, dfs, universe, tauNum, tauDen, Some(comp))
-      // dense but component structure collapsed past the budget: the
-      // prefix path below is the existing (documented) behavior
+    // The dense route probes and consumes a CHECKPOINTED copy of the
+    // df table; the prefix path below keeps the LAZY aggregate — its
+    // plan must stay byte-identical to the pre-router one (measured:
+    // feeding the prefix join a checkpointed dfs regressed the sf1
+    // prefix run ~2.5×; a fall-through to prefix costs one re-derived
+    // df aggregate over the checkpointed g, ~1.7 s at sf1, instead).
+    if (denseUniverseMax > 0 && tauNum > 0) {
+      val dfsCp = dfs.graftCkptMem()
+      val universe = dfsCp.count()
+      if (universe <= denseUniverseMax) {
+        val nDocs = g.select("id").distinct().count()
+        if (nDocs <= pairScanMaxDocs)
+          return jaccardDense(g, dfsCp, universe, tauNum, tauDen, None)
+        // The blocked tier is attempted only while its WORST CASE
+        // (one giant component, Σ|block|² = nDocs²) fits the pair
+        // budget — under that bound ANY component structure is
+        // affordable, so no Σ|block|² probe is needed. Past the bound
+        // the router goes STRAIGHT to the prefix path below rather
+        // than paying a corpus-wide connected-components probe first:
+        // unlike containment — whose prefix path detonates on dense
+        // corpora, making an exact Σ|block|² probe worth a CC pass —
+        // Jaccard's prefix path stays alive (symmetric size filter +
+        // count bound), and an entangled corpus (the r14 rotation
+        // class) turns the probe into pure overhead. Measured (sf1
+        // rotation, 50k docs, this round's sweep): probe-then-
+        // fallback 44.7 s vs 27.9 s for the direct prefix path.
+        if (nDocs * nDocs <= blockPairBudget) {
+          val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
+          val compEdges = g.join(gramRep, "gram")
+            .where(col("id") =!= col("rep"))
+            .select(col("id").as("doc_a"), col("rep").as("doc_b"))
+            .distinct()
+          val comp = connectedComponents(compEdges, "doc_a", "doc_b")
+            .select(col("id"), col("component")).graftCkptMem()
+          return jaccardDense(g, dfsCp, universe, tauNum, tauDen, Some(comp))
+        }
+      }
+      // dense but too large for the bounded scans, or a growing
+      // universe: the prefix path below is the existing (documented)
+      // behavior
     }
     // Per-doc prefix in ONE keyed aggregation: collect (df, gram),
     // sort by the global (df, gram) order, slice to the prefix length
