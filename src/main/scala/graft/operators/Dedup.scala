@@ -934,20 +934,22 @@ object Dedup {
     // (localCheckpoint: lineage-truncating block reuse) instead of
     // re-deriving it from text 4×.
     val gramArrs = gramArrs0.graftCkptMem()
-    // Materialize the (id, band, bh) index before the self-join: both
-    // join sides otherwise re-derive the whole signature pipeline
-    // (explode grams → md5 → 32 min aggregates → band md5) — only the
-    // aggregate's EXCHANGE subtree is deduplicated by ReuseExchange,
-    // the final-aggregate + band-hash + Generate above it runs twice.
-    // The table is n·bands rows of (long, int, 32-char md5) — tiny at
-    // any corpus size relative to the gram work it pins (guide §2.4:
-    // share one computation instead of re-running it per consumer).
-    // Measured (sf0.1 local[32], graft.Profile warm in-session pass —
-    // the low-noise protocol; cold single runs on this host swing
-    // ±40%): minhashPairs end-to-end 6.04 s → 4.17 s. Every
-    // minhashPairs consumer (q_dedup_minhash, q_dup_clusters,
-    // q_dedup_keep, q_dedup_keep_quality, q_golden_record) inherits it.
-    val banded = bandedSignatures(gramArrs, idCol).graftCkptMem()
+    // Counter-experiment (r16 optimization round, kept for the
+    // record): checkpointing `banded` before the self-join looks like
+    // an obvious §2.4 share — both join sides re-derive the signature
+    // pipeline's tail (the partial-aggregate EXCHANGE is deduplicated
+    // by ReuseExchange, but the final aggregate + band md5 + Generate
+    // above it plan twice). A warm in-session pass indeed measured
+    // 6.04 → 4.17 s. But the bench's actual protocol is COLD
+    // best-of-2 sessions, and there the eager checkpoint splits one
+    // whole-stage-codegen pipeline into two compiles plus a
+    // block-manager round-trip: two independent interleaved A/Bs
+    // (3 + 5 rounds, fresh JVMs, same hosts/hours) both read median
+    // ≈ 1.3× AGAINST the checkpoint for q_dedup_minhash. Rejected on
+    // that measurement — the lazy twice-planned tail is the cheaper
+    // form at session-cold reality, and ReuseExchange already carries
+    // the expensive half.
+    val banded = bandedSignatures(gramArrs, idCol)
     val l = banded.select(col("id").as("doc_a"), col("band"), col("bh"))
     val r = banded.select(col("id").as("doc_b"), col("band"), col("bh"))
     val cands = l.join(r, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
@@ -971,9 +973,11 @@ object Dedup {
     * on the same (band, bh), so the join reuses the aggregation's hash
     * partitioning — one shuffle total. */
   def lshBucketEdges(gramArrs: DataFrame, idCol: String): DataFrame = {
-    // Checkpointed for the same reason as in [[minhashPairs]]: the
-    // bucket-min aggregate and the membership join both consume it.
-    val banded = bandedSignatures(gramArrs, idCol).graftCkptMem()
+    // NOT checkpointed — see the counter-experiment note in
+    // [[minhashPairs]]: the two consumers share the aggregation
+    // exchange via ReuseExchange, and an eager checkpoint costs more
+    // in cold codegen/compile splits than the deduped tail saves.
+    val banded = bandedSignatures(gramArrs, idCol)
     val mins = banded.groupBy("band", "bh").agg(min(col("id")).as("mn"))
     banded.join(mins, Seq("band", "bh"))
       .where(col("id") =!= col("mn"))
