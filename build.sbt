@@ -65,3 +65,55 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )
+
+// ---- test-run wall time -----------------------------------------------
+// One forked JVM running all ~80 suites sequentially took >25 min —
+// longer than CI/driver test budgets — with the tail dominated by a
+// handful of Spark-session suites (the IVM golden replays). The suites
+// are independent (each JVM builds its own shared SparkSession; suites
+// that restart the context only affect their own JVM), so they are
+// bin-packed into fixed GROUPS, each forked into its own JVM, and up to
+// `testForkParallel` groups run concurrently (the test sessions are
+// local[8] on a 32-core bench host; memory: each fork's heap is the
+// same default as before and the suites' working sets are far below
+// it). Every test still runs on plain `sbt test` — nothing is tagged
+// out — and suites within a group stay sequential in their JVM, so the
+// restart-testing suites keep their ordering guarantee.
+val testForkParallel: Int =
+  sys.env.get("GRAFT_TEST_FORKS").map(_.toInt).getOrElse(4)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val fo = (Test / forkOptions).value
+  // measured suite seconds (r17, full -oD run at WARN logging); the
+  // default weight covers the long tail of small suites
+  val weight: Map[String, Int] = Map(
+    "IncrementalGoldenSpec" -> 472, "DurableStateSpec" -> 278,
+    "SimilarityPlanSpec" -> 98, "StreamQuerySpec" -> 83,
+    "IncrementalFuzzSpec" -> 50, "ContainmentSpec" -> 36,
+    "StreamingDedupSpec" -> 33, "DedupClusterSpec" -> 31,
+    "MainSpec" -> 29, "IncrementalAggSpec" -> 24, "PrefixScanSpec" -> 20,
+    "StateOpsSpec" -> 16, "StreamRestartSpec" -> 14, "PackHierSpec" -> 14,
+    "TwsCompactionSpec" -> 13, "ScaleGenSpec" -> 12, "BucketingSpec" -> 11,
+    "EventTimeSpec" -> 11, "TwsSessionsSpec" -> 10, "KafkaWiringSpec" -> 10)
+  def w(t: sbt.TestDefinition): Int =
+    weight.getOrElse(t.name.stripPrefix("graft."), 6)
+  val nGroups = math.max(testForkParallel * 2, 1)
+  val bins = Array.fill(nGroups)(
+    (scala.collection.mutable.ListBuffer.empty[sbt.TestDefinition], Array(0L)))
+  // longest-processing-time first greedy bin packing
+  tests.sortBy(t => (-w(t), t.name)).foreach { t =>
+    val bin = bins.minBy(_._2(0))
+    bin._1 += t
+    bin._2(0) += w(t)
+  }
+  bins.toSeq.zipWithIndex.collect {
+    case ((ts, _), i) if ts.nonEmpty =>
+      Tests.Group(s"g$i", ts.toVector, Tests.SubProcess(fo))
+  }
+}
+// Allow `testForkParallel` forked test JVMs at once (the default caps
+// forked test groups at 1). limitAll stays at a generous bound so other
+// sbt work is unaffected.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(testForkParallel, 4) + 2),
+  Tags.limit(Tags.ForkedTestGroup, testForkParallel))

@@ -4,7 +4,7 @@
 # Mirrors build.sbt's forked-run JVM flags (add-opens, heap, UTC, no UI).
 # Requires target/scala-2.13/classes to be current (sbt -batch compile).
 set -euo pipefail
-CLASSES=/root/repo/target/scala-2.13/classes
+CLASSES="$(cd "$(dirname "$0")/.." && pwd)/target/scala-2.13/classes"
 CP="$CLASSES:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 ADD_OPENS=(
   java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect

@@ -104,7 +104,12 @@ object Profile {
         .select("doc_a", "doc_b")
       time("ngram: cands") { cands.count() }
       time("ngram: full") {
-        Dedup.ngramJaccardPairs(gramsCp, "doc_id", 3, 5).count()
+        // denseUniverseMax = 0 pins the PREFIX path — the one the
+        // sub-stage probes above decompose. A dense-universe profile
+        // corpus would otherwise route to the bitmap tier and the
+        // breakdown would no longer sum to the measured full run.
+        Dedup.ngramJaccardPairs(gramsCp, "doc_id", 3, 5,
+          denseUniverseMax = 0).count()
       }
     }
     spark.stop()

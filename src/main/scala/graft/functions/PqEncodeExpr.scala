@@ -74,8 +74,15 @@ case class PqEncodeExpr(child: Expression, dim: Int, m: Int,
           acc += d * d
           i += 1
         }
-        val r = java.math.BigDecimal.valueOf(acc)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // NaN/Infinity skip the BigDecimal rounding (valueOf THROWS on
+        // non-finite doubles, where Spark's Round passes them through
+        // unchanged) and enter the compare as-is — same guard as
+        // LshBandKeysExpr. NaN compares GREATEST under Double.compare,
+        // so a NaN distance never beats any finite one.
+        val r =
+          if (java.lang.Double.isNaN(acc) || java.lang.Double.isInfinite(acc)) acc
+          else java.math.BigDecimal.valueOf(acc)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         if (c == 0 || java.lang.Double.compare(r, best) < 0) {
           best = r; bestIdx = c
         }
@@ -116,8 +123,10 @@ case class PqEncodeExpr(child: Expression, dim: Int, m: Int,
          |      double $dd = $v.getDouble($s * $w + $i) - $cb[$c * $dim + $s * $w + $i];
          |      $acc += $dd * $dd;
          |    }
-         |    double $r = java.math.BigDecimal.valueOf($acc)
-         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    double $r = (Double.isNaN($acc) || Double.isInfinite($acc))
+         |      ? $acc
+         |      : java.math.BigDecimal.valueOf($acc)
+         |          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
          |    if ($c == 0 || java.lang.Double.compare($r, $best) < 0) {
          |      $best = $r; $bestIdx = $c;
          |    }

@@ -239,7 +239,11 @@ object Dedup {
         // class) turns the probe into pure overhead. Measured (sf1
         // rotation, 50k docs, this round's sweep): probe-then-
         // fallback 44.7 s vs 27.9 s for the direct prefix path.
-        if (nDocs * nDocs <= blockPairBudget) {
+        // division form, not nDocs * nDocs: the square overflows Long
+        // past ~3.0e9 docs, going negative and wrongly ADMITTING the
+        // blocked tier at a scale where it cannot work (nDocs > 0 here
+        // — this branch requires nDocs > pairScanMaxDocs ≥ 0)
+        if (nDocs <= blockPairBudget / nDocs) {
           val gramRep = g.groupBy("gram").agg(min(col("id")).as("rep"))
           val compEdges = g.join(gramRep, "gram")
             .where(col("id") =!= col("rep"))

@@ -799,34 +799,27 @@ object Similarity {
       .select(col("nid").cast(LongType), col("vec")).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
     require(cb.length == nCodes, s"corpus has fewer than $nCodes vectors")
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    def cwLit(s: Int, c: Int): Column =
-      array(cb(c).slice(s * sub, (s + 1) * sub).map(lit): _*)
-    def darr(s: Int): Column = array((0 until nCodes).map(c =>
-      round(l2sq(slice(col("vec"), s * sub + 1, sub), cwLit(s, c)), 6)): _*)
-    // Corpus encoding through the fused codegen expression
-    // ([[graft.functions.PqEncodeExpr]]): the composed
-    // array_position(darr, array_min(darr)) form paid m·nCodes
-    // interpreted HOF distance folds (+ a slice allocation each) per
-    // corpus row and inlined the codebook literals m·nCodes times into
-    // the plan (206 KB of plan text — planning + codegen cost on every
-    // run; plans/r16/q_ann_pq_*.txt). Values are bit-identical
-    // (parity pinned in SimilarityPlanSpec); the probe side below
-    // keeps the composed form — it runs on |probes| rows and its
-    // distance TABLES (not argmins) are what ADC consumes.
+    // Corpus encoding AND probe distance tables through the fused
+    // codegen expressions ([[graft.functions.PqEncodeExpr]],
+    // [[graft.functions.PqDistTablesExpr]]): the composed column forms
+    // paid m·nCodes interpreted HOF distance folds (+ a slice
+    // allocation each) per row and inlined the codebook literals
+    // m·nCodes times into the plan — 206 KB of plan text corpus-side
+    // (fused in r16) plus 69 KB probe-side (fused this round; the
+    // probe set is tiny but the literals were parsed/optimized/
+    // codegen'd on every run — plans/r17/q_ann_pq_*.txt). Values are
+    // bit-identical (parity pinned in SimilarityPlanSpec); ADC below
+    // consumes the probe's distance TABLES by corpus code.
     val encoded = corpus
       .select(col("nid"),
         graft.functions.PqEncodeExpr.codes(col("vec"), dim, m, cb)
           .as("__codes"))
-    val tables = (0 until m).foldLeft(
-      probes.select(col("qid"), col("vec"))) { (df, s) =>
-        df.withColumn(s"__dt$s", darr(s))
-      }.drop("vec")
+    val tables = probes.select(col("qid"),
+      graft.functions.PqDistTablesExpr.tables(col("vec"), dim, m, cb)
+        .as("__dts"))
     val dec = DecimalType(30, 6)
     val adist = (0 until m).map(s =>
-      element_at(col(s"__dt$s"),
+      element_at(element_at(col("__dts"), s + 1),
         element_at(col("__codes"), s + 1).cast(IntegerType)).cast(dec))
       .reduce(_ + _)
     val cand = encoded.crossJoin(broadcast(tables))

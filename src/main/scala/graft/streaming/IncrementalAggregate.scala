@@ -256,7 +256,35 @@ object IncrementalAggregate {
     import spark.implicits._
     val kk = state.k
     val cc = compactBatch(changes).graftCkptMem()
-    val j = joined(state.latest, cc)
+    // The LATEST-state persist (O(state) memory rewrite / durable
+    // parquet generation — the batch's single largest job) depends
+    // only on (pre-batch latest, cc), and nothing below reads it until
+    // the rare underflow rebuild. Submit it ASYNC so it overlaps the
+    // lookup-join checkpoint and the rollup merge on the main thread —
+    // one batch previously paid 4-6 strictly sequential barriers; now
+    // the persist barrier is hidden behind the others (guide §2.6).
+    val rows = cc.where(col("g_new").isNotNull)
+      .select(col("k"), col("g_new").as("g"), col("v_new").as("v"))
+    implicit val ec = Waves.ec
+    val fLatest = scala.concurrent.Future {
+      backend.persist("ivm_agg_latest",
+        state.latest.join(cc.select("k"), Seq("k"), "left_anti")
+          .unionByName(rows),
+        delta = Some((rows, cc.select("k"))))
+    }
+    def awaitLatest(): DataFrame =
+      scala.concurrent.Await.result(fLatest,
+        scala.concurrent.duration.Duration.Inf)
+    // kk == 0 (count/sum-only): the lookup join has ONE consumer (the
+    // ±delta aggregate), so its checkpoint barrier is pure overhead —
+    // fuse it into the merged-rollup plan (guide §2.4: a shared
+    // materialization exists to dedup MULTIPLE consumers).
+    val j =
+      if (kk == 0)
+        cc.join(state.latest
+            .select(col("k"), col("g").as("g_old"), col("v").as("v_old")),
+          Seq("k"), "left")
+      else joined(state.latest, cc)
     val dAgg = deltas(j)
     val mergedAgg = state.agg.select("g", "cnt", "s")
       .join(dAgg, Seq("g"), "full_outer")
@@ -265,14 +293,10 @@ object IncrementalAggregate {
         (coalesce(col("s"), lit(0).cast(sumType)) +
           coalesce(col("dv"), lit(0).cast(sumType))).cast(sumType).as("s"))
       .where(col("cnt") > 0)
-    val rows = cc.where(col("g_new").isNotNull)
-      .select(col("k"), col("g_new").as("g"), col("v_new").as("v"))
-    val newLatest = backend.persist("ivm_agg_latest",
-      state.latest.join(cc.select("k"), Seq("k"), "left_anti")
-        .unionByName(rows),
-      delta = Some((rows, cc.select("k"))))
-    if (kk == 0) // count/sum-only rollup: no candidate work at all
-      return State(newLatest, mergedAgg.graftCkptMem(), kk)
+    if (kk == 0) { // count/sum-only rollup: no candidate work at all
+      val agg = mergedAgg.graftCkptMem() // overlaps the async persist
+      return State(awaitLatest(), agg, kk)
+    }
     val mergedCand = state.agg
       .select(col("g"), col("mins"), col("minb"), col("maxs"), col("maxb"))
       .join(valueTraffic(j), Seq("g"), "full_outer")
@@ -288,6 +312,8 @@ object IncrementalAggregate {
         CandState(c.g, mn, mnb, mx, mxb)
       }
       .toDF()
+    // Checkpointed on the main thread while the latest-state persist
+    // runs async; the rollup table is ≤ |groups| rows.
     val pre = mergedAgg.join(mergedCand, Seq("g"), "inner").graftCkptMem()
     // Underflow fallback: a group whose deletions drained a candidate
     // set rebuilds from the new latest state — restricted to exactly
@@ -300,6 +326,7 @@ object IncrementalAggregate {
     val agg2 =
       if (under.isEmpty) pre
       else {
+        val newLatest = awaitLatest() // the rebuild reads POST-batch state
         // MULTIPLICITY-AWARE rebuild: the candidate invariant counts
         // occurrences, and TopKByScore's TreeSet collapses equal
         // (score, id) pairs — correct for its LSH-candidate purpose,
@@ -338,8 +365,12 @@ object IncrementalAggregate {
           .toDF()
         pre.join(broadcast(under), Seq("g"), "left_anti")
           .unionByName(pre.select("g", "cnt", "s").join(rebuilt, Seq("g")))
+          .graftCkptMem()
       }
-    State(newLatest, agg2.graftCkptMem(), kk)
+    // No re-checkpoint when agg2 IS pre (the common no-underflow batch):
+    // pre is already materialized — the old unconditional graftCkptMem
+    // paid one extra copy + barrier per batch for nothing.
+    State(awaitLatest(), agg2, kk)
   }
 
   /** The user-facing rollup: (g, cnt, s, mn, mx). After [[applyBatch]]

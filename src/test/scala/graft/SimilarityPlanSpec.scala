@@ -273,6 +273,48 @@ class SimilarityPlanSpec extends SparkSpec {
     assert(fused == composed, "PQ code divergence between fused and composed")
   }
 
+  test("fused PQ probe distance tables reproduce the composed form bit-for-bit") {
+    // pqTopK's probe side runs through PqDistTablesExpr (one codegen
+    // pass over a compact codebook reference); the composed per-
+    // subspace round(aggregate(zip_with(slice…)…), 6) arrays it
+    // replaced — and which the generated SQL oracle still replays —
+    // must agree on every (vector, subspace, code) distance, rounding
+    // convention included. Probed over the whole corpus (a superset of
+    // any probe set).
+    val dim = 64; val m = 8; val nCodes = 16; val sub = dim / m
+    val cb: Array[Seq[Double]] = corpus.orderBy(
+        pmod(pmod(col("nid").cast("long"), lit(1L << 31)) * 1327217885L,
+          lit(1L << 31)), col("nid"))
+      .limit(nCodes)
+      .select(col("nid").cast("long"), col("vec")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def cwLit(s: Int, c: Int) =
+      array(cb(c).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    def darr(s: Int) = array((0 until nCodes).map(c =>
+      round(l2sq(slice(col("vec"), s * sub + 1, sub), cwLit(s, c)), 6)): _*)
+    val composed = corpus.select(col("nid") +: (0 until m).map(s =>
+        darr(s).as(s"d$s")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to m).map(r.getSeq[Double]).toIndexedSeq)
+      .toMap
+    val fused = corpus.select(col("nid"),
+        graft.functions.PqDistTablesExpr.tables(col("vec"), dim, m, cb).as("t"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Double]](1)
+          .map(_.toIndexedSeq).toIndexedSeq)
+      .toMap
+    assert(fused.keySet == composed.keySet)
+    fused.foreach { case (id, ts) =>
+      assert(ts.map(_.map(java.lang.Double.doubleToRawLongBits)) ==
+        composed(id).map(_.map(java.lang.Double.doubleToRawLongBits)),
+        s"PQ distance-table divergence for nid=$id")
+    }
+  }
+
   test("banded verify lookups never sort-merge the wide candidate stream") {
     // The r15 sf3 catch: the post-lookup candidate rows carry a
     // dim-sized vector each — an SMJ sorts that wide stream (~160 GB
@@ -425,7 +467,7 @@ class SimilarityPlanSpec extends SparkSpec {
         dim = 64, m = 8, nCodes = 16, k = 10))
       val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
       assert(bcasts.size == 1)
-      assert(bcasts.head.child.toString.contains("__dt0"),
+      assert(bcasts.head.child.toString.contains("pqdisttablesexpr"),
         "the broadcast side must be the probe distance tables")
     }
   }
