@@ -2347,11 +2347,18 @@ object Text {
         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM g JOIN d USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      // materialize the exploded gram set once: the df aggregate and
-      // the join probe both consume it — the identical measured
-      // pattern (and comment) as q_dup_coverage above
+      // NO checkpoint on the exploded gram set, although the df
+      // aggregate and the join probe both consume it: the r16
+      // checkpoint here shipped on structural argument with a
+      // noise-dominated A/B, and the r17 cold interleaved A/B read it
+      // 1.14× AGAINST (median 3.56 s with vs 3.13 s without, 4 rounds,
+      // 3 of 4 against; the r16 final bench window read it 1.63×
+      // normalized against) — the same eager-checkpoint-splits-cold-
+      // codegen failure mode that rejected the minhash banded-index
+      // checkpoint. The lazy double derivation stays whole-stage
+      // fused and AQE reuses the exchange. (q_dup_coverage keeps its
+      // checkpoint — it has a measured note in its own right.)
       val g = TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5)
-        .graftCkptMem()
       val dfreq = g.groupBy("gram").agg(count(lit(1)).as("__df"))
       g.join(dfreq, "gram")
         .groupBy("doc_id")

@@ -317,8 +317,13 @@ final class IncrementalDenormalizer(
       // relations no longer configured, and those must not be persisted
       // under the live root
       val names = tables.keys.toSeq.filter(stateTables.keySet)
+      // alignRestored is forced EAGERLY (matState takes the frame by
+      // name): its loud schema-evolution rejection must fire before any
+      // sibling restore job is submitted, or the caller's cleanup races
+      // still-running persists of the other tables
+      val aligned = names.map(n => alignRestored(n, tables(n)))
       val out = parMaterialize(
-        names.map(n => matState(n, alignRestored(n, tables(n)))), "recover")
+        names.zip(aligned).map { case (n, df) => matState(n, df) }, "recover")
       names.zip(out).toMap
     }
     def load(name: String, old: DataFrame): DataFrame =

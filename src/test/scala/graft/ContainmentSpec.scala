@@ -103,17 +103,28 @@ class ContainmentSpec extends SparkSpec {
     // rare grams (p10(df) high), the router must pick the
     // sorted-array blocked scan — and produce exactly the bitmap
     // path's rows.
+    // 100 × 80-char docs: p10(df) must actually clear the rare-df gate
+    // (the original 60 × 60 fixture read p10 ≤ 8 and silently fell
+    // through to prefix — caught r17 by the routing pin below)
     val rnd = new scala.util.Random(31)
-    val base = Seq.fill(60)(
-      Seq.fill(60)(('a' + rnd.nextInt(4)).toChar).mkString)
+    val base = Seq.fill(100)(
+      Seq.fill(80)(('a' + rnd.nextInt(4)).toChar).mkString)
     val texts = base.zipWithIndex.map { case (t, i) =>
-      if (i % 5 == 2) base(i - 1).substring(0, 30) else t
+      if (i % 5 == 2) base(i - 1).substring(0, 40) else t
     }
     val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val arrs = TextAnalysis.gramArrays(rows, "doc_id", "text", 4)
     // 4-symbol alphabet, 4-grams: universe ≤ 256 and every gram is
-    // frequent (p10(df) ≫ 8) — cap at 16 to simulate sf3's crossing
+    // frequent (p10(df) ≫ 8) — cap at 16 to simulate sf3's crossing.
+    // Routing pin first: value equality alone would also pass on a
+    // silent fall-through to the prefix path (caught r17 on the
+    // Jaccard mirror of this test).
+    assert(Dedup.containmentPairs(arrs, "doc_id", 3, 4,
+        denseUniverseMax = 16L)
+      .queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("sortedintersect"),
+      "dense-but-wide corpus must route to the sorted-array tier")
     val arrays = Dedup.containmentPairs(arrs, "doc_id", 3, 4,
         denseUniverseMax = 16L)
       .select("src", "dst", "n_src", "n_shared", "containment")
@@ -160,5 +171,43 @@ class ContainmentSpec extends SparkSpec {
     assert(scan.nonEmpty, "fixture must plant qualifying pairs")
     assert(scan == prefix, s"scan=$scan prefix=$prefix")
     assert(blocked == prefix, s"blocked=$blocked prefix=$prefix")
+  }
+
+  test("Jaccard dense-but-wide corpus routes to the sorted-array tier, same rows") {
+    // r17: symmetric Jaccard's mirror of containment's r14 sf3 catch —
+    // a corpus with NO rare grams (p10(df) > 8) whose universe exceeds
+    // the bitmap cap must route to the sorted-gid-array blocked scan
+    // and reproduce the prefix+verify rows exactly, jaccard double
+    // included. 4-symbol alphabet, 4-grams: universe ≤ 256 and every
+    // gram frequent; cap the universe at 16 to simulate the crossing.
+    val rnd = new scala.util.Random(43)
+    val base = Seq.fill(100)(
+      Seq.fill(80)(('a' + rnd.nextInt(4)).toChar).mkString)
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 4 == 1) base(i - 1).substring(0, 60) + t.substring(60) else t
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val arrs = TextAnalysis.gramArrays(rows, "doc_id", "text", 4)
+    def run(denseMax: Long, budget: Long = Dedup.ContainmentBlockPairBudget) =
+      Dedup.ngramJaccardPairs(arrs, "doc_id", 2, 5,
+          denseUniverseMax = denseMax, blockPairBudget = budget)
+        .as[(Long, Long, Double)].collect().toSet
+    val prefix = run(0L)             // force prefix path
+    // routing pin: the capped run's plan must carry the merge-intersect
+    // expression — value equality alone would also pass on a silent
+    // fall-through to prefix
+    val routed = Dedup.ngramJaccardPairs(arrs, "doc_id", 2, 5,
+      denseUniverseMax = 16L)
+    assert(routed.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("sortedintersect"),
+      "dense-but-wide corpus must route to the sorted-array tier")
+    val arrays = run(16L)            // wide universe + dense ⇒ array tier
+    assert(arrays.nonEmpty, "fixture must plant qualifying pairs")
+    assert(arrays == prefix, s"arrays=$arrays prefix=$prefix")
+    // collapsed pair budget: the router must fall back to the prefix
+    // path (the array tier's worst-case bound fails), same rows
+    val fallback = run(16L, budget = 0L)
+    assert(fallback == prefix, s"fallback=$fallback prefix=$prefix")
   }
 }
