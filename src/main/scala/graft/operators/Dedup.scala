@@ -246,30 +246,24 @@ object Dedup {
         if (nDocs <= blockPairBudget / nDocs)
           return jaccardDense(g, dfsCp, universe, tauNum, tauDen,
             Some(jaccardGramComponents(g)))
-      } else if (dfsCp.stat.approxQuantile("df", Array(0.1), 0.001).head >
-          ContainmentPrefixRareDfMax) {
-        // DENSE-BUT-WIDE universe (the r16 "not yet optimized" #2, the
-        // regime containment's r14 sf3 catch lives in): no gram is
-        // rare — the p10(df) probe, containment's adjudicated density
-        // test, says a doc's RAREST grams still fan out to many
-        // candidates, so the prefix argument collapses — but the
-        // universe exceeds the bitmap cap. Mirror containment's
-        // sorted-gid-array blocked tier: component-blocked salted
-        // scan, codegen merge-intersect per pair
-        // (SortedIntersectExpr), symmetric size filter, same
-        // worst-case bound as the bitmap blocked tier (nDocs² ≤
-        // budget — no Σ|block|² probe; see the comment above). Over
-        // the bound the prefix path below stays the honest fallback
-        // (Jaccard's symmetric filters keep it alive where
-        // containment's detonates — measured r16).
-        val nDocs = g.select("id").distinct().count()
-        if (nDocs > 0 && nDocs <= blockPairBudget / nDocs)
-          return jaccardDenseArrays(g, dfsCp, tauNum, tauDen,
-            jaccardGramComponents(g))
       }
-      // dense but too large for the bounded scans, or a growing
-      // universe: the prefix path below is the existing (documented)
-      // behavior
+      // DENSE-BUT-WIDE universes (no rare grams, U past the bitmap
+      // cap) also fall through to prefix — DELIBERATELY. r17 built
+      // and measured the mirror of containment's sorted-gid-array
+      // blocked tier here (component-blocked salted scan, codegen
+      // merge-intersect, same nDocs² budget) and the tier lost
+      // catastrophically on its own design regime (graft.
+      // SweepJaccardWide, 9-symbol 5-gram corpus, U = 59 049,
+      // p10(df) ≫ 8): 10 000 docs routed 732/746 s vs 22.3/22.1 s on
+      // the forced prefix path (33×), 1 000 docs 8.9 vs 3.4 s.
+      // Unlike containment — whose asymmetric prefix filter
+      // detonates on dense corpora, making the array tier a rescue —
+      // Jaccard's symmetric size + ppjoin count bound keeps prefix
+      // candidates near the true pair count, while the blocked scan
+      // must stream BOTH full gid arrays through every joined pair
+      // row (~16 KB/row at 2 000-gram docs × nDocs²/2 pairs). The
+      // prefix path below is the measured winner for this regime,
+      // not a fallback of last resort.
     }
     // Per-doc prefix in ONE keyed aggregation: collect (df, gram),
     // sort by the global (df, gram) order, slice to the prefix length
@@ -530,52 +524,6 @@ object Dedup {
       .distinct()
     connectedComponents(compEdges, "doc_a", "doc_b")
       .select(col("id"), col("component")).graftCkptMem()
-  }
-
-  /** Sorted-gid-array blocked scan for DENSE-BUT-WIDE-universe exact
-    * Jaccard — [[ngramJaccardPairs]]'s mirror of
-    * [[containmentDenseBlockedArrays]]: past the bitmap cap each doc's
-    * gram set is a sorted dense-gid int array (4·|set| bytes, vs
-    * 64·⌈U/64⌉ bitmap bits that would waste 8 KB/doc at U = 2¹⁶);
-    * pair space is component-blocked and salted; the intersection is
-    * a codegen merge walk ([[graft.functions.SortedIntersectExpr]]).
-    * Symmetric size filter first; the J ≥ τ test and the jaccard
-    * double are the verify path's exact expressions, so routed output
-    * is bit-identical to the prefix+verify path (pinned in
-    * ContainmentSpec). */
-  private def jaccardDenseArrays(g: DataFrame, dfs: DataFrame,
-      tauNum: Long, tauDen: Long, comp: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.SortedIntersectExpr
-    // single-partition window over the dictionary only (U rows — the
-    // same shape containment's array tier uses at U ≈ 52k)
-    val dict = dfs.select(col("gram"))
-      .withColumn("gid",
-        (row_number().over(Window.orderBy("gram")) - 1).cast(IntegerType))
-    val docsArr = g.join(broadcast(dict), "gram")
-      .groupBy("id")
-      .agg(sort_array(collect_list(col("gid"))).as("gids"))
-      .select(col("id"), size(col("gids")).cast(LongType).as("n"),
-        col("gids"))
-      .graftCkptMem()
-    val bmc = docsArr.join(comp, "id").graftCkptMem()
-    val s = math.max(4, g.sparkSession.sparkContext.defaultParallelism / 4)
-    val a = bmc.select(col("component"), pmod(col("id"), lit(s)).as("__salt"),
-      col("id").as("doc_a"), col("n").as("na"), col("gids").as("ga"))
-    val b = bmc.select(col("component"),
-      explode(sequence(lit(0), lit(s - 1))).as("__salt"),
-      col("id").as("doc_b"), col("n").as("nb"), col("gids").as("gb"))
-    a.join(b, Seq("component", "__salt"))
-      .where(col("doc_a") < col("doc_b") &&
-        col("nb") * tauDen >= col("na") * tauNum &&
-        col("na") * tauDen >= col("nb") * tauNum)
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        SortedIntersectExpr.sortedIntersectCount(col("ga"), col("gb"))
-          .as("i"))
-      .where(col("i") * tauDen >= (col("na") + col("nb") - col("i")) * tauNum)
-      .withColumn("jaccard",
-        col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   private def jaccardDense(g: DataFrame, dfs: DataFrame, universe: Long,

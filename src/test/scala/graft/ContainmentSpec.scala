@@ -173,13 +173,15 @@ class ContainmentSpec extends SparkSpec {
     assert(blocked == prefix, s"blocked=$blocked prefix=$prefix")
   }
 
-  test("Jaccard dense-but-wide corpus routes to the sorted-array tier, same rows") {
-    // r17: symmetric Jaccard's mirror of containment's r14 sf3 catch —
-    // a corpus with NO rare grams (p10(df) > 8) whose universe exceeds
-    // the bitmap cap must route to the sorted-gid-array blocked scan
-    // and reproduce the prefix+verify rows exactly, jaccard double
-    // included. 4-symbol alphabet, 4-grams: universe ≤ 256 and every
-    // gram frequent; cap the universe at 16 to simulate the crossing.
+  test("Jaccard dense-but-wide corpus stays on the prefix path (measured decision)") {
+    // r17: the sorted-array blocked tier was built for this regime and
+    // REJECTED on its own sweep (graft.SweepJaccardWide: 33× slower
+    // than prefix at 10k docs — Jaccard's symmetric size + count
+    // filters keep prefix alive where containment's asymmetric filter
+    // detonates). This pins the measured routing decision: a dense
+    // corpus whose universe exceeds the bitmap cap must take the
+    // prefix plan — no merge-intersect, no bitmap scan — and still
+    // produce the same rows as an uncapped (bitmap-tier) run.
     val rnd = new scala.util.Random(43)
     val base = Seq.fill(100)(
       Seq.fill(80)(('a' + rnd.nextInt(4)).toChar).mkString)
@@ -189,25 +191,16 @@ class ContainmentSpec extends SparkSpec {
     val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val arrs = TextAnalysis.gramArrays(rows, "doc_id", "text", 4)
-    def run(denseMax: Long, budget: Long = Dedup.ContainmentBlockPairBudget) =
-      Dedup.ngramJaccardPairs(arrs, "doc_id", 2, 5,
-          denseUniverseMax = denseMax, blockPairBudget = budget)
-        .as[(Long, Long, Double)].collect().toSet
-    val prefix = run(0L)             // force prefix path
-    // routing pin: the capped run's plan must carry the merge-intersect
-    // expression — value equality alone would also pass on a silent
-    // fall-through to prefix
-    val routed = Dedup.ngramJaccardPairs(arrs, "doc_id", 2, 5,
+    val capped = Dedup.ngramJaccardPairs(arrs, "doc_id", 2, 5,
       denseUniverseMax = 16L)
-    assert(routed.queryExecution.optimizedPlan.toString
-        .toLowerCase.contains("sortedintersect"),
-      "dense-but-wide corpus must route to the sorted-array tier")
-    val arrays = run(16L)            // wide universe + dense ⇒ array tier
-    assert(arrays.nonEmpty, "fixture must plant qualifying pairs")
-    assert(arrays == prefix, s"arrays=$arrays prefix=$prefix")
-    // collapsed pair budget: the router must fall back to the prefix
-    // path (the array tier's worst-case bound fails), same rows
-    val fallback = run(16L, budget = 0L)
-    assert(fallback == prefix, s"fallback=$fallback prefix=$prefix")
+    val plan = capped.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("sortedintersect") && !plan.contains("bitmap"),
+      "dense-but-wide corpus must fall through to the prefix path")
+    val prefix = capped.as[(Long, Long, Double)].collect().toSet
+    val bitmap = Dedup.ngramJaccardPairs(arrs, "doc_id", 2, 5,
+        denseUniverseMax = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix.nonEmpty, "fixture must plant qualifying pairs")
+    assert(prefix == bitmap, s"prefix=$prefix bitmap=$bitmap")
   }
 }
