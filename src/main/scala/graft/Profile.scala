@@ -112,6 +112,29 @@ object Profile {
           denseUniverseMax = 0).count()
       }
     }
+    // ---- q_dedup_keep_quality / q_golden_record front (r17 §8) ----
+    // Both queries ride minhashPairs + connectedComponents and then do
+    // member-sized work; keep_quality adds lmScore's corpus-wide model
+    // pass (the oracle's definition — corpus-wide ctf/tot). These
+    // probes decompose the fronts so the residual past the (already
+    // counter-measured) minhash front is visible.
+    locally {
+      val pairs = Dedup.minhashPairs(gramsCp, "doc_id", 3, 5)
+        .localCheckpoint(true)
+      time("kq: minhash pairs") { pairs.count() }
+      time("kq: conn components") {
+        Dedup.connectedComponents(pairs, "doc_a", "doc_b").count()
+      }
+      time("kq: lmScore full corpus") {
+        TextAnalysis.lmScore(docs, "doc_id", "text").count()
+      }
+      val members = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id")).localCheckpoint(true)
+      time("kq: lmScore members-only") {
+        TextAnalysis.lmScore(docs, "doc_id", "text",
+          scoreIds = Some(members)).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -1655,8 +1655,23 @@ object Text {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      // Checkpoint the signature table: both self-join sides consume
+      // it, and without the barrier each side re-runs the md5 +
+      // 32-bit-majority pass over the full gram explosion (the two
+      // sides project different columns, so ReuseExchange cannot kick
+      // in). The checkpointed frame is |docs| rows × 2 longs — the
+      // size ratio (tiny materialization, full corpus pass saved) is
+      // the one that WON in r16 (markov/naive_bayes), not the one
+      // that lost (minhash banded / ngram_novelty checkpointed the
+      // exploded gram stream itself). Cold interleaved A/B ×6 (r17,
+      // BENCH_AB_r17.md): 5 of 6 rounds in favor, medians 3.21 s vs
+      // 3.33 s without, median pairwise ratio 0.95 — a mild win, the
+      // saved pass is only ~0.3 s of a 3.3 s query at sf0.1; the
+      // margin grows with corpus size (the signature pass is the
+      // linear-in-grams term).
       val sh = Dedup.simhash(
         TextAnalysis.grams(docs(spark, dir), "doc_id", "text", 5), "doc_id")
+        .graftCkptMem()
       val pieces = sh.select(col("doc_id"), col("simhash"),
           explode(expr("array(0, 1, 2, 3)")).as("pc"))
         .withColumn("pv", expr("shiftright(simhash, 8 * pc) & 255"))
